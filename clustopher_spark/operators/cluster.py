@@ -1,0 +1,242 @@
+"""Greedy epsilon-radius agglomerative clustering, Spark-first.
+
+Logical operator (reference semantics, cluster/cluster.go:1266-1360 and
+1896-1996 — see SURVEY.md §4.4):
+
+* work in projected tile space at the query zoom; radius ``r`` is in tile
+  pixels (engine default 40, server default 100);
+* greedy and seed-order dependent: the next unprocessed point ``p`` collects
+  every unprocessed point within ``r`` (squared-Euclidean, ``<=``); if the
+  group (seed included) has ``>= min_points`` members it becomes a cluster
+  (id = seed id, members marked processed), otherwise ``p`` alone is emitted
+  as a singleton and its neighbours stay available;
+* cluster centroid = ``num_points``-weighted mean, count = sum of
+  ``num_points`` — which makes the operator *closed*: its output (clusters
+  with ``num_points > 1``) can be re-clustered at a coarser zoom, the basis
+  of the zoom hierarchy.
+
+Physical strategy (Spark): the reference fans the same kernel out over
+goroutines with a shared mutex-guarded "processed" set
+(cluster/cluster.go:1704-1893) — shared mutable state has no distributed
+analog, so instead we make the parallelism *spatial*: points are hash-
+partitioned by **super-cell** (a square of ``supercell_radii * r`` tile
+pixels), and an Arrow-batched ``applyInPandas`` runs the exact sequential
+greedy kernel per super-cell. Seed order is pinned to ascending ``id``
+within a super-cell, so results are deterministic for a given partitioning
+(unlike the reference, which is only invariant-stable across its own
+strategies). Clusters never span super-cells — a boundary approximation of
+the same order as the reference's own 3x3-vs-5x5 neighbor-cell heuristics
+(cluster/cluster.go:1601-1616). The kernel emits only ``(id, cluster_id)``
+assignments; centroids, metric sums, and frequency maps are ordinary
+Catalyst group-bys over a join, so column pruning / partial aggregation /
+AQE all apply.
+
+Scale notes (100 TB): the only shuffle is the hash partition on
+(supercell_x, supercell_y); the kernel is O(n) per super-cell via an
+``r``-sized grid index (the reference's own C3 strategy); the assignment
+join back to the full rows is an equi join on ``id`` that AQE will
+broadcast when the viewport result is small.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from clustopher_spark.plans.projection import (
+    DEFAULT_EXTENT,
+    DEFAULT_MAX_ZOOM,
+    DEFAULT_MIN_POINTS,
+    DEFAULT_RADIUS,
+    project_bounds,
+    project_cols,
+    unproject_cols,
+)
+
+_ASSIGN_SCHEMA = "id long, cluster_id long"
+
+
+@dataclass(frozen=True)
+class ClusterOptions:
+    """Mirrors the reference's SuperclusterOptions (cluster/cluster.go:519-544)."""
+
+    radius: float = DEFAULT_RADIUS
+    extent: int = DEFAULT_EXTENT
+    min_points: int = DEFAULT_MIN_POINTS
+    min_zoom: int = 0
+    max_zoom: int = DEFAULT_MAX_ZOOM
+    # Super-cell edge length in radii. Bigger = fewer boundary effects,
+    # less parallelism per viewport. 64r at the default radius keeps a
+    # super-cell's points comfortably in one Arrow batch.
+    supercell_radii: int = 64
+
+    @property
+    def supercell_size(self) -> float:
+        return self.radius * self.supercell_radii
+
+
+def _greedy_assign(ids: np.ndarray, xs: np.ndarray, ys: np.ndarray,
+                   radius: float, min_points: int) -> np.ndarray:
+    """Sequential greedy kernel over one super-cell.
+
+    Candidate lookup uses an r-sized grid (3x3 neighborhood), the
+    reference's C3 strategy (cluster/cluster.go:1487-1701), so total work
+    is ~O(n * local_density) instead of O(n^2).
+    """
+    n = len(ids)
+    order = np.argsort(ids, kind="stable")  # pinned deterministic seed order
+    cx = np.floor(xs / radius).astype(np.int64)
+    cy = np.floor(ys / radius).astype(np.int64)
+    grid: dict[tuple[int, int], list[int]] = {}
+    for i in range(n):
+        grid.setdefault((cx[i], cy[i]), []).append(i)
+
+    processed = np.zeros(n, dtype=bool)
+    cluster_of = np.full(n, -1, dtype=np.int64)
+    r2 = radius * radius
+
+    for seed in order:
+        if processed[seed]:
+            continue
+        sx, sy = xs[seed], ys[seed]
+        cands: list[int] = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                bucket = grid.get((cx[seed] + dx, cy[seed] + dy))
+                if bucket:
+                    cands.extend(bucket)
+        cand = np.asarray(cands, dtype=np.int64)
+        cand = cand[~processed[cand]]
+        d2 = (xs[cand] - sx) ** 2 + (ys[cand] - sy) ** 2
+        members = cand[d2 <= r2]  # seed is in its own bucket -> included
+        if len(members) >= min_points:
+            cluster_of[members] = ids[seed]
+            processed[members] = True
+        else:
+            cluster_of[seed] = ids[seed]
+            processed[seed] = True
+    return cluster_of
+
+
+def assign_clusters(
+    points: DataFrame, zoom: int, opts: ClusterOptions = ClusterOptions()
+) -> DataFrame:
+    """(id, lng, lat[, num_points]) -> (id, cluster_id, px, py) at ``zoom``.
+
+    ``cluster_id`` is the seed point's id; singletons get their own id.
+    """
+    px, py = project_cols(F.col("lng"), F.col("lat"), zoom, opts.extent)
+    proj = points.withColumn("px", px).withColumn("py", py)
+    size = opts.supercell_size
+    binned = proj.withColumn("scx", F.floor(F.col("px") / F.lit(size))).withColumn(
+        "scy", F.floor(F.col("py") / F.lit(size))
+    )
+
+    radius, min_points = opts.radius, opts.min_points
+
+    def run_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        assigned = _greedy_assign(
+            pdf["id"].to_numpy(np.int64),
+            pdf["px"].to_numpy(np.float64),
+            pdf["py"].to_numpy(np.float64),
+            radius,
+            min_points,
+        )
+        return pd.DataFrame({"id": pdf["id"].to_numpy(np.int64), "cluster_id": assigned})
+
+    narrow = binned.select("id", "px", "py", "scx", "scy")
+    assign = narrow.groupBy("scx", "scy").applyInPandas(run_cell, schema=_ASSIGN_SCHEMA)
+    return assign
+
+
+def cluster_at_zoom(
+    points: DataFrame,
+    zoom: int,
+    metric_cols: list[str] | None = None,
+    opts: ClusterOptions = ClusterOptions(),
+) -> DataFrame:
+    """Full cluster query at one zoom: assignments + A1/A2 aggregations.
+
+    Input columns: ``id`` (unique long), ``lng``, ``lat``, optional
+    ``num_points`` (defaults to 1; >1 means the row is itself a cluster,
+    reference cluster/cluster.go:391-395), plus any metric columns.
+
+    Output: ``cluster_id, lng, lat, point_count, num_members, is_cluster``
+    + ``sum_<metric>`` per metric column. Weighted-centroid and count
+    semantics per reference cluster/cluster.go:1896-1950.
+    """
+    metric_cols = metric_cols or []
+    if "num_points" not in points.columns:
+        points = points.withColumn("num_points", F.lit(1).cast("long"))
+
+    assign = assign_clusters(points, zoom, opts)
+    px, py = project_cols(F.col("lng"), F.col("lat"), zoom, opts.extent)
+    proj = points.withColumn("px", px).withColumn("py", py)
+
+    joined = proj.join(assign, "id")
+    w = F.col("num_points").cast("double")
+    aggs: list[Column] = [
+        (F.sum(F.col("px") * w) / F.sum(w)).alias("cpx"),
+        (F.sum(F.col("py") * w) / F.sum(w)).alias("cpy"),
+        F.sum("num_points").cast("long").alias("point_count"),
+        F.count(F.lit(1)).alias("num_members"),
+    ]
+    for m in metric_cols:
+        aggs.append(F.sum(F.col(m)).alias(f"sum_{m}"))
+    grouped = joined.groupBy("cluster_id").agg(*aggs)
+
+    lng, lat = unproject_cols(F.col("cpx"), F.col("cpy"), zoom, opts.extent)
+    out = grouped.select(
+        "cluster_id",
+        lng.alias("lng"),
+        lat.alias("lat"),
+        "point_count",
+        "num_members",
+        (F.col("num_members") > F.lit(1)).alias("is_cluster"),
+        *[f"sum_{m}" for m in metric_cols],
+    )
+    return out
+
+
+def filter_viewport(
+    points: DataFrame,
+    west: float,
+    south: float,
+    east: float,
+    north: float,
+    zoom: int,
+    opts: ClusterOptions = ClusterOptions(),
+) -> DataFrame:
+    """Viewport bbox predicate in tile space (reference cluster/cluster.go:1046-1047).
+
+    Expressed on lng/lat so the predicate pushes down to the parquet scan's
+    row-group min/max stats when the dataset is spatially sorted.
+    """
+    min_x, min_y, max_x, max_y = project_bounds(west, south, east, north, zoom, opts.extent)
+    px, py = project_cols(F.col("lng"), F.col("lat"), zoom, opts.extent)
+    return points.filter(
+        (px >= F.lit(min_x)) & (px <= F.lit(max_x)) & (py >= F.lit(min_y)) & (py <= F.lit(max_y))
+    )
+
+
+def get_clusters(
+    points: DataFrame,
+    west: float,
+    south: float,
+    east: float,
+    north: float,
+    zoom: int,
+    metric_cols: list[str] | None = None,
+    opts: ClusterOptions = ClusterOptions(),
+) -> DataFrame:
+    """The reference's hot query, ``GetClusters(bounds, zoom)``
+    (cluster/cluster.go:867-956): bbox filter -> greedy cluster -> aggregate
+    -> unproject.
+    """
+    zoom = min(zoom, opts.max_zoom)
+    visible = filter_viewport(points, west, south, east, north, zoom, opts)
+    return cluster_at_zoom(visible, zoom, metric_cols=metric_cols, opts=opts)
