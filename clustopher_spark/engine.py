@@ -1,0 +1,125 @@
+"""High-level engine facade — the Spark-native ``Supercluster``.
+
+Mirrors the reference's query surface (NewSupercluster/Load/GetClusters/
+GetMetadata/ToGeoJSON — cluster/cluster.go, runner/runner.go) as methods
+over DataFrames. Unlike the reference, `get_clusters` and
+`get_metadata_summary` share one cached cluster DataFrame instead of
+re-clustering per call (the reference recomputes, runner/runner.go:294).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clustopher_spark.operators.cluster import (
+    ClusterOptions,
+    assign_clusters,
+    cluster_at_zoom,
+    filter_viewport,
+    get_clusters,
+)
+from clustopher_spark.operators.frequencies import (
+    frequencies_as_map,
+    frequencies_from_counts,
+    metadata_counts,
+)
+from clustopher_spark.operators.summary import (
+    categorical_distribution,
+    cluster_counts,
+    metric_stats,
+)
+from clustopher_spark.operators.zoom import (
+    materialize_zoom_levels,
+    query_zoom_levels,
+    write_zoom_levels,
+)
+
+
+class Clustopher:
+    """points: DataFrame with (id, lng, lat[, num_points], metric..., meta...)."""
+
+    def __init__(
+        self,
+        points: DataFrame,
+        metric_cols: list[str] | None = None,
+        meta_cols: list[str] | None = None,
+        opts: ClusterOptions = ClusterOptions(),
+    ):
+        self.points = points
+        self.metric_cols = metric_cols or []
+        self.meta_cols = meta_cols or []
+        self.opts = opts
+        self._zoom_levels: DataFrame | None = None
+
+    # --- ingest-time materialization (replaces per-query recompute) ---
+
+    def materialize(self, path: str | None = None) -> DataFrame:
+        self._zoom_levels = materialize_zoom_levels(
+            self.points, self.metric_cols, self.opts
+        )
+        if path:
+            write_zoom_levels(self._zoom_levels, path, self.opts)
+            spark = self.points.sparkSession
+            self._zoom_levels = spark.read.parquet(path)
+        return self._zoom_levels
+
+    # --- the hot query (reference GetClusters, cluster/cluster.go:867-956) ---
+
+    def get_clusters(self, west, south, east, north, zoom: int) -> DataFrame:
+        zoom = min(zoom, self.opts.max_zoom)
+        if self._zoom_levels is not None:
+            return query_zoom_levels(self._zoom_levels, west, south, east, north, zoom)
+        return get_clusters(
+            self.points, west, south, east, north, zoom, self.metric_cols, self.opts
+        )
+
+    def get_clusters_with_metadata(self, west, south, east, north, zoom: int) -> DataFrame:
+        """Cluster rows + nested meta_freq map (the in-process ToGeoJSON path
+        keeps metadata, cluster/cluster.go:2026-2034; we keep it end-to-end)."""
+        zoom = min(zoom, self.opts.max_zoom)
+        visible = filter_viewport(self.points, west, south, east, north, zoom, self.opts)
+        assign = assign_clusters(visible, zoom, self.opts)
+        clusters = cluster_at_zoom(visible, zoom, self.metric_cols, self.opts)
+        if not self.meta_cols:
+            return clusters
+        joined = visible.join(assign, "id")
+        counts = metadata_counts(joined, self.meta_cols)
+        freq = frequencies_from_counts(counts)
+        maps = frequencies_as_map(freq)
+        return clusters.join(maps, "cluster_id", "left")
+
+    # --- statistics summary (reference GetMetadata -> A5) ---
+
+    def get_metadata_summary(self, west, south, east, north, zoom: int):
+        """Returns (counts_df, metric_stats_df, distribution_df)."""
+        zoom = min(zoom, self.opts.max_zoom)
+        visible = filter_viewport(self.points, west, south, east, north, zoom, self.opts)
+        assign = assign_clusters(visible, zoom, self.opts)
+        clusters = cluster_at_zoom(visible, zoom, self.metric_cols, self.opts).cache()
+        counts = cluster_counts(clusters)
+        stats = metric_stats(clusters, self.metric_cols) if self.metric_cols else None
+        dist = None
+        if self.meta_cols:
+            joined = visible.join(assign, "id")
+            dist = categorical_distribution(metadata_counts(joined, self.meta_cols))
+        return counts, stats, dist
+
+    # --- GeoJSON sink (reference ToGeoJSON, cluster/cluster.go:1999-2050) ---
+
+    def to_geojson_features(self, clusters: DataFrame) -> DataFrame:
+        props = [
+            F.col("cluster_id").alias("id"),
+            F.col("is_cluster").alias("cluster"),
+            F.col("point_count"),
+            *[F.col(f"sum_{m}").alias(m) for m in self.metric_cols if f"sum_{m}" in clusters.columns],
+        ]
+        feature = F.struct(
+            F.lit("Feature").alias("type"),
+            F.struct(
+                F.lit("Point").alias("type"),
+                F.array(F.col("lng"), F.col("lat")).alias("coordinates"),
+            ).alias("geometry"),
+            F.struct(*props).alias("properties"),
+        )
+        return clusters.select(F.to_json(feature).alias("feature"))

@@ -1,0 +1,98 @@
+"""A3 frequencies + A5 summary + zoom-hierarchy closure tests.
+
+Mirrors reference cluster_test.go: TestClusterWithMixedMetadata (:172-226),
+TestClusterWithNilMetadata (:360-401), nested rollup (:75-105).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from clustopher_spark.engine import Clustopher
+from clustopher_spark.operators.cluster import ClusterOptions
+from clustopher_spark.operators.frequencies import (
+    frequencies_from_counts,
+    metadata_counts,
+)
+from clustopher_spark.operators.zoom import materialize_zoom_levels, query_zoom_levels
+
+OPTS = ClusterOptions(radius=40.0, min_points=2)
+
+
+def test_mixed_metadata_frequencies(spark):
+    # NY/Boston -> 0.5/0.5 (cluster_test.go:219-224); missing keys tolerated.
+    df = spark.createDataFrame(
+        [
+            (1, "store", "New York"),
+            (1, "store", "Boston"),
+            (2, "store", None),
+            (2, None, None),
+        ],
+        "cluster_id long, type string, city string",
+    )
+    counts = metadata_counts(df, ["type", "city"])
+    freq = {
+        (r.cluster_id, r.key, r.value): r.freq
+        for r in frequencies_from_counts(counts).collect()
+    }
+    assert abs(freq[(1, "city", "New York")] - 0.5) < 1e-3
+    assert abs(freq[(1, "city", "Boston")] - 0.5) < 1e-3
+    assert abs(freq[(1, "type", "store")] - 1.0) < 1e-9
+    # cluster 2: one member had type=store, NULLs dropped
+    assert abs(freq[(2, "type", "store")] - 1.0) < 1e-9
+    assert (2, "city", None) not in freq
+
+
+def test_engine_summary_and_geojson(spark):
+    rows = [
+        (1, -100.0, 40.0, 100.0, "Urban"),
+        (2, -100.1, 40.1, 200.0, "Urban"),
+        (3, -100.2, 40.2, 300.0, "Rural"),
+        (4, -105.0, 35.0, 400.0, "Rural"),
+    ]
+    df = spark.createDataFrame(rows, "id long, lng double, lat double, value double, category string")
+    eng = Clustopher(df, metric_cols=["value"], meta_cols=["category"], opts=OPTS)
+
+    counts, stats, dist = eng.get_metadata_summary(-125, 25, -65, 49, 5)
+    c = counts.collect()[0]
+    assert c.total_points == 4 and c.num_clusters == 1 and c.num_single_points == 1
+    s = stats.collect()[0]
+    assert s.metric == "value" and s.sum == 1000.0 and s.min == 400.0 and s.max == 600.0
+    d = {(r.key, r.value): r.percentage for r in dist.collect()}
+    assert abs(d[("category", "Urban")] - 50.0) < 1e-9
+    assert abs(d[("category", "Rural")] - 50.0) < 1e-9
+
+    clusters = eng.get_clusters_with_metadata(-125, 25, -65, 49, 5)
+    rows = {r.point_count: r for r in clusters.collect()}
+    freq_map = rows[3].meta_freq
+    assert abs(freq_map["category"]["Urban"] - 2.0 / 3.0) < 1e-9
+
+    feats = [json.loads(r.feature) for r in eng.to_geojson_features(clusters.drop("meta_freq")).collect()]
+    assert all(f["type"] == "Feature" and f["geometry"]["type"] == "Point" for f in feats)
+    assert {f["properties"]["point_count"] for f in feats} == {1, 3}
+
+
+def test_zoom_hierarchy_closure(spark):
+    # 300 points in a tight blob + 1 far point. At z=0 everything merges;
+    # totals conserved at every level.
+    rows = [(i, -100.0 + (i % 10) * 0.001, 40.0 + (i // 10) * 0.001, 1.0) for i in range(1, 301)]
+    rows.append((999, 60.0, -30.0, 1.0))
+    df = spark.createDataFrame(rows, "id long, lng double, lat double, value double")
+    opts = ClusterOptions(radius=40.0, min_points=2, max_zoom=8)
+    zl = materialize_zoom_levels(df, ["value"], opts)
+    per_zoom = (
+        zl.groupBy("zoom")
+        .agg(F.sum("point_count").alias("tot"), F.count("*").alias("rows"), F.sum("sum_value").alias("val"))
+        .collect()
+    )
+    assert len(per_zoom) == 9
+    for r in per_zoom:
+        assert r.tot == 301, f"zoom {r.zoom} lost points: {r.tot}"
+        assert abs(r.val - 301.0) < 1e-9
+    rows_by_zoom = {r.zoom: r.rows for r in per_zoom}
+    assert rows_by_zoom[0] <= rows_by_zoom[8]
+    # serve-time query at z0: blob cluster visible in west hemisphere
+    west = query_zoom_levels(zl, -180, 0, 0, 85, 0).collect()
+    assert sum(r.point_count for r in west) == 300
