@@ -1,0 +1,261 @@
+"""Deduplication operators for training-data pipelines, at four fidelity
+levels (exact -> n-gram Jaccard -> MinHash+LSH -> SimHash). Designed for
+the 100 TB regime: every candidate-generation step is a hash-bucket
+equi-join (shuffle on a small key), never an O(n^2) comparison; exact
+pairwise similarity is only computed within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# 2^31-1: keeps a*h+b within int64 under ANSI overflow checking
+# (a, h < 2^31 -> a*h < 2^62)
+MERSENNE_PRIME = (1 << 31) - 1
+
+
+# --- exact -------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per exact content hash (hash-groupBy:
+    one shuffle on the 128-bit digest, no full-text comparison)."""
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    return (
+        df.withColumn("content_hash", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# --- shingles ----------------------------------------------------------------
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles as an array (empty-safe)."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """All pairs with word-k-gram Jaccard >= threshold.
+
+    Inverted-index join: explode shingles, equi-join on the shingle, count
+    common shingles per pair, then |A∩B| / (|A| + |B| - |A∩B|). The only
+    O(pairs) work happens on pairs that share at least one shingle.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.size(shingles(F.col(text_col), k)).alias("n_sh"),
+        F.explode(shingles(F.col(text_col), k)).alias("sh"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash permutations."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_PRIME), rng.randrange(0, MERSENNE_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig ARRAY<BIGINT>[num_hashes]) MinHash signatures.
+
+    One explode + one groupBy: each shingle is hashed once with xxhash64
+    (JVM-side), then the num_hashes permutations are affine transforms of
+    that single hash — min-aggregated per document. No UDFs.
+    """
+    params = _perm_params(num_hashes, seed)
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("sh")
+    )
+    h = F.pmod(F.xxhash64("sh"), F.lit(MERSENNE_PRIME))
+    hashed = sh.select("id", h.alias("h"))
+    mins = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE_PRIME))).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    agg = hashed.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: two docs are candidates if any band of their signatures
+    matches exactly. Explode to (band_idx, band_hash) keys and self-join —
+    the standard bucket-join pattern; shuffle key cardinality ~ n * bands.
+    """
+    banded = signatures.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates ->
+    signature-estimated Jaccard filter. Estimated Jaccard = fraction of
+    matching signature positions."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
+    a = sigs.alias("sa")
+    b = sigs.alias("sb")
+    joined = (
+        cands.join(a, cands.id_a == F.col("sa.id"))
+        .join(b, cands.id_b == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sa.sig", "sb.sig", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                )
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+    )
+    return joined.filter(F.col("est_jaccard") >= threshold)
+
+
+# --- SimHash -------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """(id, simhash BIGINT): per-token xxhash64, bitwise weighted majority.
+
+    Explode tokens -> per-bit +/-1 contributions summed in one groupBy
+    (64 conditional-sum expressions, all codegen'd) -> sign bits packed.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    h = toks.select("id", F.xxhash64("tok").alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = h.groupBy("id").agg(*bit_sums)
+    packed = F.lit(0).cast("long")
+    for i in range(bits):
+        packed = packed.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select("id", packed.alias("simhash"))
+
+
+def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Candidate pairs with Hamming distance <= max_hamming.
+
+    Pigeonhole banding: split 64 bits into 4 x 16-bit chunks; any pair
+    within distance <= 3*chunks must agree on >= 1 chunk, so an equi-join
+    on (chunk_idx, chunk_value) finds all candidates; exact popcount
+    filters after."""
+    chunks = 4
+    banded = sim_df.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

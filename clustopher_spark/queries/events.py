@@ -1,0 +1,194 @@
+"""Event-time queries over the ``events`` table: tumbling/sliding/session
+windows, as-of join, time-range join, JSON extraction (SURVEY.md §2.8
+extension surface — the reference has no streaming operators).
+
+These run in batch here (the driver's oracle is batch SQL); the same
+logical plans run incrementally under Structured Streaming via
+``clustopher_spark.streaming`` (watermark + the identical window exprs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clustopher_spark.queries.base import EVENTS_US_SQL, register, table
+
+DEC = "decimal(18,2)"
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM ({EVENTS_US_SQL}) GROUP BY wstart, event_type ORDER BY wstart, event_type
+    """,
+)
+def events_tumbling(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "total", "avg_value")
+        .orderBy("wstart", "event_type")
+    )
+
+
+@register(
+    "events_sliding_1h_30m",
+    oracle=f"""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS wstart, value FROM ({EVENTS_US_SQL})
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS wstart, value FROM ({EVENTS_US_SQL})
+    )
+    SELECT wstart, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM b GROUP BY wstart ORDER BY wstart
+    """,
+)
+def events_sliding(spark, sf_dir):
+    """Sliding window (1h every 30m): each event lands in exactly 2 windows;
+    the oracle expresses that as a union of two shifted tumbling grids."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total"),
+        )
+        .select(F.col("w.start").alias("wstart"), "n", "total")
+        .orderBy("wstart")
+    )
+
+
+@register(
+    "events_session_windows",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS new_sess
+      FROM ({EVENTS_US_SQL}) WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+    FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
+    """,
+)
+def events_session(spark, sf_dir):
+    """Session windows, 10-min gap. Spark's session_window merges events whose
+    interval [ts, ts+gap) overlaps, i.e. a new session starts when the gap is
+    >= 10 min — the oracle's gaps-and-islands uses the same boundary."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events", "session_value"
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "events_asof_last_view_before_purchase",
+    oracle=f"""
+    SELECT p.event_id, v.ts AS last_view_ts
+    FROM (SELECT * FROM ({EVENTS_US_SQL}) WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM ({EVENTS_US_SQL}) WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY p.event_id
+    """,
+)
+def events_asof(spark, sf_dir):
+    """As-of join, Spark-native: union the two tagged streams and take the
+    last view timestamp per user via an ordered running window — ONE shuffle
+    on user_id, no range explosion (SURVEY.md §2.3 as-of mapping). A view at
+    exactly the purchase timestamp sorts first (tag 0 < 1), matching the
+    oracle's ``>=``."""
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(0).alias("tag"), F.col("event_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("tag"), F.col("event_id")
+    )
+    tagged = views.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_view = F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True).over(w)
+    return (
+        tagged.withColumn("last_view_ts", last_view)
+        .filter(F.col("tag") == 1)
+        .select("event_id", "last_view_ts")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "events_views_within_hour_of_purchase",
+    oracle=f"""
+    SELECT p.event_id, COUNT(v.event_id) AS n_views_1h
+    FROM (SELECT * FROM ({EVENTS_US_SQL}) WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM ({EVENTS_US_SQL}) WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL '1 hour'
+    GROUP BY p.event_id ORDER BY p.event_id
+    """,
+)
+def events_range_join(spark, sf_dir):
+    """Time-band range join (J2's band-join technique on the time axis)."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"), F.col("event_id").alias("v_id")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    cond = (
+        (p.user_id == v.v_user)
+        & (v.v_ts <= p.ts)
+        & (v.v_ts > p.ts - F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        p.join(v, cond, "left")
+        .groupBy("event_id")
+        .agg(F.count("v_id").alias("n_views_1h"))
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "events_json_props",
+    oracle=f"""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+           COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+    FROM ({EVENTS_US_SQL}) GROUP BY k_bucket ORDER BY k_bucket
+    """,
+)
+def events_json(spark, sf_dir):
+    """JSON scalar extraction (SURVEY.md §2.7 JSON row)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(F.expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 10").alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("k_bucket")
+    )

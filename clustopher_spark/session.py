@@ -34,6 +34,10 @@ def get_spark(
         # Arrow transfer for the pandas-UDF clustering kernel.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # the driver's events table carries TIMESTAMP(NANOS) parquet, which
+        # Spark rejects by default; read as long and convert (see
+        # queries.base.table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Session timezone pinned so timestamp queries hash identically
         # against the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
