@@ -101,12 +101,14 @@ def ann_lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH bucket join + exact re-rank.
 
-    Recall/latency knob is ``bits``: more bits -> smaller buckets -> faster,
-    lower recall. Multi-probe (flipping one bit) would raise recall; kept
-    single-probe here and measured against brute force in tests.
+    Recall/latency knobs: ``bits`` (more -> smaller buckets, faster, lower
+    recall) and ``multi_probe`` (query-side probes every 1-bit-flipped
+    bucket too — bits+1 probes per query — trading join fan-out for
+    recall; only the tiny query side is expanded, never the corpus).
     """
     planes = random_hyperplanes(dim, bits, seed)
     bucket = lsh_bucket_udf(planes)
@@ -120,6 +122,12 @@ def ann_lsh_topk(
         F.col(vec_col).alias("q_vec"),
         bucket(F.col(vec_col)).alias("bucket"),
     )
+    if multi_probe:
+        probes = F.expr(
+            f"array_union(array(bucket), "
+            f"transform(sequence(0, {bits - 1}), i -> bucket ^ shiftleft(1L, i)))"
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     scored = c.join(F.broadcast(q), "bucket").filter(
         F.col("query_id") != F.col("neighbor_id")
     ).select(

@@ -103,10 +103,19 @@ def test_min_points_threshold(spark):
 
 def test_deterministic_seed_order(spark):
     # Same input twice -> identical assignments (pinned id-order seeds).
+    # Float aggregates are compared at rounded precision: double sums are
+    # not bit-stable across partial-aggregation orders, by design.
+    def canon(rows):
+        return sorted(
+            (r.cluster_id, round(r.lng, 9), round(r.lat, 9), r.point_count,
+             r.num_members, round(r.sum_value, 6))
+            for r in rows
+        )
+
     rows = [(i, -100.0 + (i % 50) * 0.01, 40.0 + (i // 50) * 0.01, float(i)) for i in range(1, 301)]
     df = _points(spark, rows)
-    a = sorted(get_clusters(df, -125, 25, -65, 49, 8, ["value"], OPTS).collect())
-    b = sorted(get_clusters(df, -125, 25, -65, 49, 8, ["value"], OPTS).collect())
+    a = canon(get_clusters(df, -125, 25, -65, 49, 8, ["value"], OPTS).collect())
+    b = canon(get_clusters(df, -125, 25, -65, 49, 8, ["value"], OPTS).collect())
     assert a == b
-    total = sum(r.point_count for r in a)
+    total = sum(r[3] for r in a)
     assert total == 300

@@ -1,0 +1,147 @@
+"""Dedup / similarity / text-analysis / multimodal unit tests with planted
+duplicates and measured ANN recall."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from clustopher_spark.functions.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from clustopher_spark.functions.multimodal import (
+    decode_images,
+    extract_audio_features,
+    sample_video_frames,
+)
+from clustopher_spark.functions.similarity import (
+    ann_lsh_topk,
+    cosine_topk_bruteforce,
+    embedding_cosine_near_dups,
+)
+from clustopher_spark.functions.text import lang_id, quality_score, token_count
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away into "
+    "the deep green forest to find some food for the long cold winter"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, BASE.replace("quick", "swift")),  # near dup of 1
+        (4, "completely different text about spark sql engines and shuffles"),
+        (5, "der hund und die katze sind gute freunde und das ist schön"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    d = _docs(spark)
+    kept = exact_dedup(d).select("doc_id").collect()
+    ids = {r.doc_id for r in kept}
+    assert ids == {1, 3, 4, 5}  # doc 2 dropped, lowest id kept
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    d = _docs(spark)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(d, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_dups(spark):
+    d = _docs(spark)
+    pairs = {(r.id_a, r.id_b): r.est_jaccard for r in minhash_dedup_pairs(d, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical signatures
+    assert (1, 3) in pairs  # near dup caught by at least one band
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_simhash_near_pairs(spark):
+    d = _docs(spark)
+    sim = simhash(d)
+    vals = {r.id: r.simhash for r in sim.collect()}
+    assert vals[1] == vals[2]
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(sim, max_hamming=16).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 16
+    assert (1, 4) not in pairs
+
+
+def test_text_functions(spark):
+    d = _docs(spark)
+    out = {r.doc_id: r for r in d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tok"),
+        F.round(quality_score(F.col("text")), 4).alias("q"),
+        lang_id(F.col("text")).alias("lang"),
+    ).collect()}
+    assert out[1].n_tok == len(BASE.split())
+    assert out[1].lang == "en"
+    assert out[5].lang == "de"
+    assert 0.0 <= out[4].q <= 1.0
+
+
+def _embeddings(spark, n=200, dim=16, seed=7):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    vecs[1] = vecs[0] + rng.standard_normal(dim).astype(np.float32) * 0.01  # planted near-dup
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_bruteforce_topk_exact(spark):
+    e = _embeddings(spark)
+    q = e.filter(F.col("vec_id") == 0)
+    top = cosine_topk_bruteforce(e, q, k=3, vec_col="embedding").collect()
+    assert top[0].neighbor_id == 1  # the planted near-dup ranks first
+    assert top[0].cos_sim > 0.99
+    assert [r.rank for r in top] == [1, 2, 3]
+
+
+def test_ann_lsh_recall(spark):
+    e = _embeddings(spark)
+    q = e.filter(F.col("vec_id") < 10)
+    brute = cosine_topk_bruteforce(e, q, k=5, vec_col="embedding")
+    ann = ann_lsh_topk(e, q, k=5, bits=4, dim=16, vec_col="embedding")
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in ann.collect()}
+    recall = len(a & b) / len(b)
+    # 4-bit single-probe LSH on random gaussians: expect moderate recall,
+    # and the planted near-dup (same bucket w.h.p.) must be found
+    assert recall >= 0.3, f"ANN recall {recall}"
+    assert (0, 1) in a
+
+
+def test_embedding_near_dup_pairs(spark):
+    e = _embeddings(spark)
+    pairs = {(r.id_a, r.id_b) for r in
+             embedding_cosine_near_dups(e, threshold=0.95, bits=4, dim=16).collect()}
+    assert (0, 1) in pairs
+
+
+def test_multimodal_stubs(spark):
+    rows = [(i, bytes([i % 256] * 64)) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, content binary")
+
+    imgs = decode_images(df).collect()
+    assert len(imgs) == 10
+    assert all(64 <= r.width < 256 and len(r.features) == 16 for r in imgs)
+    # determinism: same bytes -> same decoded properties
+    again = {r.id: (r.width, r.height, r.format) for r in decode_images(df).collect()}
+    assert all(again[r.id] == (r.width, r.height, r.format) for r in imgs)
+
+    audio = extract_audio_features(df).collect()
+    assert len(audio) == 10 and all(r.sample_rate in (8000, 16000, 44100) for r in audio)
+
+    frames = sample_video_frames(df, frames_per_video=3).collect()
+    assert len(frames) == 30
+    assert {r.frame_idx for r in frames} == {0, 1, 2}
