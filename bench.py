@@ -1,0 +1,136 @@
+#!/usr/bin/env python3
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set spans the engine's surfaces: the flagship viewport
+cluster query (reference hot path), zoom materialization (reference
+"initial load+cluster"), a TPC-H-style join-agg, windows, dedup, ANN,
+and streaming-shaped event windows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+os.environ["PYTHONPATH"] = REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_label(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+BENCH_QUERIES = [
+    # name in clustopher_spark.queries registry
+    "spatial_cluster_greedy",      # flagship: greedy viewport clustering
+    "spatial_grid_centroids",      # grid binning + weighted centroid agg
+    "q1_pricing_summary",          # scan-heavy aggregation
+    "q3_shipping_priority",        # 3-way join
+    "q5_revenue_by_nation",        # star join through broadcast dims
+    "window_top3_orders_per_customer",
+    "events_session_windows",
+    "events_asof_last_view_before_purchase",
+    "llm_fingerprint_dedup",
+    "llm_minhash_candidates",
+    "llm_knn_cosine",
+    "llm_ann_lsh_topk",
+]
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from clustopher_spark import get_spark
+    from clustopher_spark.queries import QUERIES
+
+    spark = get_spark(app_name="clustopher-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM/codegen startup and Python-worker pool spawn (the pandas
+    # kernels fork one worker per core on first use) aren't billed to queries
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    import pandas as pd  # noqa: F401
+
+    warm = spark.range(0, 1024, 1, 32).withColumn("g", F.col("id") % 32)
+    warm.groupBy("g").applyInPandas(
+        lambda pdf: pdf.head(1), schema="id long, g long"
+    ).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    # --- baseline-comparable numbers (BASELINE.md) ---
+    # ingest+materialize (analog of "30 s per 1M points initial clustering"):
+    # build the full zoom pyramid for the derived points, write to parquet.
+    import shutil
+    import tempfile
+
+    from clustopher_spark.engine import Clustopher
+    from clustopher_spark.operators.cluster import ClusterOptions
+    from clustopher_spark.queries.spatial import points_df
+
+    tmp = tempfile.mkdtemp(prefix="clustopher_bench_")
+    try:
+        pts = points_df(spark, SF_DIR).select("id", "lng", "lat", "value")
+        n_points = pts.count()
+        eng = Clustopher(
+            pts, ["value"], opts=ClusterOptions(radius=100.0, min_points=2, max_zoom=10)
+        )
+        t0 = time.perf_counter()
+        eng.materialize(f"{tmp}/zoom_levels")
+        timings["materialize_zoom_pyramid"] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# materialize_zoom_pyramid: {timings['materialize_zoom_pyramid']}s"
+            f" ({n_points} points, zooms 0-10)",
+            file=sys.stderr,
+        )
+
+        # serve-time viewport query (analog of "<50 ms viewport"): pure
+        # partition-pruned scan + bbox filter over the materialized table.
+        t0 = time.perf_counter()
+        served = eng.get_clusters(-110, 30, -90, 45, 6)
+        n_served = served.count()
+        timings["serve_viewport_query"] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# serve_viewport_query: {timings['serve_viewport_query']}s ({n_served} rows)",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_label(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition ahead of a row-exploding stage: document tables often
+    arrive as one small parquet file (one partition), which would serialize
+    the 30-60x shingle/token fan-out onto a single core."""
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(parts)
+
+
 # --- shingles ----------------------------------------------------------------
 
 def shingles(text: Column, k: int = 3) -> Column:
@@ -57,6 +65,7 @@ def ngram_jaccard_pairs(
     common shingles per pair, then |A∩B| / (|A| + |B| - |A∩B|). The only
     O(pairs) work happens on pairs that share at least one shingle.
     """
+    df = _spread(df)
     sh = df.select(
         F.col(id_col).alias("id"), F.size(shingles(F.col(text_col), k)).alias("n_sh"),
         F.explode(shingles(F.col(text_col), k)).alias("sh"),
@@ -109,6 +118,7 @@ def minhash_signatures(
     that single hash — min-aggregated per document. No UDFs.
     """
     params = _perm_params(num_hashes, seed)
+    df = _spread(df)
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("sh")
     )
@@ -166,7 +176,9 @@ def minhash_dedup_pairs(
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates ->
     signature-estimated Jaccard filter. Estimated Jaccard = fraction of
     matching signature positions."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    # signatures feed three plan branches (banding + both sides of the
+    # estimate join) — cache so the shingle explosion runs once
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k).cache()
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
     a = sigs.alias("sa")
     b = sigs.alias("sb")
@@ -198,7 +210,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     Explode tokens -> per-bit +/-1 contributions summed in one groupBy
     (64 conditional-sum expressions, all codegen'd) -> sign bits packed.
     """
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
     )

@@ -70,9 +70,10 @@ class ClusterOptions:
     min_zoom: int = 0
     max_zoom: int = DEFAULT_MAX_ZOOM
     # Super-cell edge length in radii. Bigger = fewer boundary effects,
-    # less parallelism per viewport. 64r at the default radius keeps a
-    # super-cell's points comfortably in one Arrow batch.
-    supercell_radii: int = 64
+    # less parallelism per viewport (at zoom z the world is 2^z*extent/
+    # (radius*supercell_radii) super-cells wide — low zooms are the
+    # parallelism-starved case, so keep this modest).
+    supercell_radii: int = 16
 
     @property
     def supercell_size(self) -> float:
@@ -88,12 +89,20 @@ def _greedy_assign(ids: np.ndarray, xs: np.ndarray, ys: np.ndarray,
     is ~O(n * local_density) instead of O(n^2).
     """
     n = len(ids)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
     order = np.argsort(ids, kind="stable")  # pinned deterministic seed order
     cx = np.floor(xs / radius).astype(np.int64)
     cy = np.floor(ys / radius).astype(np.int64)
-    grid: dict[tuple[int, int], list[int]] = {}
-    for i in range(n):
-        grid.setdefault((cx[i], cy[i]), []).append(i)
+    cx -= cx.min()
+    cy -= cy.min()
+    width = int(cx.max()) + 1
+    height = int(cy.max()) + 1
+    # CSR bucket index: cell id = cx*H + cy makes each 3-cell neighbor
+    # COLUMN contiguous, so a 3x3 neighborhood is <= 3 slices, no dicts.
+    cell = cx * height + cy
+    csort = np.argsort(cell, kind="stable")
+    starts = np.searchsorted(cell[csort], np.arange(width * height + 1))
 
     processed = np.zeros(n, dtype=bool)
     cluster_of = np.full(n, -1, dtype=np.int64)
@@ -103,16 +112,21 @@ def _greedy_assign(ids: np.ndarray, xs: np.ndarray, ys: np.ndarray,
         if processed[seed]:
             continue
         sx, sy = xs[seed], ys[seed]
-        cands: list[int] = []
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                bucket = grid.get((cx[seed] + dx, cy[seed] + dy))
-                if bucket:
-                    cands.extend(bucket)
-        cand = np.asarray(cands, dtype=np.int64)
+        scx, scy = cx[seed], cy[seed]
+        y0 = scy - 1 if scy > 0 else 0
+        y1 = scy + 1 if scy + 1 < height else height - 1
+        chunks = []
+        for x in (scx - 1, scx, scx + 1):
+            if x < 0 or x >= width:
+                continue
+            s, e = starts[x * height + y0], starts[x * height + y1 + 1]
+            if e > s:
+                chunks.append(csort[s:e])
+        cand = chunks[0] if len(chunks) == 1 else np.concatenate(chunks)
         cand = cand[~processed[cand]]
-        d2 = (xs[cand] - sx) ** 2 + (ys[cand] - sy) ** 2
-        members = cand[d2 <= r2]  # seed is in its own bucket -> included
+        dx = xs[cand] - sx
+        dy = ys[cand] - sy
+        members = cand[dx * dx + dy * dy <= r2]  # seed is in its own bucket
         if len(members) >= min_points:
             cluster_of[members] = ids[seed]
             processed[members] = True
@@ -123,11 +137,17 @@ def _greedy_assign(ids: np.ndarray, xs: np.ndarray, ys: np.ndarray,
 
 
 def assign_clusters(
-    points: DataFrame, zoom: int, opts: ClusterOptions = ClusterOptions()
+    points: DataFrame,
+    zoom: int,
+    opts: ClusterOptions = ClusterOptions(),
+    parallelism: int | None = None,
 ) -> DataFrame:
     """(id, lng, lat[, num_points]) -> (id, cluster_id, px, py) at ``zoom``.
 
     ``cluster_id`` is the seed point's id; singletons get their own id.
+    ``parallelism`` caps the kernel-stage partition count — pass a small
+    number for small inputs (e.g. upper zoom-pyramid levels) to avoid
+    paying 32-task scheduling overhead on 1000 rows.
     """
     px, py = project_cols(F.col("lng"), F.col("lat"), zoom, opts.extent)
     proj = points.withColumn("px", px).withColumn("py", py)
@@ -149,6 +169,13 @@ def assign_clusters(
         return pd.DataFrame({"id": pdf["id"].to_numpy(np.int64), "cluster_id": assigned})
 
     narrow = binned.select("id", "px", "py", "scx", "scy")
+    # Explicit numPartitions repartition on the grouping keys: satisfies
+    # FlatMapGroupsInPandas' clustering requirement with a partitioning AQE
+    # will NOT coalesce. AQE sizes post-shuffle partitions by bytes, which
+    # under-parallelizes Python-CPU-bound kernel stages (observed: 150k
+    # points coalesced to 2 tasks).
+    parts = parallelism or max(points.sparkSession.sparkContext.defaultParallelism, 8)
+    narrow = narrow.repartition(parts, "scx", "scy")
     assign = narrow.groupBy("scx", "scy").applyInPandas(run_cell, schema=_ASSIGN_SCHEMA)
     return assign
 
@@ -158,6 +185,7 @@ def cluster_at_zoom(
     zoom: int,
     metric_cols: list[str] | None = None,
     opts: ClusterOptions = ClusterOptions(),
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Full cluster query at one zoom: assignments + A1/A2 aggregations.
 
@@ -173,7 +201,7 @@ def cluster_at_zoom(
     if "num_points" not in points.columns:
         points = points.withColumn("num_points", F.lit(1).cast("long"))
 
-    assign = assign_clusters(points, zoom, opts)
+    assign = assign_clusters(points, zoom, opts, parallelism=parallelism)
     px, py = project_cols(F.col("lng"), F.col("lat"), zoom, opts.extent)
     proj = points.withColumn("px", px).withColumn("py", py)
 
@@ -211,16 +239,24 @@ def filter_viewport(
     zoom: int,
     opts: ClusterOptions = ClusterOptions(),
 ) -> DataFrame:
-    """Viewport bbox predicate in tile space (reference cluster/cluster.go:1046-1047).
+    """Viewport bbox predicate (reference cluster/cluster.go:1046-1047).
 
-    Expressed on lng/lat so the predicate pushes down to the parquet scan's
-    row-group min/max stats when the dataset is spatially sorted.
+    The reference tests in projected tile space; Mercator is monotonic in
+    both axes, so the equivalent *geographic* predicate on the raw lng/lat
+    columns is used instead — a plain comparison that pushes down to
+    parquet row-group min/max stats (`PushedFilters` in the plan), which a
+    filter on computed projection expressions never would. Latitudes past
+    the Mercator clamp (+/-85.0511) project onto the world edge in the
+    reference, so a bbox touching the edge keeps them too.
     """
-    min_x, min_y, max_x, max_y = project_bounds(west, south, east, north, zoom, opts.extent)
-    px, py = project_cols(F.col("lng"), F.col("lat"), zoom, opts.extent)
-    return points.filter(
-        (px >= F.lit(min_x)) & (px <= F.lit(max_x)) & (py >= F.lit(min_y)) & (py <= F.lit(max_y))
-    )
+    from clustopher_spark.plans.projection import MAX_LATITUDE
+
+    pred = (F.col("lng") >= F.lit(west)) & (F.col("lng") <= F.lit(east))
+    if south > -MAX_LATITUDE:
+        pred = pred & (F.col("lat") >= F.lit(south))
+    if north < MAX_LATITUDE:
+        pred = pred & (F.col("lat") <= F.lit(north))
+    return points.filter(pred)
 
 
 def get_clusters(

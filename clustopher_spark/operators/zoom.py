@@ -39,10 +39,18 @@ def materialize_zoom_levels(
     is_cluster, sum_<metric>...).
     """
     metric_cols = metric_cols or []
+    spark = points.sparkSession
+    default_par = spark.sparkContext.defaultParallelism
     levels: list[DataFrame] = []
     current = points
+    n_rows: int | None = None  # unknown for the raw input; known post-checkpoint
     for zoom in range(opts.max_zoom, opts.min_zoom - 1, -1):
-        clustered = cluster_at_zoom(current, zoom, metric_cols=metric_cols, opts=opts)
+        # scale kernel parallelism to the level size: upper levels shrink
+        # geometrically and 32-task shuffles on 1k rows are pure overhead
+        par = None if n_rows is None else max(1, min(default_par, n_rows // 2000))
+        clustered = cluster_at_zoom(
+            current, zoom, metric_cols=metric_cols, opts=opts, parallelism=par
+        )
         if cache_levels:
             # Truncate lineage: cluster_at_zoom references its input twice
             # (assignment + projection branches), so an unbroken 17-level
@@ -50,6 +58,7 @@ def materialize_zoom_levels(
             # cost. On a persistent pipeline each level is written to
             # parquet instead (write_zoom_levels).
             clustered = clustered.localCheckpoint(eager=True)
+            n_rows = clustered.count()  # free: counts the checkpointed RDD
         levels.append(clustered.withColumn("zoom", F.lit(zoom)))
         # closure: feed this level's clusters into the next (coarser) level
         current = clustered.select(
