@@ -1,0 +1,202 @@
+"""Serving layer (reference S9/S10: gRPC runner + Gin REST facade,
+runner/runner.go, cmd/api/main.go) — a thin stdlib-HTTP JSON API over
+cached DataFrames. This is driver-side plumbing, not a Spark operator: each
+request parameterizes a pre-materialized zoom-levels query and collects a
+small result.
+
+Parity notes:
+* LRU of at most ``max_datasets`` loaded datasets with last-access eviction
+  (reference runner/runner.go:157-203, W4 argmin-eviction);
+* unlike the reference REST hop — which silently drops metadata
+  (proto/cluster_service.proto:60-67 carries only metrics) — this API keeps
+  metadata end-to-end;
+* GET /metadata computes the summary from the SAME cached cluster set
+  instead of re-clustering per request (the reference recomputes,
+  runner/runner.go:294).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from collections import OrderedDict
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import SparkSession
+
+from clustopher_spark.engine import Clustopher
+from clustopher_spark.operators.cluster import ClusterOptions
+from clustopher_spark.sources.catalog import ClusterCatalog
+from clustopher_spark.sources.generators import generate_test_points
+
+
+class DatasetCache:
+    """LRU of loaded (materialized) datasets, reference-default capacity 5."""
+
+    def __init__(self, max_datasets: int = 5):
+        self.max_datasets = max_datasets
+        self._entries: OrderedDict[str, Clustopher] = OrderedDict()
+        self._lock = threading.Lock()
+
+    def get(self, dataset_id: str, loader) -> Clustopher:
+        with self._lock:
+            if dataset_id in self._entries:
+                self._entries.move_to_end(dataset_id)  # refresh last-accessed
+                return self._entries[dataset_id]
+        engine = loader(dataset_id)
+        with self._lock:
+            self._entries[dataset_id] = engine
+            self._entries.move_to_end(dataset_id)
+            while len(self._entries) > self.max_datasets:
+                _, evicted = self._entries.popitem(last=False)
+                if evicted._zoom_levels is not None:
+                    evicted._zoom_levels.unpersist()
+        return engine
+
+
+class ClusterService:
+    """The RPC surface (List/Create/GetClusters/GetMetadata) minus HTTP."""
+
+    def __init__(self, spark: SparkSession, catalog_root: str,
+                 opts: ClusterOptions = ClusterOptions(radius=100.0, min_points=2, max_zoom=10)):
+        self.spark = spark
+        self.catalog = ClusterCatalog(spark, catalog_root)
+        self.cache = DatasetCache()
+        self.opts = opts
+
+    def _load(self, dataset_id: str) -> Clustopher:
+        import os
+
+        if not os.path.isfile(os.path.join(self.catalog.root, dataset_id, "meta.json")):
+            raise FileNotFoundError(dataset_id)
+        points = self.catalog.load_points(dataset_id)
+        metric_cols = [c for c in points.columns if c in ("value", "size", "sales", "customers", "elevation")]
+        meta_cols = [c for c in points.columns if c in ("category", "region", "city")]
+        eng = Clustopher(points, metric_cols, meta_cols, self.opts)
+        try:
+            eng._zoom_levels = self.catalog.load_zoom_levels(dataset_id).cache()
+        except Exception:
+            pass  # no materialized pyramid; fall back to on-the-fly clustering
+        return eng
+
+    def list_clusters(self) -> list[dict]:
+        return self.catalog.list_datasets()
+
+    def create_cluster(self, num_points: int) -> dict:
+        points = generate_test_points(self.spark, num_points)
+        eng = Clustopher(points, ["value", "sales"], ["category", "region"], self.opts)
+        t0 = time.perf_counter()
+        zoom_levels = eng.materialize()
+        dataset_id = self.catalog.save(points, zoom_levels=zoom_levels)
+        return {
+            "dataset_id": dataset_id,
+            "num_points": num_points,
+            "build_seconds": round(time.perf_counter() - t0, 2),
+        }
+
+    def get_clusters(self, dataset_id: str, zoom: int, west, south, east, north) -> list[dict]:
+        eng = self.cache.get(dataset_id, self._load)
+        rows = eng.get_clusters(west, south, east, north, zoom).collect()
+        return [
+            {
+                "id": r.cluster_id,
+                "lng": r.lng,
+                "lat": r.lat,
+                "count": r.point_count,
+                "is_cluster": bool(r.is_cluster),
+                "metrics": {
+                    c[4:]: r[c] for c in r.asDict() if c.startswith("sum_")
+                },
+            }
+            for r in rows
+        ]
+
+    def get_metadata(self, dataset_id: str, zoom: int, west, south, east, north) -> dict:
+        eng = self.cache.get(dataset_id, self._load)
+        counts, stats, dist = eng.get_metadata_summary(west, south, east, north, zoom)
+        c = counts.collect()[0]
+        out = {
+            "total_points": c.total_points,
+            "num_clusters": c.num_clusters,
+            "num_single_points": c.num_single_points,
+            "metrics": {},
+            "distributions": {},
+        }
+        if stats is not None:
+            for r in stats.collect():
+                out["metrics"][r.metric] = {
+                    "min": r.min, "max": r.max, "sum": r.sum, "average": r.average
+                }
+        if dist is not None:
+            for r in dist.collect():
+                out["distributions"].setdefault(r.key, {})[r.value] = r.percentage
+        return out
+
+
+def make_handler(service: ClusterService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            parts = [p for p in url.path.split("/") if p]
+            q = {k: v[0] for k, v in parse_qs(url.query).items()}
+            try:
+                if parts == ["api", "clusters"]:
+                    return self._json(service.list_clusters())
+                if len(parts) == 3 and parts[:2] == ["api", "clusters"]:
+                    return self._json(
+                        service.get_clusters(
+                            parts[2], int(q["zoom"]), float(q["west"]),
+                            float(q["south"]), float(q["east"]), float(q["north"]),
+                        )
+                    )
+                if len(parts) == 4 and parts[3] == "metadata":
+                    return self._json(
+                        service.get_metadata(
+                            parts[2], int(q["zoom"]), float(q["west"]),
+                            float(q["south"]), float(q["east"]), float(q["north"]),
+                        )
+                    )
+                self._json({"error": "not found"}, 404)
+            except (KeyError, ValueError) as e:
+                self._json({"error": f"bad request: {e}"}, 400)
+            except FileNotFoundError:
+                self._json({"error": "dataset not found"}, 404)
+            except Exception as e:  # surface engine errors as 500, keep serving
+                self._json({"error": str(e)[:500]}, 500)
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            parts = [p for p in url.path.split("/") if p]
+            if parts == ["api", "clusters"]:
+                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    payload = json.loads(self.rfile.read(length) or b"{}")
+                    n = int(payload.get("numPoints", 10000))
+                except (ValueError, json.JSONDecodeError) as e:
+                    return self._json({"error": f"bad request: {e}"}, 400)
+                return self._json(service.create_cluster(n))
+            self._json({"error": "not found"}, 404)
+
+    return Handler
+
+
+def serve(service: ClusterService, port: int = 8000) -> ThreadingHTTPServer:
+    """Start the API server on a background thread; returns the server
+    (call .shutdown() to stop)."""
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(service))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd

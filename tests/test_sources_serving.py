@@ -1,0 +1,115 @@
+"""Generators (S3/S4), catalog (S5-S7), and the HTTP serving layer (S9/S10)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from clustopher_spark.sources.catalog import ClusterCatalog
+from clustopher_spark.sources.generators import (
+    generate_test_points,
+    generate_test_points_around_cities,
+)
+
+
+def test_generate_test_points_deterministic(spark):
+    a = generate_test_points(spark, 1000, -125, 25, -65, 49, num_partitions=4)
+    stats = a.agg(
+        F.count("*").alias("n"), F.min("lng").alias("mnl"), F.max("lng").alias("mxl"),
+        F.min("lat").alias("mnlat"), F.max("lat").alias("mxlat"),
+        F.count_distinct("category").alias("ncat"),
+    ).collect()[0]
+    assert stats.n == 1000
+    assert -125 <= stats.mnl and stats.mxl <= -65
+    assert 25 <= stats.mnlat and stats.mxlat <= 49
+    assert stats.ncat == 7
+    b = generate_test_points(spark, 1000, -125, 25, -65, 49, num_partitions=4)
+    assert a.exceptAll(b).count() == 0  # same seed+partitions -> identical
+
+
+def test_generate_cities_clustered(spark):
+    pts = generate_test_points_around_cities(spark, 900, n_cities=3, num_partitions=4)
+    per_city = {r.city: r["count"] for r in pts.groupBy("city").count().collect()}
+    assert len(per_city) == 3
+    assert all(c == 300 for c in per_city.values())  # round-robin id % 3
+    # scatter stays near centers
+    spread = pts.groupBy("city").agg(
+        (F.max("lng") - F.min("lng")).alias("dl")
+    ).collect()
+    assert all(r.dl < 3.0 for r in spread)
+
+
+def test_catalog_save_load_roundtrip(spark, tmp_path):
+    cat = ClusterCatalog(spark, str(tmp_path / "catalog"))
+    pts = generate_test_points(spark, 500, num_partitions=2)
+    ds = cat.save(pts, dataset_id="t1")
+    loaded = cat.load_points(ds)
+    assert loaded.count() == 500
+    assert set(loaded.columns) == set(pts.columns)
+    infos = cat.list_datasets()
+    assert len(infos) == 1 and infos[0]["num_points"] == 500
+    assert cat.info("t1")["file_size_bytes"] > 0
+    cdf = cat.as_dataframe().collect()
+    assert cdf[0].dataset_id == "t1" and cdf[0].num_points == 500
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    from clustopher_spark.operators.cluster import ClusterOptions
+    from clustopher_spark.serving import ClusterService, serve
+
+    root = str(tmp_path_factory.mktemp("serving"))
+    svc = ClusterService(
+        spark, root, ClusterOptions(radius=100.0, min_points=2, max_zoom=6)
+    )
+    httpd = serve(svc, port=18734)
+    yield "http://127.0.0.1:18734"
+    httpd.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url) as r:
+        return json.loads(r.read())
+
+
+def test_serving_end_to_end(server):
+    # create (POST) -> list -> clusters -> metadata
+    req = urllib.request.Request(
+        f"{server}/api/clusters",
+        data=json.dumps({"numPoints": 2000}).encode(),
+        method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        created = json.loads(r.read())
+    ds = created["dataset_id"]
+    assert created["num_points"] == 2000
+
+    listed = _get(f"{server}/api/clusters")
+    assert any(m["dataset_id"] == ds for m in listed)
+
+    clusters = _get(
+        f"{server}/api/clusters/{ds}?zoom=3&west=-180&south=-85&east=180&north=85"
+    )
+    assert sum(c["count"] for c in clusters) == 2000
+    assert any(c["is_cluster"] for c in clusters)
+    assert all("value" in c["metrics"] for c in clusters)
+
+    meta = _get(
+        f"{server}/api/clusters/{ds}/metadata?zoom=3&west=-180&south=-85&east=180&north=85"
+    )
+    assert meta["total_points"] == 2000
+    assert "value" in meta["metrics"]
+    assert abs(sum(meta["distributions"]["category"].values()) - 100.0) < 1e-6
+
+
+def test_serving_bad_requests(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/api/clusters/nope?zoom=3&west=0&south=0&east=1&north=1")
+    assert e.value.code in (400, 404, 500)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/api/clusters/whatever")  # missing params
+    assert e.value.code == 400
