@@ -21,5 +21,6 @@ import clustopher_spark.queries.relational  # noqa: F401  (registers)
 import clustopher_spark.queries.spatial  # noqa: F401
 import clustopher_spark.queries.llm  # noqa: F401
 import clustopher_spark.queries.events  # noqa: F401
+import clustopher_spark.queries.stats  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -1,0 +1,202 @@
+"""Statistical aggregates and SQL-layer queries rounding out SURVEY.md §2.4's
+'approximate aggregates absent -> available as extension' note: exact
+percentiles, moments (stddev/var/corr/covar), approximate distincts and
+percentiles (rows-only: approximation algorithms differ per engine), plus
+operators exercised through the spark.sql TEXT layer (temp views +
+subqueries) rather than the DataFrame API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clustopher_spark.queries.base import register, table
+
+
+@register(
+    "stats_percentiles_price",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def stats_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (the reference's W2 median-selection
+    primitive, generalized)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "stats_moments",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(stddev_samp(o_totalprice), 4) AS sd,
+           ROUND(var_samp(o_totalprice), 2) AS variance,
+           ROUND(skewness(o_totalprice), 4) AS skew
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def stats_moments(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    # Spark's skewness is the population estimator g1; DuckDB's is the
+    # bias-corrected sample estimator G1 = g1 * sqrt(n(n-1))/(n-2)
+    g1_to_G1 = F.sqrt(n * (n - F.lit(1))) / (n - F.lit(2))
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("sd"),
+            F.round(F.var_samp("o_totalprice"), 2).alias("variance"),
+            F.round(F.skewness("o_totalprice") * g1_to_G1, 4).alias("skew"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "stats_correlation",
+    oracle="""
+    SELECT ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           ROUND(covar_samp(l_discount, l_tax), 6) AS disc_tax_covar,
+           COUNT(*) AS n
+    FROM lineitem
+    """,
+)
+def stats_correlation(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("disc_tax_covar"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register("stats_approx_distinct")  # rows-only: HLL sketches differ per engine;
+# the unit check pins the approx within 5% of exact inside ONE engine
+def stats_approx_distinct(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@register("stats_approx_percentile")  # rows-only: t-digest/GK sketches differ
+def stats_approx_percentile(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_exact"),
+    )
+
+
+@register(
+    "sql_text_exists_subquery",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45
+    ) ORDER BY s_suppkey
+    """,
+)
+def sql_text_exists(spark, sf_dir):
+    """Correlated EXISTS through the SQL text layer (Catalyst decorrelates
+    to a semi join — same plan as the DataFrame left_semi)."""
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM supplier s
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45
+        ) ORDER BY s_suppkey
+        """
+    )
+
+
+@register(
+    "sql_text_scalar_subquery",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_above
+    FROM part
+    WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def sql_text_scalar_subquery(spark, sf_dir):
+    table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_brand, COUNT(*) AS n_above
+        FROM part
+        WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+        GROUP BY p_brand ORDER BY p_brand
+        """
+    )
+
+
+@register(
+    "sql_text_in_subquery_with_cte",
+    oracle="""
+    WITH big_orders AS (
+      SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 300000
+    )
+    SELECT n.n_name AS nation, COUNT(DISTINCT c.c_custkey) AS n_big_spenders
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_custkey IN (SELECT o_custkey FROM big_orders)
+    GROUP BY n.n_name ORDER BY nation
+    """,
+)
+def sql_text_in_cte(spark, sf_dir):
+    for t in ("orders", "customer", "nation"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        WITH big_orders AS (
+          SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 300000
+        )
+        SELECT n.n_name AS nation, COUNT(DISTINCT c.c_custkey) AS n_big_spenders
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_custkey IN (SELECT o_custkey FROM big_orders)
+        GROUP BY n.n_name ORDER BY nation
+        """
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_suppkey, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey), ())
+    ORDER BY l_returnflag NULLS FIRST, l_suppkey NULLS FIRST
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_suppkey, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey), ())
+        ORDER BY l_returnflag NULLS FIRST, l_suppkey NULLS FIRST
+        """
+    )
