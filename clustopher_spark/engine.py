@@ -79,7 +79,7 @@ class Clustopher:
         keeps metadata, cluster/cluster.go:2026-2034; we keep it end-to-end)."""
         zoom = min(zoom, self.opts.max_zoom)
         visible = filter_viewport(self.points, west, south, east, north, zoom, self.opts)
-        assign = assign_clusters(visible, zoom, self.opts)
+        assign = assign_clusters(visible, zoom, self.opts).select("id", "cluster_id")
         clusters = cluster_at_zoom(visible, zoom, self.metric_cols, self.opts)
         if not self.meta_cols:
             return clusters
@@ -95,7 +95,7 @@ class Clustopher:
         """Returns (counts_df, metric_stats_df, distribution_df)."""
         zoom = min(zoom, self.opts.max_zoom)
         visible = filter_viewport(self.points, west, south, east, north, zoom, self.opts)
-        assign = assign_clusters(visible, zoom, self.opts)
+        assign = assign_clusters(visible, zoom, self.opts).select("id", "cluster_id")
         clusters = cluster_at_zoom(visible, zoom, self.metric_cols, self.opts).cache()
         counts = cluster_counts(clusters)
         stats = metric_stats(clusters, self.metric_cols) if self.metric_cols else None

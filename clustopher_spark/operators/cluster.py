@@ -141,14 +141,25 @@ def assign_clusters(
     zoom: int,
     opts: ClusterOptions = ClusterOptions(),
     parallelism: int | None = None,
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, lng, lat[, num_points]) -> (id, cluster_id, px, py) at ``zoom``.
+    """(id, lng, lat[, num_points]) -> (id, cluster_id, px, py[, passthrough])
+    at ``zoom``. ``cluster_id`` is the seed point's id; singletons get their
+    own id.
 
-    ``cluster_id`` is the seed point's id; singletons get their own id.
     ``parallelism`` caps the kernel-stage partition count — pass a small
     number for small inputs (e.g. upper zoom-pyramid levels) to avoid
     paying 32-task scheduling overhead on 1000 rows.
+
+    ``passthrough_cols`` ride through the kernel's Arrow batches untouched,
+    letting downstream aggregations consume the kernel output directly
+    instead of re-joining against the input (late materialization by join
+    is only worth it for wide rows; metric columns are cheap to carry).
     """
+    passthrough = list(passthrough_cols or [])
+    if "num_points" in points.columns and "num_points" not in passthrough:
+        passthrough.append("num_points")
+
     px, py = project_cols(F.col("lng"), F.col("lat"), zoom, opts.extent)
     proj = points.withColumn("px", px).withColumn("py", py)
     size = opts.supercell_size
@@ -157,6 +168,13 @@ def assign_clusters(
     )
 
     radius, min_points = opts.radius, opts.min_points
+    out_cols = ["id", "cluster_id", "px", "py", *passthrough]
+    passthrough_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in binned.schema.fields
+        if f.name in passthrough
+    )
+    schema = f"id long, cluster_id long, px double, py double{passthrough_schema}"
 
     def run_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         assigned = _greedy_assign(
@@ -166,9 +184,11 @@ def assign_clusters(
             radius,
             min_points,
         )
-        return pd.DataFrame({"id": pdf["id"].to_numpy(np.int64), "cluster_id": assigned})
+        out = pdf[["id", "px", "py", *passthrough]].copy()
+        out.insert(1, "cluster_id", assigned)
+        return out[out_cols]
 
-    narrow = binned.select("id", "px", "py", "scx", "scy")
+    narrow = binned.select("id", "px", "py", "scx", "scy", *passthrough)
     # Explicit numPartitions repartition on the grouping keys: satisfies
     # FlatMapGroupsInPandas' clustering requirement with a partitioning AQE
     # will NOT coalesce. AQE sizes post-shuffle partitions by bytes, which
@@ -176,7 +196,7 @@ def assign_clusters(
     # points coalesced to 2 tasks).
     parts = parallelism or max(points.sparkSession.sparkContext.defaultParallelism, 8)
     narrow = narrow.repartition(parts, "scx", "scy")
-    assign = narrow.groupBy("scx", "scy").applyInPandas(run_cell, schema=_ASSIGN_SCHEMA)
+    assign = narrow.groupBy("scx", "scy").applyInPandas(run_cell, schema=schema)
     return assign
 
 
@@ -196,16 +216,19 @@ def cluster_at_zoom(
     Output: ``cluster_id, lng, lat, point_count, num_members, is_cluster``
     + ``sum_<metric>`` per metric column. Weighted-centroid and count
     semantics per reference cluster/cluster.go:1896-1950.
+
+    Single-pass plan: metric columns ride through the kernel's Arrow batch
+    (pass-through columns), so the aggregation group-by consumes the kernel
+    output directly — ONE shuffle total, no assignment re-join, and the
+    plan stays linear when levels chain (no exponential lineage).
     """
     metric_cols = metric_cols or []
     if "num_points" not in points.columns:
         points = points.withColumn("num_points", F.lit(1).cast("long"))
 
-    assign = assign_clusters(points, zoom, opts, parallelism=parallelism)
-    px, py = project_cols(F.col("lng"), F.col("lat"), zoom, opts.extent)
-    proj = points.withColumn("px", px).withColumn("py", py)
-
-    joined = proj.join(assign, "id")
+    assigned = assign_clusters(
+        points, zoom, opts, parallelism=parallelism, passthrough_cols=metric_cols
+    )
     w = F.col("num_points").cast("double")
     aggs: list[Column] = [
         (F.sum(F.col("px") * w) / F.sum(w)).alias("cpx"),
@@ -215,7 +238,7 @@ def cluster_at_zoom(
     ]
     for m in metric_cols:
         aggs.append(F.sum(F.col(m)).alias(f"sum_{m}"))
-    grouped = joined.groupBy("cluster_id").agg(*aggs)
+    grouped = assigned.groupBy("cluster_id").agg(*aggs)
 
     lng, lat = unproject_cols(F.col("cpx"), F.col("cpy"), zoom, opts.extent)
     out = grouped.select(

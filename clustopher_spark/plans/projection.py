@@ -72,6 +72,28 @@ def project_scalar(lng: float, lat: float, zoom: int, extent: int = DEFAULT_EXTE
     return x, y
 
 
+def project_np(lng, lat, zoom: int, extent: int = DEFAULT_EXTENT):
+    """Vectorized numpy projection (same formulas as project_cols) for
+    driver-side tails of the zoom pyramid."""
+    import numpy as np
+
+    size = _world_size(zoom, extent)
+    x = (lng + 180.0) / 360.0 * size
+    clamped = np.clip(lat, -MAX_LATITUDE, MAX_LATITUDE)
+    siny = np.sin(np.radians(clamped))
+    y = (0.5 - 0.25 * np.log((1.0 + siny) / (1.0 - siny)) / math.pi) * size
+    return x, y
+
+
+def unproject_np(x, y, zoom: int, extent: int = DEFAULT_EXTENT):
+    import numpy as np
+
+    size = _world_size(zoom, extent)
+    lng = x / size * 360.0 - 180.0
+    lat = np.degrees(2.0 * np.arctan(np.exp((1.0 - 2.0 * y / size) * math.pi)) - math.pi / 2.0)
+    return lng, lat
+
+
 def project_bounds(
     west: float, south: float, east: float, north: float, zoom: int,
     extent: int = DEFAULT_EXTENT,

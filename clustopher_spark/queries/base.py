@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,7 +25,40 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship clustopher_spark to Python workers via addPyFile.
+
+    The pandas kernels are cloudpickled by module reference, so workers
+    must import the package. PYTHONPATH only helps if it was set before
+    the JVM launched; addPyFile works on any live session (idempotent,
+    zip built once per session)."""
+    if getattr(spark, "_clustopher_pyfile_added", False):
+        return
+    import shutil
+    import tempfile
+
+    import clustopher_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(clustopher_spark.__file__))
+    # rebuild once per process (never reuse a stale zip from a prior run)
+    zip_base = os.path.join(tempfile.gettempdir(), f"clustopher_spark_pkg_{os.getpid()}")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir), "clustopher_spark")
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # e.g. Spark Connect; PYTHONPATH fallback applies
+    spark._clustopher_pyfile_added = True
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_workers_can_import(spark)
+    if name == "events":
+        # the driver may hand us a vanilla session; the events table is
+        # TIMESTAMP(NANOS) parquet which Spark only reads via this conf
+        # (runtime-settable)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) parquet read via nanosAsLong: truncate to the

@@ -96,3 +96,22 @@ def test_zoom_hierarchy_closure(spark):
     # serve-time query at z0: blob cluster visible in west hemisphere
     west = query_zoom_levels(zl, -180, 0, 0, 85, 0).collect()
     assert sum(r.point_count for r in west) == 300
+
+
+def test_local_tail_matches_distributed(spark):
+    # The numpy tail path must produce the same pyramid as the fully
+    # distributed path (same kernel, same algebra).
+    rows = [(i, -100.0 + (i % 40) * 0.05, 40.0 + (i // 40) * 0.05, float(i % 7)) for i in range(1, 601)]
+    df = spark.createDataFrame(rows, "id long, lng double, lat double, value double")
+    opts = ClusterOptions(radius=40.0, min_points=2, max_zoom=6)
+
+    def canon(zl):
+        return sorted(
+            (r.zoom, r.cluster_id, round(r.lng, 6), round(r.lat, 6), r.point_count,
+             r.num_members, bool(r.is_cluster), round(r.sum_value, 6))
+            for r in zl.collect()
+        )
+
+    distributed = canon(materialize_zoom_levels(df, ["value"], opts, local_tail_threshold=0))
+    hybrid = canon(materialize_zoom_levels(df, ["value"], opts, local_tail_threshold=10**9))
+    assert distributed == hybrid
