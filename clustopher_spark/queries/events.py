@@ -192,3 +192,43 @@ def events_json(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
         .orderBy("k_bucket")
     )
+
+
+@register(
+    "events_hypertable_rollup",
+    oracle=f"""
+    WITH hours AS (
+      SELECT date_trunc('hour', ts) AS bucket_start, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM ({EVENTS_US_SQL}) GROUP BY 1
+    ), days AS (
+      SELECT date_trunc('day', bucket_start) AS bucket_start, CAST(SUM(n) AS BIGINT) AS n, SUM(total) AS total
+      FROM hours GROUP BY 1
+    )
+    SELECT 'hour' AS grain, bucket_start, n, ROUND(total, 2) AS total FROM hours
+    UNION ALL
+    SELECT 'day' AS grain, bucket_start, n, ROUND(total, 2) AS total FROM days
+    ORDER BY grain, bucket_start
+    """,
+)
+def events_hypertable_rollup(spark, sf_dir):
+    """Continuous-aggregate hierarchy (hour -> day): each grain re-aggregates
+    the previous grain's partials — the zoom-pyramid pattern on the time
+    axis (operators/scale.py::time_rollup)."""
+    ev = table(spark, sf_dir, "events")
+    hours = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket_start")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).alias("dtotal"),
+    )
+    days = hours.groupBy(F.date_trunc("day", "bucket_start").alias("bucket_start")).agg(
+        F.sum("n").alias("n"), F.sum("dtotal").alias("dtotal")
+    )
+    h = hours.select(
+        F.lit("hour").alias("grain"), "bucket_start", "n",
+        F.round(F.col("dtotal").cast("double"), 2).alias("total"),
+    )
+    d = days.select(
+        F.lit("day").alias("grain"), "bucket_start", "n",
+        F.round(F.col("dtotal").cast("double"), 2).alias("total"),
+    )
+    return h.unionByName(d).orderBy("grain", "bucket_start")
