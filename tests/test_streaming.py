@@ -72,3 +72,53 @@ def test_stateful_running_totals(spark, events_stream):
         .collect()
     }
     assert stream_rows == batch_rows and len(batch_rows) > 0
+
+
+def test_append_mode_multi_batch_watermark(spark, tmp_path):
+    """Drive REAL incremental processing: events split into 3 files, one
+    micro-batch each (maxFilesPerTrigger=1), append-mode tumbling windows
+    with a 30-min watermark. Windows emitted on close must match the batch
+    computation exactly; only-closed-windows semantics means emitted ⊆ batch.
+    """
+    ev = table(spark, SF_DIR, "events")
+    src = str(tmp_path / "events_parts")
+    # 3 time-ordered chunks so watermark advances between micro-batches
+    ev.orderBy("ts").withColumn(
+        "part", F.ntile(3).over(__import__("pyspark").sql.window.Window.orderBy("ts"))
+    ).write.partitionBy("part").mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.drop("part").schema if "part" in ev.columns else ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/part=*")
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("wstart"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len(q.recentProgress)
+    assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
+
+    emitted = {(r.wstart, r.n) for r in spark.sql("select * from wm_out").collect()}
+    batch = {
+        (r.wstart, r.n)
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("wstart"), "n")
+        .collect()
+    }
+    assert emitted, "append mode emitted no closed windows"
+    assert emitted <= batch, "emitted window disagrees with batch result"
+    # windows are only emitted once closed: the stream's final windows
+    # (beyond the last watermark) must NOT appear
+    assert len(emitted) < len(batch)
