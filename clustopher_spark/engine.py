@@ -45,10 +45,17 @@ class Clustopher:
         metric_cols: list[str] | None = None,
         meta_cols: list[str] | None = None,
         opts: ClusterOptions = ClusterOptions(),
+        numeric_meta_cols: list[str] | None = None,
+        ts_col: str | None = None,
     ):
         self.points = points
         self.metric_cols = metric_cols or []
         self.meta_cols = meta_cols or []
+        # A5 typed dispatch (reference helpers.go:207-301): categorical ->
+        # distribution (meta_cols), numeric -> weighted range, timestamp ->
+        # earliest/latest
+        self.numeric_meta_cols = numeric_meta_cols or []
+        self.ts_col = ts_col
         self.opts = opts
         self._zoom_levels: DataFrame | None = None
 
@@ -104,6 +111,23 @@ class Clustopher:
             joined = visible.join(assign, "id")
             dist = categorical_distribution(metadata_counts(joined, self.meta_cols))
         return counts, stats, dist
+
+    def get_metadata_summary_full(self, west, south, east, north, zoom: int) -> dict:
+        """A5 with the reference's full typed dispatch
+        (helpers.go:207-301): counts + metric stats + categorical
+        distributions + numeric ranges + timestamp range, as DataFrames."""
+        from clustopher_spark.operators.summary import numeric_range, time_range
+
+        counts, stats, dist = self.get_metadata_summary(west, south, east, north, zoom)
+        visible = filter_viewport(
+            self.points, west, south, east, north, min(zoom, self.opts.max_zoom), self.opts
+        )
+        out = {"counts": counts, "metric_stats": stats, "distributions": dist}
+        out["numeric_ranges"] = (
+            numeric_range(visible, self.numeric_meta_cols) if self.numeric_meta_cols else None
+        )
+        out["time_range"] = time_range(visible, self.ts_col) if self.ts_col else None
+        return out
 
     # --- GeoJSON sink (reference ToGeoJSON, cluster/cluster.go:1999-2050) ---
 

@@ -34,6 +34,9 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     zip built once per session)."""
     if getattr(spark, "_clustopher_pyfile_added", False):
         return
+    # timestamp literals/windows must agree with the (naive-timestamp)
+    # DuckDB oracle regardless of the host timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     import shutil
     import tempfile
 

@@ -115,3 +115,27 @@ def test_local_tail_matches_distributed(spark):
     distributed = canon(materialize_zoom_levels(df, ["value"], opts, local_tail_threshold=0))
     hybrid = canon(materialize_zoom_levels(df, ["value"], opts, local_tail_threshold=10**9))
     assert distributed == hybrid
+
+
+def test_full_summary_typed_dispatch(spark):
+    # A5 typed dispatch: numeric -> weighted range, timestamp -> time range
+    # (reference helpers.go:207-301)
+    rows = [
+        (1, -100.0, 40.0, 100.0, "Urban", 120.0, "2024-03-01 10:00:00"),
+        (2, -100.1, 40.1, 200.0, "Urban", 300.0, "2024-01-15 08:30:00"),
+        (3, -105.0, 35.0, 300.0, "Rural", 50.0, "2024-06-20 22:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, lng double, lat double, value double, category string, elevation double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    eng = Clustopher(
+        df, ["value"], ["category"], OPTS, numeric_meta_cols=["elevation"], ts_col="ts"
+    )
+    full = eng.get_metadata_summary_full(-125, 25, -65, 49, 5)
+    nr = {r.key: r for r in full["numeric_ranges"].collect()}
+    assert nr["elevation"].min == 50.0 and nr["elevation"].max == 300.0
+    assert abs(nr["elevation"].average - (120 + 300 + 50) / 3) < 1e-9
+    tr = full["time_range"].collect()[0]
+    assert str(tr.earliest).startswith("2024-01-15")
+    assert str(tr.latest).startswith("2024-06-20")

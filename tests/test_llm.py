@@ -145,3 +145,16 @@ def test_multimodal_stubs(spark):
     frames = sample_video_frames(df, frames_per_video=3).collect()
     assert len(frames) == 30
     assert {r.frame_idx for r in frames} == {0, 1, 2}
+
+
+def test_bpe_ish_token_count(spark):
+    from clustopher_spark.functions.text import bpe_ish_token_count
+
+    df = spark.createDataFrame(
+        [(1, "hello, world! 42"), (2, "a"), (3, "x.y")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.n for r in df.select(
+        "doc_id", bpe_ish_token_count(F.col("text")).alias("n")
+    ).collect()}
+    # "hello" "," "world" "!" "42" = 5 pieces; "a" = 1; "x" "." "y" = 3
+    assert out[1] == 5 and out[2] == 1 and out[3] == 3
