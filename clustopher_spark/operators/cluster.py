@@ -74,6 +74,14 @@ class ClusterOptions:
     # (radius*supercell_radii) super-cells wide — low zooms are the
     # parallelism-starved case, so keep this modest).
     supercell_radii: int = 16
+    # At/below this zoom, get_clusters pre-clusters at (zoom + hier_step)
+    # first: the whole world is a handful of super-cells at low zooms, which
+    # would serialize the kernel onto one task over raw data. Closure under
+    # num_points weighting makes the two-phase result a valid clustering
+    # (the zoom-pyramid argument; mirrors the reference's zoom-based
+    # strategy dispatch, cluster/cluster.go:2434-2465).
+    hierarchical_zoom_threshold: int = 4
+    hier_step: int = 4
 
     @property
     def supercell_size(self) -> float:
@@ -294,8 +302,21 @@ def get_clusters(
 ) -> DataFrame:
     """The reference's hot query, ``GetClusters(bounds, zoom)``
     (cluster/cluster.go:867-956): bbox filter -> greedy cluster -> aggregate
-    -> unproject.
+    -> unproject. Low zooms run two-phase (fine zoom first, distributed;
+    then the small output at the target zoom) to avoid the one-super-cell
+    skew — see ClusterOptions.hierarchical_zoom_threshold.
     """
     zoom = min(zoom, opts.max_zoom)
     visible = filter_viewport(points, west, south, east, north, zoom, opts)
+    if zoom <= opts.hierarchical_zoom_threshold and zoom + opts.hier_step <= opts.max_zoom:
+        fine = cluster_at_zoom(
+            visible, zoom + opts.hier_step, metric_cols=metric_cols, opts=opts
+        )
+        visible = fine.select(
+            F.col("cluster_id").alias("id"),
+            "lng",
+            "lat",
+            F.col("point_count").alias("num_points"),
+            *[F.col(f"sum_{m}").alias(m) for m in (metric_cols or [])],
+        )
     return cluster_at_zoom(visible, zoom, metric_cols=metric_cols, opts=opts)

@@ -119,3 +119,14 @@ def test_deterministic_seed_order(spark):
     assert a == b
     total = sum(r[3] for r in a)
     assert total == 300
+
+
+def test_low_zoom_hierarchical_conserves(spark):
+    # zoom<=4 triggers the two-phase path; totals and metric sums conserve,
+    # and near points still merge into one cluster at z0.
+    rows = [(i, -100.0 + (i % 50) * 0.01, 40.0 + (i // 50) * 0.01, 1.0) for i in range(1, 501)]
+    df = _points(spark, rows)
+    out = get_clusters(df, -180, -85, 180, 85, 0, ["value"], OPTS).collect()
+    assert sum(r.point_count for r in out) == 500
+    assert abs(sum(r.sum_value for r in out) - 500.0) < 1e-9
+    assert len(out) == 1  # tight blob -> single world-level cluster
