@@ -86,7 +86,9 @@ def ngram_jaccard_pairs(
     return (
         common.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        # exact int/int double division — deterministic across engines, no
+        # rounding (rounding INTRODUCES half-up-vs-half-even mismatches)
+        .select("id_a", "id_b", F.col("jaccard"))
     )
 
 

@@ -23,7 +23,7 @@ DEC = "decimal(18,2)"
     SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
-           ROUND(AVG(value), 4) AS avg_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
     FROM ({EVENTS_US_SQL}) GROUP BY wstart, event_type ORDER BY wstart, event_type
     """,
 )
@@ -34,7 +34,7 @@ def events_tumbling(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast(DEC)).cast("double").alias("total"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            (F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("avg_value"),
         )
         .select(F.col("w.start").alias("wstart"), "event_type", "n", "total", "avg_value")
         .orderBy("wstart", "event_type")
@@ -178,7 +178,7 @@ def events_range_join(spark, sf_dir):
     "events_json_props",
     oracle=f"""
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
-           COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+           COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
     FROM ({EVENTS_US_SQL}) GROUP BY k_bucket ORDER BY k_bucket
     """,
 )
@@ -189,7 +189,8 @@ def events_json(spark, sf_dir):
     return (
         ev.select(F.expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 10").alias("k_bucket"), "value")
         .groupBy("k_bucket")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             (F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("avg_value"))
         .orderBy("k_bucket")
     )
 

@@ -40,10 +40,10 @@ STOP_PATTERN = r"\b(the|a|an|and|of|to|in|is|it)\b"
     SELECT doc_id,
            len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
            length(text) AS n_chars,
-           ROUND(len(regexp_extract_all(text, '[.,;:!?]'))
-                 / greatest(length(text), 1), 6) AS punct_ratio,
-           ROUND(len(regexp_extract_all(lower(text), '{STOP_PATTERN}'))
-                 / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6) AS stop_ratio
+           len(regexp_extract_all(text, '[.,;:!?]'))
+                 / greatest(length(text), 1) AS punct_ratio,
+           len(regexp_extract_all(lower(text), '{STOP_PATTERN}'))
+                 / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS stop_ratio
     FROM documents ORDER BY doc_id
     """,
 )
@@ -54,8 +54,8 @@ def llm_text_stats(spark, sf_dir):
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
         F.length("text").alias("n_chars"),
-        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
-        F.round(stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+        punct_ratio(F.col("text")).alias("punct_ratio"),
+        stopword_ratio(F.col("text")).alias("stop_ratio"),
     ).orderBy("doc_id")
 
 
@@ -90,7 +90,7 @@ def llm_fingerprint_dedup(spark, sf_dir):
                        / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) > 0.01 THEN 1.0 ELSE 0.5 END AS stop_ok
       FROM documents
     )
-    SELECT lang, ROUND((len_ok + punct_ok + stop_ok) / 3.0, 6) AS quality, COUNT(*) AS n
+    SELECT lang, (len_ok + punct_ok + stop_ok) / 3.0 AS quality, COUNT(*) AS n
     FROM scored GROUP BY lang, quality ORDER BY lang, quality
     """,
 )
@@ -99,7 +99,7 @@ def llm_quality_histogram(spark, sf_dir):
     histogram a data pipeline reports before pruning."""
     d = table(spark, sf_dir, "documents")
     return (
-        d.select("lang", F.round(quality_score(F.col("text")), 6).alias("quality"))
+        d.select("lang", quality_score(F.col("text")).alias("quality"))
         .groupBy("lang", "quality")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "quality")
@@ -134,7 +134,7 @@ def llm_lang_id(spark, sf_dir):
         FROM docs)
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(COUNT(*) / (a.n_sh + b.n_sh - COUNT(*)), 6) AS jaccard
+           COUNT(*) / (a.n_sh + b.n_sh - COUNT(*)) AS jaccard
     FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
     HAVING COUNT(*) / (a.n_sh + b.n_sh - COUNT(*)) >= 0.1

@@ -26,8 +26,8 @@ DEC = "decimal(18,2)"
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -48,8 +48,8 @@ def q1_pricing_summary(spark, sf_dir):
                 F.col("l_extendedprice").cast(DEC)
                 * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
             ).cast("double").alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(F.col("l_discount").cast("decimal(8,2)")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -233,7 +233,7 @@ def join_full_outer(spark, sf_dir):
 @register(
     "join_range_price_bands",
     oracle="""
-    SELECT b.band AS band, COUNT(*) AS n_parts, ROUND(AVG(p.p_retailprice), 4) AS avg_price
+    SELECT b.band AS band, COUNT(*) AS n_parts, CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
     FROM part p JOIN (
       SELECT 'low' AS band, 0.0 AS lo, 500.0 AS hi UNION ALL
       SELECT 'mid', 500.0, 1000.0 UNION ALL
@@ -257,7 +257,7 @@ def join_range(spark, sf_dir):
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            (F.sum(F.col("p_retailprice").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("avg_price"),
         )
         .orderBy("band")
     )
@@ -700,3 +700,60 @@ def q14_brand_share(spark, sf_dir):
         ).alias("brand1_share"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "window_range_frame_30d",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL '30 days' PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE frame over event time: trailing-30-day spend per customer."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+        FROM orders ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "window_ranking_family",
+    oracle="""
+    SELECT o_orderkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+           ROUND(CUME_DIST() OVER w, 6) AS cdist,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           LEAD(o_orderkey, 1) OVER w AS next_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def window_ranking_family(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.lead("o_orderkey", 1).over(w).alias("next_key"),
+    ).orderBy("o_orderkey")

@@ -102,7 +102,8 @@ def spatial_viewport(spark, sf_dir):
     oracle=f"""
     WITH pts AS ({POINTS_SQL})
     SELECT cell_x, cell_y, COUNT(*) AS point_count,
-           ROUND(AVG(lng), 6) AS c_lng, ROUND(AVG(lat), 6) AS c_lat,
+           CAST(SUM(CAST(lng AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS c_lng,
+           CAST(SUM(CAST(lat AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS c_lat,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM pts GROUP BY cell_x, cell_y ORDER BY cell_x, cell_y
     """,
@@ -115,8 +116,8 @@ def spatial_grid(spark, sf_dir):
         pts.groupBy("cell_x", "cell_y")
         .agg(
             F.count(F.lit(1)).alias("point_count"),
-            F.round(F.avg("lng"), 6).alias("c_lng"),
-            F.round(F.avg("lat"), 6).alias("c_lat"),
+            (F.sum(F.col("lng").cast("decimal(12,2)")).cast("double") / F.count(F.lit(1))).alias("c_lng"),
+            (F.sum(F.col("lat").cast("decimal(12,2)")).cast("double") / F.count(F.lit(1))).alias("c_lat"),
             F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
         )
         .orderBy("cell_x", "cell_y")
@@ -132,7 +133,7 @@ def spatial_grid(spark, sf_dir):
       FROM pts GROUP BY cell_x, cell_y, priority
     )
     SELECT cell_x, cell_y, priority,
-           ROUND(cnt / SUM(cnt) OVER (PARTITION BY cell_x, cell_y), 6) AS freq
+           cnt / SUM(cnt) OVER (PARTITION BY cell_x, cell_y) AS freq
     FROM counts ORDER BY cell_x, cell_y, priority
     """,
 )
@@ -148,7 +149,7 @@ def spatial_frequencies(spark, sf_dir):
         "cell_x",
         "cell_y",
         "priority",
-        F.round(F.col("cnt") / F.sum("cnt").over(w), 6).alias("freq"),
+        (F.col("cnt") / F.sum("cnt").over(w)).alias("freq"),
     ).orderBy("cell_x", "cell_y", "priority")
 
 
@@ -167,7 +168,7 @@ def spatial_frequencies(spark, sf_dir):
            CAST(MIN(sum_value) AS DOUBLE) AS min_value,
            CAST(MAX(sum_value) AS DOUBLE) AS max_value,
            CAST(SUM(sum_value) AS DOUBLE) AS total_value,
-           ROUND(AVG(CAST(sum_value AS DOUBLE)), 4) AS avg_value
+           CAST(SUM(sum_value) AS DOUBLE) / COUNT(*) AS avg_value
     FROM cells
     """,
 )
@@ -186,7 +187,7 @@ def spatial_summary(spark, sf_dir):
         F.min("sum_value").cast("double").alias("min_value"),
         F.max("sum_value").cast("double").alias("max_value"),
         F.sum("sum_value").cast("double").alias("total_value"),
-        F.round(F.avg(F.col("sum_value").cast("double")), 4).alias("avg_value"),
+        (F.sum("sum_value").cast("double") / F.count(F.lit(1))).alias("avg_value"),
     )
 
 
@@ -208,3 +209,33 @@ def spatial_cluster_greedy(spark, sf_dir):
         "is_cluster",
         F.round("sum_value", 2).alias("sum_value"),
     ).orderBy("cluster_id")
+
+
+@register("spatial_geojson_features")  # JSON string assembly (S8 sink);
+# rows-only: JSON text construction differs across engines
+def spatial_geojson(spark, sf_dir):
+    """ToGeoJSON sink shape (reference cluster/cluster.go:1999-2050) over
+    grid-cell clusters: Feature rows assembled with to_json(struct(...))."""
+    pts = points_df(spark, sf_dir)
+    cells = (
+        pts.groupBy("cell_x", "cell_y")
+        .agg(
+            F.count(F.lit(1)).alias("point_count"),
+            F.round(F.avg("lng"), 6).alias("lng"),
+            F.round(F.avg("lat"), 6).alias("lat"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias("value"),
+        )
+    )
+    feature = F.struct(
+        F.lit("Feature").alias("type"),
+        F.struct(
+            F.lit("Point").alias("type"),
+            F.array(F.col("lng"), F.col("lat")).alias("coordinates"),
+        ).alias("geometry"),
+        F.struct(
+            F.col("point_count"), F.col("value"), (F.col("point_count") > 1).alias("cluster")
+        ).alias("properties"),
+    )
+    return cells.select(
+        "cell_x", "cell_y", F.to_json(feature).alias("feature")
+    ).orderBy("cell_x", "cell_y")
