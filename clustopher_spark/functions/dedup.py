@@ -58,18 +58,31 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.2,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """All pairs with word-k-gram Jaccard >= threshold.
 
     Inverted-index join: explode shingles, equi-join on the shingle, count
     common shingles per pair, then |A∩B| / (|A| + |B| - |A∩B|). The only
     O(pairs) work happens on pairs that share at least one shingle.
+
+    ``max_shingle_df``: drop shingles occurring in more than this many
+    documents before the join. At corpus scale a handful of boilerplate
+    shingles otherwise generate O(df^2) join rows (the classic hot-key
+    blowup); capping document frequency bounds the worst key at
+    max_shingle_df^2 while leaving Jaccard for near-dup pairs essentially
+    unchanged (dropped shingles are shared by *everything*). Exact Jaccard
+    requires None (the default).
     """
     df = _spread(df)
     sh = df.select(
         F.col(id_col).alias("id"), F.size(shingles(F.col(text_col), k)).alias("n_sh"),
         F.explode(shingles(F.col(text_col), k)).alias("sh"),
     )
+    if max_shingle_df is not None:
+        doc_freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+        hot = doc_freq.filter(F.col("_df") > max_shingle_df).select("sh")
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     common = (

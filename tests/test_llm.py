@@ -158,3 +158,15 @@ def test_bpe_ish_token_count(spark):
     ).collect()}
     # "hello" "," "world" "!" "42" = 5 pieces; "a" = 1; "x" "." "y" = 3
     assert out[1] == 5 and out[2] == 1 and out[3] == 3
+
+
+def test_ngram_jaccard_df_cap(spark):
+    from clustopher_spark.functions.dedup import ngram_jaccard_pairs
+
+    d = _docs(spark)
+    # with an aggressive cap the exact-dup pair must survive (its shingles
+    # are shared by only 2-3 docs), and no spurious pairs appear
+    pairs = {(r.id_a, r.id_b) for r in
+             ngram_jaccard_pairs(d, threshold=0.3, max_shingle_df=3).collect()}
+    assert (1, 2) in pairs
+    assert (1, 4) not in pairs
