@@ -86,7 +86,7 @@ def materialize_zoom_levels(
     metric_cols: list[str] | None = None,
     opts: ClusterOptions = ClusterOptions(),
     cache_levels: bool = True,
-    local_tail_threshold: int = 50_000,
+    local_tail_threshold: int = 100_000,
 ) -> DataFrame:
     """Build the full ``zoom_levels`` table: one cluster set per zoom.
 
