@@ -37,17 +37,24 @@ class ClusterCatalog:
         points: DataFrame,
         dataset_id: str | None = None,
         zoom_levels: DataFrame | None = None,
+        layout: str = "zorder",
     ) -> str:
         dataset_id = dataset_id or uuid.uuid4().hex[:8]
         path = os.path.join(self.root, dataset_id)
         n = points.count()
-        # spatially sorted write -> parquet row-group pruning for bbox scans
-        (
-            points.sortWithinPartitions("lng", "lat")
-            .write.mode("overwrite")
-            .option("compression", "zstd")
-            .parquet(os.path.join(path, "points"))
-        )
+        if layout == "zorder" and {"lng", "lat"} <= set(points.columns):
+            # Morton-ordered write: row-group stats tight in BOTH axes ->
+            # 2-3x fewer groups touched per viewport (tests/test_layout.py)
+            from clustopher_spark.sources.layout import write_zordered
+
+            write_zordered(points, os.path.join(path, "points"))
+        else:
+            (
+                points.sortWithinPartitions("lng", "lat")
+                .write.mode("overwrite")
+                .option("compression", "zstd")
+                .parquet(os.path.join(path, "points"))
+            )
         if zoom_levels is not None:
             (
                 zoom_levels.repartition("zoom")
