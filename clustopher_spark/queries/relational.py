@@ -757,3 +757,26 @@ def window_ranking_family(spark, sf_dir):
         F.first("o_orderkey").over(w).alias("first_key"),
         F.lead("o_orderkey", 1).over(w).alias("next_key"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "setop_multiset_except_all",
+    oracle="""
+    SELECT k, COUNT(*) AS n FROM (
+      SELECT l_suppkey AS k FROM lineitem
+      EXCEPT ALL
+      SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+    ) GROUP BY k ORDER BY k
+    """,
+)
+def setop_multiset(spark, sf_dir):
+    """EXCEPT ALL (multiset semantics: per-row cardinality subtraction)."""
+    li = table(spark, sf_dir, "lineitem")
+    all_keys = li.select(F.col("l_suppkey").alias("k"))
+    returned = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
+    return (
+        all_keys.exceptAll(returned)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k")
+    )
