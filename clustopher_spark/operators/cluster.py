@@ -57,9 +57,6 @@ from clustopher_spark.plans.projection import (
     unproject_cols,
 )
 
-_ASSIGN_SCHEMA = "id long, cluster_id long"
-
-
 @dataclass(frozen=True)
 class ClusterOptions:
     """Mirrors the reference's SuperclusterOptions (cluster/cluster.go:519-544)."""
@@ -86,6 +83,19 @@ class ClusterOptions:
     @property
     def supercell_size(self) -> float:
         return self.radius * self.supercell_radii
+
+
+def prepare_points(points: DataFrame) -> DataFrame:
+    """Ingest hygiene (S1 Load semantics): dedupe by id keeping the first
+    row (the reference's MetricsStore overwrites re-inserted ids,
+    cluster/cluster.go:317-364, tested at cluster_test.go:303-345), drop
+    rows with null id/coords, default ``num_points`` to 1."""
+    cleaned = points.filter(
+        F.col("id").isNotNull() & F.col("lng").isNotNull() & F.col("lat").isNotNull()
+    ).dropDuplicates(["id"])
+    if "num_points" not in cleaned.columns:
+        cleaned = cleaned.withColumn("num_points", F.lit(1).cast("long"))
+    return cleaned
 
 
 def _greedy_assign(ids: np.ndarray, xs: np.ndarray, ys: np.ndarray,

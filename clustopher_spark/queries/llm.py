@@ -16,7 +16,6 @@ from clustopher_spark.functions.dedup import (
 )
 from clustopher_spark.functions.similarity import (
     ann_lsh_topk,
-    cosine,
     cosine_topk_bruteforce,
     norm,
 )

@@ -780,3 +780,73 @@ def setop_multiset(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("k")
     )
+
+
+@register(
+    "join_right_supplier_items",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, COUNT(l.l_orderkey) AS n_items
+    FROM lineitem l RIGHT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_suppkey, s.s_name ORDER BY s.s_suppkey
+    """,
+)
+def join_right(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey, "right")
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("l_orderkey").alias("n_items"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "agg_argmin_argmax",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_argminmax(spark, sf_dir):
+    """min_by/max_by (argmin/argmax) aggregates — the generalized form of
+    the reference's LRU argmin eviction (W4, runner/runner.go:167-186).
+    (o_totalprice values are distinct per status group in this data, so the
+    arg is well-defined across engines.)"""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+            F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "lateral_explode_tokens",
+    oracle=r"""
+    SELECT doc_id, tok.pos - 1 AS pos, tok.tok AS token
+    FROM (
+      SELECT doc_id, unnest(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                     (t, i) -> struct_pack(pos := i, tok := t))) AS tok
+      FROM documents WHERE doc_id < 20
+    ) ORDER BY doc_id, pos
+    """,
+)
+def lateral_explode(spark, sf_dir):
+    """Lateral fan-out: posexplode of tokenized text (UNNEST WITH
+    ORDINALITY equivalent)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "token"),
+        )
+        .orderBy("doc_id", "pos")
+    )

@@ -130,3 +130,20 @@ def test_low_zoom_hierarchical_conserves(spark):
     assert sum(r.point_count for r in out) == 500
     assert abs(sum(r.sum_value for r in out) - 500.0) < 1e-9
     assert len(out) == 1  # tight blob -> single world-level cluster
+
+
+def test_prepare_points_dedup_and_nulls(spark):
+    from clustopher_spark.operators.cluster import prepare_points
+
+    rows = [
+        (1, -100.0, 40.0, 1.0),
+        (1, -99.0, 41.0, 2.0),   # duplicate id -> dropped (first kept)
+        (2, None, 40.0, 3.0),     # null coord -> dropped
+        (None, -98.0, 39.0, 4.0), # null id -> dropped
+        (3, -97.0, 38.0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, lng double, lat double, value double")
+    out = prepare_points(df)
+    got = {r.id for r in out.collect()}
+    assert got == {1, 3}
+    assert dict(out.dtypes)["num_points"] == "bigint"
