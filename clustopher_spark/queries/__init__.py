@@ -19,6 +19,7 @@ from __future__ import annotations
 from clustopher_spark.queries.base import ORACLES, QUERIES, register
 import clustopher_spark.queries.relational  # noqa: F401  (registers)
 import clustopher_spark.queries.tpch_extra  # noqa: F401
+import clustopher_spark.queries.sql_features  # noqa: F401
 import clustopher_spark.queries.spatial  # noqa: F401
 import clustopher_spark.queries.llm  # noqa: F401
 import clustopher_spark.queries.events  # noqa: F401

@@ -1,0 +1,162 @@
+"""SQL-surface features beyond the TPC-H shapes: recursive CTEs, UNPIVOT
+(melt), map higher-order functions, and the datetime function family.
+
+These round out SURVEY.md §2.7 (scalar functions: date/time, array/map) and
+add the two reshaping operators (unpivot, recursion) a user of a general
+OLAP engine expects. Map/array results are rendered to sorted CSV strings so
+oracle cells stay scalar (the driver's value-hash compares cells, not nested
+objects).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clustopher_spark.queries.base import register, table
+
+DEC = "decimal(18,2)"
+
+
+@register(
+    "recursive_cte_zoom_scales",
+    oracle="""
+    WITH RECURSIVE zooms(zoom, scale) AS (
+      SELECT 0, CAST(1 AS BIGINT)
+      UNION ALL SELECT zoom + 1, scale * 2 FROM zooms WHERE zoom < 16)
+    SELECT zoom, scale,
+           CAST(40.0 AS DOUBLE) / (scale * 512) * CAST(360.0 AS DOUBLE) AS radius_deg
+    FROM zooms ORDER BY zoom
+    """,
+)
+def recursive_cte_zoom_scales(spark, sf_dir):
+    """Recursive CTE (Spark 4 WITH RECURSIVE): generates the zoom->scale
+    table the clustering pipeline uses (2^z tile scale, 40px radius in
+    world degrees at extent 512 — the reference's zoomScale table,
+    cluster/cluster.go:554-560, as a query instead of a precomputed array)."""
+    table(spark, sf_dir, "region")  # touch a table so session conf is applied
+    return spark.sql(
+        """
+        WITH RECURSIVE zooms(zoom, scale) AS (
+          SELECT 0, CAST(1 AS BIGINT)
+          UNION ALL SELECT zoom + 1, scale * 2 FROM zooms WHERE zoom < 16)
+        SELECT zoom, scale,
+           CAST(40.0 AS DOUBLE) / (scale * 512) * CAST(360.0 AS DOUBLE) AS radius_deg
+        FROM zooms ORDER BY zoom
+        """
+    )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT measure, CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM (
+      SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+    GROUP BY measure ORDER BY measure
+    """,
+)
+def unpivot_lineitem_measures(spark, sf_dir):
+    """UNPIVOT/melt: wide measure columns to long (measure, val) rows —
+    the inverse of the pivot operator. Planned as Expand (one pass over the
+    scan, no union of four scans)."""
+    li = table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.sum(F.col("val").cast(DEC)).cast("double").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("measure")
+    )
+
+
+@register(
+    "map_functions_gallery",
+    oracle="""
+    SELECT o_key, string_agg(kv, ',' ORDER BY kv) AS flag_qty_csv,
+           string_agg(kv2, ',' ORDER BY kv2) AS doubled_csv,
+           COALESCE(string_agg(kv_big, ',' ORDER BY kv_big), '') AS big_csv
+    FROM (
+      SELECT l_orderkey AS o_key,
+             l_returnflag || '=' || CAST(CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS VARCHAR) AS kv,
+             l_returnflag || '=' || CAST(CAST(SUM(CAST(l_quantity AS INT)) * 2 AS BIGINT) AS VARCHAR) AS kv2,
+             CASE WHEN SUM(CAST(l_quantity AS INT)) >= 50
+                  THEN l_returnflag || '=' || CAST(CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS VARCHAR)
+             END AS kv_big
+      FROM lineitem GROUP BY l_orderkey, l_returnflag)
+    GROUP BY o_key ORDER BY o_key
+    """,
+)
+def map_functions_gallery(spark, sf_dir):
+    """Map higher-order functions (§2.7 array/map): map_from_entries ->
+    transform_values -> map_filter -> map_entries, rendered as sorted k=v
+    CSV. This is the A2/A3 metrics-map pattern (metrics MAP<STRING,DOUBLE>
+    per cluster) exercised as a standalone oracle-checked operator."""
+    li = table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy(
+        F.col("l_orderkey").alias("o_key"), F.col("l_returnflag").alias("flag")
+    ).agg(F.sum(F.col("l_quantity").cast("int")).alias("qty"))
+    with_map = per_flag.groupBy("o_key").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("flag", "qty")))
+        ).alias("m")
+    )
+
+    def kv_csv(m):
+        return F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(m),
+                    lambda e: F.concat(e.key, F.lit("="), e.value.cast("string")),
+                )
+            ),
+            ",",
+        )
+
+    return with_map.select(
+        "o_key",
+        kv_csv(F.col("m")).alias("flag_qty_csv"),
+        kv_csv(F.transform_values("m", lambda k, v: v * 2)).alias("doubled_csv"),
+        kv_csv(F.map_filter("m", lambda k, v: v >= 50)).alias("big_csv"),
+    ).orderBy("o_key")
+
+
+@register(
+    "datetime_function_gallery",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(dayofweek(o_orderdate) AS INT) + 1 AS dow,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3mo,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS BIGINT) AS days_to_y2k
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def datetime_function_gallery(spark, sf_dir):
+    """Datetime function family (§2.7 date/time row): truncation, field
+    extraction, end-of-month, interval arithmetic, day difference. DuckDB
+    numbers dayofweek Sun=0 vs Spark's Sun=1 — the oracle adds 1."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.trunc("o_orderdate", "month").cast("timestamp").alias("month_start"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus3mo"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_y2k"),
+    ).orderBy("o_orderkey")
