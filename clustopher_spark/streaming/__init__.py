@@ -5,6 +5,10 @@ from clustopher_spark.streaming.windows import (
     tumbling_counts_stream,
 )
 from clustopher_spark.streaming.stateful import running_user_totals
+from clustopher_spark.streaming.joins import (
+    dedup_within_watermark,
+    views_purchases_interval_join,
+)
 
 __all__ = [
     "stream_events",
@@ -12,4 +16,6 @@ __all__ = [
     "sliding_counts_stream",
     "sessionized_stream",
     "running_user_totals",
+    "views_purchases_interval_join",
+    "dedup_within_watermark",
 ]

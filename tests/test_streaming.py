@@ -122,3 +122,67 @@ def test_append_mode_multi_batch_watermark(spark, tmp_path):
     # windows are only emitted once closed: the stream's final windows
     # (beyond the last watermark) must NOT appear
     assert len(emitted) < len(batch)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_stream):
+    """Stream-stream inner interval join drained with availableNow must
+    equal the batch join over the same parquet."""
+    from clustopher_spark.streaming import views_purchases_interval_join
+
+    views = events_stream.filter(F.col("event_type") == "view")
+    purchases = stream_events(spark, f"{SF_DIR}/events.parquet").filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = views_purchases_interval_join(views, purchases)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("s2s_join_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_pairs = {
+        (r.p_id, r.v_id) for r in spark.sql("select * from s2s_join_out").collect()
+    }
+
+    ev = table(spark, SF_DIR, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    cond = (
+        (p.user_id == v.v_user)
+        & (v.v_ts <= p.p_ts)
+        & (v.v_ts > p.p_ts - F.expr("INTERVAL 1 HOUR"))
+    )
+    batch_pairs = {(r.p_id, r.v_id) for r in p.join(v, cond, "inner").collect()}
+    assert stream_pairs == batch_pairs and len(batch_pairs) > 0
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    """A doubled source (every event twice) streamed through
+    dropDuplicatesWithinWatermark yields each event_id exactly once."""
+    from clustopher_spark.streaming import dedup_within_watermark
+
+    ev = table(spark, SF_DIR, "events")
+    src = str(tmp_path / "events_doubled")
+    ev.unionAll(ev).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    deduped = dedup_within_watermark(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select event_id from dedup_out").collect()
+    ids = [r.event_id for r in got]
+    assert len(ids) == len(set(ids)), "duplicates survived"
+    assert len(ids) == ev.count(), "dedup dropped non-duplicates"
