@@ -143,6 +143,111 @@ def ann_lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_lists: int,
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer: distributed MLlib KMeans over (a
+    sample of) the corpus. Returns the (n_lists, dim) centroid matrix —
+    small enough to broadcast regardless of corpus size. At 100 TB you
+    train on a ~1M-row sample (`sample_fraction`), never the full corpus;
+    quantizer quality saturates long before that."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(_as_double(F.col(vec_col))).alias("features")
+    )
+    if sample_fraction is not None:
+        feats = feats.sample(sample_fraction, seed=seed)
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(feats)
+    return np.array(model.clusterCenters())
+
+
+def ivf_lists_udf(centroids: np.ndarray, n_probe: int):
+    """Arrow-batched nearest-centroid assignment: one (batch x n_lists)
+    matmul per batch, returning the ``n_probe`` nearest list ids by cosine
+    (descending)."""
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    cn = np.ascontiguousarray(cn.T)
+    n = min(n_probe, centroids.shape[0])
+
+    @pandas_udf("array<int>")
+    def lists(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        np.maximum(norms, 1e-12, out=norms)
+        sims = (mat / norms) @ cn
+        if n == 1:
+            idx = np.argmax(sims, axis=1)[:, None]
+        else:
+            idx = np.argpartition(-sims, n - 1, axis=1)[:, :n]
+            row_sims = np.take_along_axis(sims, idx, axis=1)
+            idx = np.take_along_axis(idx, np.argsort(-row_sims, axis=1), axis=1)
+        return pd.Series([row.tolist() for row in idx.astype(np.int32)])
+
+    return lists
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer ->
+    each corpus vector filed under its nearest list -> queries probe their
+    ``n_probe`` nearest lists -> exact cosine re-rank within probed lists.
+
+    The scale shape: corpus assignment is one broadcast-matmul pass
+    (no shuffle); the candidate join shuffles on list_id, whose
+    cardinality (n_lists) and KMeans balance keep partitions even; probe
+    fan-out multiplies only the tiny query side. Versus LSH: data-adaptive
+    lists give better recall at equal candidate count, at the cost of a
+    training pass."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_lists, vec_col, sample_fraction, seed
+        )
+    assign_one = ivf_lists_udf(centroids, 1)
+    assign_probe = ivf_lists_udf(centroids, n_probe)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        assign_one(F.col(vec_col))[0].alias("list_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(assign_probe(F.col(vec_col))).alias("list_id"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def embedding_cosine_near_dups(
     df: DataFrame,
     threshold: float = 0.95,

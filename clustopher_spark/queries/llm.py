@@ -197,6 +197,18 @@ def llm_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(e, q, k=5, bits=6).orderBy("query_id", "rank")
 
 
+@register("llm_ann_ivf_topk")  # IVF: KMeans coarse quantizer + probed-list
+# re-rank: rows-only; recall vs brute force is measured in tests/test_llm.py
+def llm_ann_ivf(spark, sf_dir):
+    from clustopher_spark.functions.similarity import ann_ivf_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return ann_ivf_topk(e, q, k=5, n_lists=16, n_probe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
 @register(
     "llm_embedding_norms_by_label",
     oracle="""

@@ -170,3 +170,29 @@ def test_ngram_jaccard_df_cap(spark):
              ngram_jaccard_pairs(d, threshold=0.3, max_shingle_df=3).collect()}
     assert (1, 2) in pairs
     assert (1, 4) not in pairs
+
+
+def test_ann_ivf_recall(spark):
+    from clustopher_spark.functions.similarity import ann_ivf_topk
+
+    e = _embeddings(spark)
+    q = e.filter(F.col("vec_id") < 10)
+    brute = cosine_topk_bruteforce(e, q, k=5, vec_col="embedding")
+    ann = ann_ivf_topk(e, q, k=5, n_lists=8, n_probe=3, vec_col="embedding")
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in ann.collect()}
+    recall = len(a & b) / len(b)
+    # data-adaptive lists with 3/8 probed: expect clearly better recall
+    # than single-probe LSH, and the planted near-dup must be found
+    assert recall >= 0.6, f"IVF recall {recall}"
+    assert (0, 1) in a
+
+
+def test_ann_ivf_deterministic(spark):
+    from clustopher_spark.functions.similarity import ann_ivf_topk
+
+    e = _embeddings(spark)
+    q = e.filter(F.col("vec_id") < 3)
+    r1 = ann_ivf_topk(e, q, k=3, n_lists=8, n_probe=2, vec_col="embedding").collect()
+    r2 = ann_ivf_topk(e, q, k=3, n_lists=8, n_probe=2, vec_col="embedding").collect()
+    assert r1 == r2
