@@ -58,6 +58,7 @@ class Clustopher:
         self.ts_col = ts_col
         self.opts = opts
         self._zoom_levels: DataFrame | None = None
+        self._serve_cache: dict = {}
 
     # --- ingest-time materialization (replaces per-query recompute) ---
 
@@ -80,6 +81,60 @@ class Clustopher:
         return get_clusters(
             self.points, west, south, east, north, zoom, self.metric_cols, self.opts
         )
+
+    # --- serving-tier hot path -------------------------------------------------
+
+    def build_serve_cache(self, max_rows_per_zoom: int = 500_000) -> dict[int, int]:
+        """Pull small zoom levels into driver memory for sub-millisecond
+        viewport serving (the analog of the reference's in-memory loaded
+        dataset, runner/runner.go:157-203 — its <50 ms claim is measured
+        against exactly such a cache).
+
+        Scale bound: at zoom z the cluster count is capped by occupied
+        r-cells, ~(2^z * extent / radius)^2 — with the server options
+        (extent 512, radius 100) every zoom <= 6 fits in ~100k rows no
+        matter how many input points exist, so the coarse zooms (whose
+        viewport queries would otherwise scan the widest data) are the
+        cheap ones to hold driver-side. Deeper zooms stay on the Spark
+        path, where the bbox filter prunes hard (Z-order layout).
+        Returns {zoom: cached_row_count}."""
+        if self._zoom_levels is None:
+            raise ValueError("materialize() first")
+        import numpy as np
+
+        sizes = {
+            r["zoom"]: r["n"]
+            for r in self._zoom_levels.groupBy("zoom")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        small = sorted(z for z, n in sizes.items() if n <= max_rows_per_zoom)
+        if small:
+            pdf = (
+                self._zoom_levels.filter(F.col("zoom").isin(small))
+                .toPandas()
+                .reset_index(drop=True)
+            )
+            for z in small:
+                zdf = pdf[pdf["zoom"] == z].reset_index(drop=True)
+                self._serve_cache[z] = (
+                    np.ascontiguousarray(zdf["lng"].to_numpy(dtype=float)),
+                    np.ascontiguousarray(zdf["lat"].to_numpy(dtype=float)),
+                    zdf,
+                )
+        return {z: sizes[z] for z in small}
+
+    def get_clusters_local(self, west, south, east, north, zoom: int):
+        """Serve-time viewport query returning a pandas DataFrame — the form
+        the HTTP layer ships to clients. Hot path: numpy bbox mask over the
+        driver cache (no Spark job). Fallback: the Spark path + toPandas."""
+        zoom = min(zoom, self.opts.max_zoom)
+        hit = self._serve_cache.get(zoom)
+        if hit is not None:
+            lng, lat, pdf = hit
+            mask = (lng >= west) & (lng <= east) & (lat >= south) & (lat <= north)
+            return pdf[mask]
+        return self.get_clusters(west, south, east, north, zoom).toPandas()
 
     def get_clusters_with_metadata(self, west, south, east, north, zoom: int) -> DataFrame:
         """Cluster rows + nested meta_freq map (the in-process ToGeoJSON path

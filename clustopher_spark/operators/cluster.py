@@ -120,7 +120,16 @@ def _greedy_assign(ids: np.ndarray, xs: np.ndarray, ys: np.ndarray,
     # COLUMN contiguous, so a 3x3 neighborhood is <= 3 slices, no dicts.
     cell = cx * height + cy
     csort = np.argsort(cell, kind="stable")
-    starts = np.searchsorted(cell[csort], np.arange(width * height + 1))
+    cell_sorted = cell[csort]
+    # Dense prefix array only when the grid is commensurate with the point
+    # count; sparse data spanning a wide area (e.g. world-bounds points at
+    # deep zoom) would otherwise allocate width*height ints for mostly
+    # empty cells. The sparse path does two binary searches per column
+    # probe instead — O(log n) against the occupied cells only.
+    dense = width * height <= max(1 << 22, 4 * n)
+    starts = (
+        np.searchsorted(cell_sorted, np.arange(width * height + 1)) if dense else None
+    )
 
     processed = np.zeros(n, dtype=bool)
     cluster_of = np.full(n, -1, dtype=np.int64)
@@ -137,7 +146,11 @@ def _greedy_assign(ids: np.ndarray, xs: np.ndarray, ys: np.ndarray,
         for x in (scx - 1, scx, scx + 1):
             if x < 0 or x >= width:
                 continue
-            s, e = starts[x * height + y0], starts[x * height + y1 + 1]
+            if dense:
+                s, e = starts[x * height + y0], starts[x * height + y1 + 1]
+            else:
+                s = np.searchsorted(cell_sorted, x * height + y0)
+                e = np.searchsorted(cell_sorted, x * height + y1 + 1)
             if e > s:
                 chunks.append(csort[s:e])
         cand = chunks[0] if len(chunks) == 1 else np.concatenate(chunks)

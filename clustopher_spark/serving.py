@@ -77,6 +77,9 @@ class ClusterService:
         eng = Clustopher(points, metric_cols, meta_cols, self.opts)
         try:
             eng._zoom_levels = self.catalog.load_zoom_levels(dataset_id).cache()
+            # coarse zooms into driver memory: sub-ms viewport serving
+            # (deep zooms stay on the pruned Spark path)
+            eng.build_serve_cache()
         except Exception:
             pass  # no materialized pyramid; fall back to on-the-fly clustering
         return eng
@@ -98,19 +101,18 @@ class ClusterService:
 
     def get_clusters(self, dataset_id: str, zoom: int, west, south, east, north) -> list[dict]:
         eng = self.cache.get(dataset_id, self._load)
-        rows = eng.get_clusters(west, south, east, north, zoom).collect()
+        pdf = eng.get_clusters_local(west, south, east, north, zoom)
+        metric_cols = [c for c in pdf.columns if c.startswith("sum_")]
         return [
             {
-                "id": r.cluster_id,
-                "lng": r.lng,
-                "lat": r.lat,
-                "count": r.point_count,
-                "is_cluster": bool(r.is_cluster),
-                "metrics": {
-                    c[4:]: r[c] for c in r.asDict() if c.startswith("sum_")
-                },
+                "id": int(r["cluster_id"]),
+                "lng": float(r["lng"]),
+                "lat": float(r["lat"]),
+                "count": int(r["point_count"]),
+                "is_cluster": bool(r["is_cluster"]),
+                "metrics": {c[4:]: float(r[c]) for c in metric_cols},
             }
-            for r in rows
+            for _, r in pdf.iterrows()
         ]
 
     def get_metadata(self, dataset_id: str, zoom: int, west, south, east, north) -> dict:

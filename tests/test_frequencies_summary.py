@@ -139,3 +139,32 @@ def test_full_summary_typed_dispatch(spark):
     tr = full["time_range"].collect()[0]
     assert str(tr.earliest).startswith("2024-01-15")
     assert str(tr.latest).startswith("2024-06-20")
+
+
+def test_serve_cache_matches_spark_path(spark):
+    from clustopher_spark.sources.generators import generate_test_points
+
+    pts = generate_test_points(spark, 2000, seed=11).select("id", "lng", "lat", "value")
+    eng = Clustopher(pts, ["value"], opts=OPTS)
+    eng.materialize()
+    cached = eng.build_serve_cache()
+    assert cached, "no zoom level fit in the serve cache"
+    viewports = [(-125, 25, -65, 49), (-180, -85, 180, 85), (-110, 30, -90, 45)]
+    for zoom in sorted(cached)[:3]:
+        for w, s, e, n in viewports:
+            pdf = eng.get_clusters_local(w, s, e, n, zoom)
+            spark_rows = eng.get_clusters(w, s, e, n, zoom).collect()
+            a = sorted(
+                (int(r["cluster_id"]), round(float(r["lng"]), 9), int(r["point_count"]))
+                for _, r in pdf.iterrows()
+            )
+            b = sorted(
+                (int(r.cluster_id), round(float(r.lng), 9), int(r.point_count))
+                for r in spark_rows
+            )
+            assert a == b, f"serve cache diverges at zoom {zoom} viewport {(w,s,e,n)}"
+    # uncached zoom falls back to the Spark path
+    deep = max(OPTS.max_zoom, max(cached) + 1) if max(cached) < OPTS.max_zoom else None
+    if deep is not None and deep not in cached:
+        pdf = eng.get_clusters_local(-125, 25, -65, 49, deep)
+        assert len(pdf) == eng.get_clusters(-125, 25, -65, 49, deep).count()
