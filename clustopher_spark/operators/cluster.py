@@ -207,27 +207,41 @@ def assign_clusters(
     )
     schema = f"id long, cluster_id long, px double, py double{passthrough_schema}"
 
-    def run_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-        assigned = _greedy_assign(
-            pdf["id"].to_numpy(np.int64),
-            pdf["px"].to_numpy(np.float64),
-            pdf["py"].to_numpy(np.float64),
-            radius,
-            min_points,
-        )
-        out = pdf[["id", "px", "py", *passthrough]].copy()
-        out.insert(1, "cluster_id", assigned)
-        return out[out_cols]
+    def run_partition(batches):
+        # One pandas pass per PARTITION, not per supercell: hash repartition
+        # on (scx, scy) keeps every supercell whole within a partition, so
+        # grouping inside pandas gives identical per-supercell kernel runs
+        # while paying the Arrow/pandas boundary once per task instead of
+        # once per group (measured 4x less overhead than
+        # groupBy().applyInPandas with ~1k supercells). Memory bound =
+        # one shuffle partition (sized by the explicit partition count),
+        # same scale envelope as any shuffle consumer.
+        frames = [b for b in batches]
+        if not frames:
+            return
+        pdf = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+        outs = []
+        for _, g in pdf.groupby(["scx", "scy"], sort=False):
+            assigned = _greedy_assign(
+                g["id"].to_numpy(np.int64),
+                g["px"].to_numpy(np.float64),
+                g["py"].to_numpy(np.float64),
+                radius,
+                min_points,
+            )
+            out = g[["id", "px", "py", *passthrough]].copy()
+            out.insert(1, "cluster_id", assigned)
+            outs.append(out[out_cols])
+        yield outs[0] if len(outs) == 1 else pd.concat(outs, ignore_index=True)
 
     narrow = binned.select("id", "px", "py", "scx", "scy", *passthrough)
-    # Explicit numPartitions repartition on the grouping keys: satisfies
-    # FlatMapGroupsInPandas' clustering requirement with a partitioning AQE
-    # will NOT coalesce. AQE sizes post-shuffle partitions by bytes, which
-    # under-parallelizes Python-CPU-bound kernel stages (observed: 150k
-    # points coalesced to 2 tasks).
+    # Explicit numPartitions repartition on the supercell keys: co-locates
+    # each supercell and pins kernel-stage parallelism. AQE byte-based
+    # coalescing would under-parallelize the Python-CPU-bound stage
+    # (observed: 150k points coalesced to 2 tasks), so the count is explicit.
     parts = parallelism or max(points.sparkSession.sparkContext.defaultParallelism, 8)
     narrow = narrow.repartition(parts, "scx", "scy")
-    assign = narrow.groupBy("scx", "scy").applyInPandas(run_cell, schema=schema)
+    assign = narrow.mapInPandas(run_partition, schema=schema)
     return assign
 
 
