@@ -18,6 +18,61 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+_EXT_FORMATS = {
+    ".parquet": "parquet",
+    ".csv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+    ".ndjson": "json",
+    ".orc": "orc",
+    ".tsv": "csv",
+}
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    schema: str | None = None,
+    **options,
+) -> DataFrame:
+    """Format-dispatching ingest edge (S6 breadth beyond the reference's one
+    binary format): parquet / csv / json(lines) / orc, inferred from the
+    extension when ``fmt`` is omitted. CSV defaults to header+inferSchema
+    unless an explicit ``schema`` is given (always give one in production —
+    inference is an extra full scan). Parquet/ORC carry their own schema
+    and column-pruned, predicate-pushed scans; CSV/JSON are ingest edges to
+    convert from, not to serve from."""
+    if fmt is None:
+        ext = os.path.splitext(path.rstrip("/"))[1].lower()
+        fmt = _EXT_FORMATS.get(ext, "parquet")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        if path.endswith(".tsv"):
+            options.setdefault("sep", "\t")
+        if schema is None:
+            options.setdefault("inferSchema", "true")
+    return reader.format(fmt).options(**options).load(path)
+
+
+def write_any(df: DataFrame, path: str, fmt: str | None = None, **options) -> None:
+    """Format-dispatching export edge (S5 breadth): parquet stays the
+    canonical serving layout (zstd, columnar, stats); csv/json/orc exist
+    for interchange."""
+    if fmt is None:
+        ext = os.path.splitext(path.rstrip("/"))[1].lower()
+        fmt = _EXT_FORMATS.get(ext, "parquet")
+    writer = df.write.mode("overwrite")
+    if fmt == "parquet":
+        options.setdefault("compression", "zstd")
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    writer.format(fmt).options(**options).save(path)
+
+
 class ClusterCatalog:
     """Directory-backed catalog of saved cluster datasets.
 

@@ -113,3 +113,32 @@ def test_serving_bad_requests(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{server}/api/clusters/whatever")  # missing params
     assert e.value.code == 400
+
+
+def test_read_write_any_roundtrip(spark, tmp_path):
+    """CSV/JSON/ORC ingest-export edges round-trip the points schema."""
+    from clustopher_spark.sources.catalog import read_any, write_any
+    from clustopher_spark.sources.generators import generate_test_points
+
+    pts = generate_test_points(spark, 500, seed=3).select(
+        "id", "lng", "lat", "value", "category"
+    )
+    want = sorted(
+        (r.id, round(r.lng, 9), round(r.lat, 9), round(r.value, 9), r.category)
+        for r in pts.collect()
+    )
+    schema = "id long, lng double, lat double, value double, category string"
+    for fmt in ("csv", "json", "orc", "parquet"):
+        path = str(tmp_path / f"pts_{fmt}")
+        write_any(pts, path, fmt)
+        back = read_any(spark, path, fmt, schema=schema)
+        got = sorted(
+            (r.id, round(r.lng, 9), round(r.lat, 9), round(r.value, 9), r.category)
+            for r in back.collect()
+        )
+        assert got == want, f"round-trip mismatch for {fmt}"
+    # extension-based dispatch (no fmt argument)
+    path = str(tmp_path / "pts2.csv")
+    write_any(pts, path)
+    back = read_any(spark, path, schema=schema)
+    assert back.count() == 500
