@@ -132,6 +132,90 @@ def map_functions_gallery(spark, sf_dir):
 
 
 @register(
+    "stats_linear_regression",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def stats_linear_regression(spark, sf_dir):
+    """Linear-regression aggregate family (regr_slope/intercept/r2/count) —
+    price-vs-quantity fit per return flag, rounded to absorb engine
+    accumulation-order ulps (same policy as the moments/corr queries)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("icept"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+            F.regr_count("l_extendedprice", "l_quantity").cast("long").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "string_function_gallery",
+    oracle="""
+    SELECT c_custkey,
+           levenshtein(c_name, 'Customer#000000042') AS lev,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           reverse(c_mktsegment) AS rev,
+           repeat('ab', 3) AS rep,
+           strpos(c_name, '#') AS hashpos,
+           md5(c_name) AS digest,
+           split_part(c_name, '#', 2) AS numpart
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def string_function_gallery(spark, sf_dir):
+    """Second string gallery (§2.7): edit distance, character translation,
+    padding, reverse/repeat, 1-based find, hashing, split_part."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.levenshtein("c_name", F.lit("Customer#000000042")).alias("lev"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("translated"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.reverse("c_mktsegment").alias("rev"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+        F.instr("c_name", "#").alias("hashpos"),
+        F.md5("c_name").alias("digest"),
+        F.split_part("c_name", F.lit("#"), F.lit(2)).alias("numpart"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "bitwise_function_gallery",
+    oracle="""
+    SELECT o_orderkey, o_orderkey & 255 AS band, o_orderkey | 1 AS orred,
+           xor(o_orderkey, 42) AS xored, o_orderkey << 2 AS shifted,
+           CAST(bit_count(o_orderkey) AS INT) AS popcount
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def bitwise_function_gallery(spark, sf_dir):
+    """Bitwise operator family (§2.7 math row): and/or/xor/shift/popcount —
+    the primitives behind the engine's Morton interleave and SimHash bands."""
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(1)).alias("orred"),
+        k.bitwiseXOR(F.lit(42)).alias("xored"),
+        F.shiftleft(k, 2).alias("shifted"),
+        F.bit_count(k).alias("popcount"),
+    ).orderBy("o_orderkey")
+
+
+@register(
     "datetime_function_gallery",
     oracle="""
     SELECT o_orderkey,
