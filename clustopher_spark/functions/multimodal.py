@@ -110,6 +110,43 @@ def extract_audio_features(
     return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(run, AUDIO_SCHEMA)
 
 
+RESIZED_SCHEMA = "id long, content binary, width int, height int"
+
+
+def resize_images(
+    df: DataFrame,
+    target: tuple[int, int] = (224, 224),
+    binary_col: str = "content",
+    id_col: str = "id",
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """binary -> binary transform shape (id, content, width, height): the
+    resize stage of an image pipeline. The stub "resize" is a deterministic
+    re-encoding (digest-prefixed bytes) standing in for PIL's
+    decode-resize-encode; the Spark contract — binary in, binary out, typed
+    dims attached, one Arrow roundtrip per batch — is the real deliverable.
+    """
+    tw, th = target
+
+    def fake(data: bytes, w: int, h: int) -> bytes:
+        return hashlib.sha256(data + f":{w}x{h}".encode()).digest() + data[:32]
+
+    resize = resize_fn or fake
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "content": [resize(bytes(b), tw, th) for b in pdf[binary_col]],
+                    "width": tw,
+                    "height": th,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(run, RESIZED_SCHEMA)
+
+
 def sample_video_frames(
     df: DataFrame,
     binary_col: str = "content",

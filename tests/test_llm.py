@@ -146,6 +146,19 @@ def test_multimodal_stubs(spark):
     assert len(frames) == 30
     assert {r.frame_idx for r in frames} == {0, 1, 2}
 
+    from clustopher_spark.functions.multimodal import resize_images
+
+    resized = resize_images(df, target=(224, 224)).collect()
+    assert len(resized) == 10
+    assert all(r.width == 224 and r.height == 224 for r in resized)
+    assert all(isinstance(r.content, (bytes, bytearray)) and len(r.content) > 0 for r in resized)
+    # determinism + target-sensitivity of the stub re-encode
+    again = {r.id: bytes(r.content) for r in resize_images(df, target=(224, 224)).collect()}
+    other = {r.id: bytes(r.content) for r in resize_images(df, target=(64, 64)).collect()}
+    for r in resized:
+        assert again[r.id] == bytes(r.content)
+        assert other[r.id] != bytes(r.content)
+
 
 def test_bpe_ish_token_count(spark):
     from clustopher_spark.functions.text import bpe_ish_token_count
