@@ -132,6 +132,89 @@ def map_functions_gallery(spark, sf_dir):
 
 
 @register(
+    "window_count_distinct",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           COUNT(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey) AS n_pri
+    FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_count_distinct(spark, sf_dir):
+    """COUNT(DISTINCT) OVER — an operator Spark lacks natively; bridged
+    with the dense_rank-max identity (max dense_rank over an ordered
+    partition == number of distinct values). Checked against DuckDB's
+    native windowed distinct count. Same single shuffle on the partition
+    key; both windows reuse it."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    by_val = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    whole = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("dr", F.dense_rank().over(by_val))
+        .withColumn("n_pri", F.max("dr").over(whole))
+        .select("o_custkey", "o_orderkey", "n_pri")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, 'P' AS o_orderstatus,
+             o_totalprice + 1000 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 1000000, o_custkey, 'N', 42.0
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_custkey, t.o_custkey) AS o_custkey,
+           COALESCE(u.o_orderstatus, t.o_orderstatus) AS status,
+           CAST(COALESCE(u.o_totalprice, t.o_totalprice) AS DOUBLE) AS totalprice
+    FROM orders t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
+    ORDER BY o_orderkey
+    """,
+)
+def merge_upsert_orders(spark, sf_dir):
+    """MERGE INTO (upsert) semantics as a relational plan: matched rows
+    take the update's values, unmatched source rows insert, unmatched
+    target rows persist — a full outer join + COALESCE. The deterministic
+    'updates' feed touches every 10th key and inserts shifted copies of
+    every 97th. At warehouse scale this is the same plan Delta/Iceberg
+    MERGE lowers to (minus their file-level pruning)."""
+    o = table(spark, sf_dir, "orders")
+    upd = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.col("o_orderkey").alias("u_key"),
+            F.col("o_custkey").alias("u_cust"),
+            F.lit("P").alias("u_status"),
+            (F.col("o_totalprice") + 1000).alias("u_price"),
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 97 == 0).select(
+                (F.col("o_orderkey") + 1000000).alias("u_key"),
+                F.col("o_custkey").alias("u_cust"),
+                F.lit("N").alias("u_status"),
+                F.lit(42.0).alias("u_price"),
+            )
+        )
+    )
+    return (
+        o.join(upd, o.o_orderkey == upd.u_key, "full_outer")
+        .select(
+            F.coalesce("u_key", "o_orderkey").alias("o_orderkey"),
+            F.coalesce("u_cust", "o_custkey").alias("o_custkey"),
+            F.coalesce("u_status", "o_orderstatus").alias("status"),
+            F.coalesce("u_price", "o_totalprice").cast("double").alias("totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
     "stats_linear_regression",
     oracle="""
     SELECT l_returnflag,
