@@ -220,19 +220,38 @@ def assign_clusters(
         if not frames:
             return
         pdf = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
-        outs = []
-        for _, g in pdf.groupby(["scx", "scy"], sort=False):
-            assigned = _greedy_assign(
-                g["id"].to_numpy(np.int64),
-                g["px"].to_numpy(np.float64),
-                g["py"].to_numpy(np.float64),
-                radius,
-                min_points,
-            )
-            out = g[["id", "px", "py", *passthrough]].copy()
-            out.insert(1, "cluster_id", assigned)
-            outs.append(out[out_cols])
-        yield outs[0] if len(outs) == 1 else pd.concat(outs, ignore_index=True)
+        # Pure-numpy group pipeline: lexsort the partition by supercell,
+        # slice group boundaries, run the kernel per slice, emit ONE output
+        # frame. A pandas-groupby loop constructs a frame per group, which
+        # at sparse zooms (millions of 1-5 point supercells) costs ~10x the
+        # kernel itself; slicing numpy views costs nothing. Supercells with
+        # a single point shortcut to a singleton (the kernel would return
+        # exactly that).
+        ids = pdf["id"].to_numpy(np.int64)
+        pxs = pdf["px"].to_numpy(np.float64)
+        pys = pdf["py"].to_numpy(np.float64)
+        scx = pdf["scx"].to_numpy(np.int64)
+        scy = pdf["scy"].to_numpy(np.int64)
+        order = np.lexsort((scy, scx))
+        ids, pxs, pys = ids[order], pxs[order], pys[order]
+        gx, gy = scx[order], scy[order]
+        n = len(ids)
+        bounds = np.flatnonzero(
+            np.concatenate(([True], (gx[1:] != gx[:-1]) | (gy[1:] != gy[:-1])))
+        )
+        bounds = np.append(bounds, n)
+        assigned = np.empty(n, dtype=np.int64)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s == 1:
+                assigned[s] = ids[s]
+            else:
+                assigned[s:e] = _greedy_assign(
+                    ids[s:e], pxs[s:e], pys[s:e], radius, min_points
+                )
+        out = pd.DataFrame({"id": ids, "cluster_id": assigned, "px": pxs, "py": pys})
+        for col in passthrough:
+            out[col] = pdf[col].to_numpy()[order]
+        yield out[out_cols]
 
     narrow = binned.select("id", "px", "py", "scx", "scy", *passthrough)
     # Explicit numPartitions repartition on the supercell keys: co-locates
