@@ -76,3 +76,34 @@ def test_zorder_touches_fewer_row_groups(spark, tmp_path):
         )
 
     assert bbox_count(flat) == bbox_count(zord) > 0
+
+
+def test_zoom_partition_pruning(spark, tmp_path):
+    """The serving table is written partitionBy(zoom); a zoom-filtered scan
+    must prune to that partition directory (PartitionFilters in the plan,
+    one zoom's files read) — the layout decision that keeps serve-time
+    queries O(one level) regardless of pyramid size."""
+    from clustopher_spark.engine import Clustopher
+    from clustopher_spark.operators.cluster import ClusterOptions
+    from clustopher_spark.operators.zoom import query_zoom_levels
+    from clustopher_spark.sources.generators import generate_test_points
+
+    pts = generate_test_points(spark, 3000, seed=5).select("id", "lng", "lat", "value")
+    eng = Clustopher(
+        pts, ["value"], opts=ClusterOptions(radius=100.0, min_points=2, max_zoom=6)
+    )
+    path = str(tmp_path / "zl")
+    eng.materialize(path)
+    zl = spark.read.parquet(path)
+    df = query_zoom_levels(zl, -125, 25, -65, 49, 4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(zoom" in plan or "zoom#" in plan.split(
+        "PartitionFilters"
+    )[1][:120], plan[:2000]
+    # the pruned scan returns exactly the zoom-4 viewport slice
+    expect = zl.filter(
+        (F.col("zoom") == 4)
+        & F.col("lng").between(-125, -65)
+        & F.col("lat").between(25, 49)
+    ).count()
+    assert df.count() == expect > 0
