@@ -9,6 +9,7 @@ from clustopher_spark.streaming.joins import (
     dedup_within_watermark,
     views_purchases_interval_join,
 )
+from clustopher_spark.streaming.sinks import foreach_batch_upsert
 
 __all__ = [
     "stream_events",
@@ -18,4 +19,5 @@ __all__ = [
     "running_user_totals",
     "views_purchases_interval_join",
     "dedup_within_watermark",
+    "foreach_batch_upsert",
 ]

@@ -186,3 +186,35 @@ def test_dedup_within_watermark(spark, tmp_path):
     ids = [r.event_id for r in got]
     assert len(ids) == len(set(ids)), "duplicates survived"
     assert len(ids) == ev.count(), "dedup dropped non-duplicates"
+
+
+def test_foreach_batch_upsert_exactly_once(spark, tmp_path):
+    """A doubled source streamed in 3 micro-batches through the upsert sink
+    yields a table with each event exactly once."""
+    from clustopher_spark.streaming import foreach_batch_upsert
+
+    ev = table(spark, SF_DIR, "events")
+    src = str(tmp_path / "events_dup_parts")
+    doubled = ev.unionAll(ev)
+    doubled.orderBy("ts").withColumn(
+        "part", F.ntile(3).over(__import__("pyspark").sql.window.Window.orderBy("ts"))
+    ).write.partitionBy("part").mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/part=*")
+    )
+    tbl = str(tmp_path / "events_table")
+    q = foreach_batch_upsert(stream, tbl, keys=["event_id"])
+    assert len(q.recentProgress) >= 3
+
+    got = spark.read.parquet(tbl)
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+    # re-running the whole stream over the same source is a no-op (replay safe)
+    stream2 = spark.readStream.schema(ev.schema).parquet(src + "/part=*")
+    import shutil
+    shutil.rmtree(tbl + "_checkpoint")
+    foreach_batch_upsert(stream2, tbl, keys=["event_id"], query_name="upsert2")
+    assert spark.read.parquet(tbl).count() == ev.count()
