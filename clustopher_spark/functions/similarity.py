@@ -164,7 +164,14 @@ def train_ivf_centroids(
     )
     if sample_fraction is not None:
         feats = feats.sample(sample_fraction, seed=seed)
-    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(feats)
+    # KMeans is iterative: spread the (often single-file) input across
+    # cores and cache it, or every iteration re-reads one partition serially
+    sc = corpus.sparkSession.sparkContext
+    feats = feats.repartition(sc.defaultParallelism).cache()
+    try:
+        model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(feats)
+    finally:
+        feats.unpersist()
     return np.array(model.clusterCenters())
 
 
