@@ -233,3 +233,54 @@ def events_hypertable_rollup(spark, sf_dir):
         F.round(F.col("dtotal").cast("double"), 2).alias("total"),
     )
     return h.unionByName(d).orderBy("grain", "bucket_start")
+
+
+@register(
+    "events_conversion_funnel",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, event_type, ts FROM ({EVENTS_US_SQL})),
+    s1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT s1.user_id, MIN(e.ts) AS t2 FROM s1
+           JOIN ev e ON e.user_id = s1.user_id AND e.event_type = 'view' AND e.ts > s1.t1
+           GROUP BY s1.user_id),
+    s3 AS (SELECT s2.user_id, MIN(e.ts) AS t3 FROM s2
+           JOIN ev e ON e.user_id = s2.user_id AND e.event_type = 'purchase' AND e.ts > s2.t2
+           GROUP BY s2.user_id)
+    SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+           (SELECT COUNT(*) FROM s2) AS n_viewed_after,
+           (SELECT COUNT(*) FROM s3) AS n_purchased_after
+    """,
+)
+def events_conversion_funnel(spark, sf_dir):
+    """Ordered-sequence funnel (signup -> view -> purchase, each stage
+    strictly after the previous): min-timestamp joins per stage — the
+    window/sequential-pattern shape funnel analytics lowers to. Each stage
+    shrinks the key set, so at scale the joins cascade onto ever-smaller
+    broadcast sides."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    s2 = (
+        s1.join(views, (F.col("user_id") == F.col("vu")) & (F.col("vts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("vts").alias("t2"))
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    s3 = (
+        s2.join(buys, (F.col("user_id") == F.col("pu")) & (F.col("pts") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_viewed_after")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchased_after")))
+    )

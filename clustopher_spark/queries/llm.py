@@ -226,3 +226,60 @@ def llm_embedding_norms(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("nrm"), 4).alias("avg_norm"))
         .orderBy("label")
     )
+
+
+@register(
+    "llm_tfidf_top_terms",
+    oracle=r"""
+    WITH tokens AS (
+      SELECT doc_id, lower(tok) AS term FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents WHERE doc_id < 50)),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tokens),
+    scored AS (
+      SELECT doc_id, term,
+             ROUND(tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      FROM scored)
+    SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+)
+def llm_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF top-3 terms per document: tokenize -> term frequency ->
+    document frequency -> tf*ln(N/df) -> windowed top-k. All JVM-side
+    (split/explode/agg/window); the df table is a broadcast-sized dimension
+    at any corpus scale (vocabulary, not corpus, cardinality)."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tokens = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).select("doc_id", F.lower("tok").alias("term"))
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tokens.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = tokens.agg(F.count_distinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
+    )

@@ -850,3 +850,52 @@ def lateral_explode(spark, sf_dir):
         )
         .orderBy("doc_id", "pos")
     )
+
+
+@register(
+    "cross_join_report_grid",
+    oracle="""
+    SELECT r.r_name AS region, p.o_orderpriority AS priority,
+           COALESCE(c.n, 0) AS n_orders
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+    LEFT JOIN (
+      SELECT n.n_regionkey AS rk, o.o_orderpriority AS pri, COUNT(*) AS n
+      FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey
+        JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ) c ON c.rk = r.r_regionkey AND c.pri = p.o_orderpriority
+    ORDER BY region, priority
+    """,
+)
+def cross_join_report_grid(spark, sf_dir):
+    """CROSS JOIN of two small dimensions to a dense reporting grid, counts
+    left-joined in with zero-fill — the every-cell-present report shape.
+    Both cross sides are dimension-sized; the fact aggregation happens
+    before the join, so the grid join touches only aggregated rows."""
+    r = table(spark, sf_dir, "region")
+    o = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    pri = o.select("o_orderpriority").distinct()
+    counts = (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_regionkey").alias("rk"), F.col("o_orderpriority").alias("pri"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        r.crossJoin(F.broadcast(pri))
+        .join(
+            counts,
+            (F.col("rk") == F.col("r_regionkey"))
+            & (F.col("pri") == F.col("o_orderpriority")),
+            "left",
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("o_orderpriority").alias("priority"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("region", "priority")
+    )
