@@ -286,3 +286,62 @@ def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 8) -> DataFrame:
     return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Group near-duplicate pairs into components: (id, group_id) with
+    group_id = the minimum member id — the canonical-document selection
+    step after any pairwise dedup (keep ``id == group_id``, drop the rest).
+
+    Distributed label propagation: every vertex starts as its own label;
+    each round takes the min label over the 1-hop neighborhood; converges
+    in O(component diameter) rounds (dup groups are near-cliques, so 2-3
+    rounds in practice — ``max_iter`` only bounds adversarial chains).
+    Each round is one join + one groupBy on the edge list;
+    ``localCheckpoint`` truncates the iterative lineage exactly like the
+    zoom pyramid. Convergence is detected by label-change count == 0.
+
+    ``vertices``: optional (id) DataFrame of ALL ids (isolated ids come
+    out as their own group); defaults to ids present in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if vertices is None:
+        vertices = edges.select(F.col("src").alias("id")).distinct()
+    labels = vertices.select("id", F.col("id").alias("label")).localCheckpoint(True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("group_id"))

@@ -283,3 +283,54 @@ def llm_tfidf_top_terms(spark, sf_dir):
         .select("doc_id", "term", "tfidf", "rnk")
         .orderBy("doc_id", "rnk")
     )
+
+
+@register(
+    "llm_neardup_groups",
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents WHERE doc_id < 500
+    ), sh AS (
+      SELECT doc_id, n_sh, unnest(shset) AS sh FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                             i -> array_to_string(toks[i:i+2], ' '))) AS shset,
+               len(list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                             i -> array_to_string(toks[i:i+2], ' ')))) AS n_sh
+        FROM docs)
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+      HAVING COUNT(*) / (a.n_sh + b.n_sh - COUNT(*)) >= 0.05
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+      ) SELECT * FROM r
+    )
+    SELECT v.doc_id, LEAST(v.doc_id, COALESCE(MIN(r.dst), v.doc_id)) AS group_id
+    FROM (SELECT DISTINCT src AS doc_id FROM edges) v
+    LEFT JOIN reach r ON r.src = v.doc_id
+    GROUP BY v.doc_id ORDER BY v.doc_id
+    """,
+)
+def llm_neardup_groups(spark, sf_dir):
+    """Near-dup pairs grouped into components with canonical (min-id)
+    representatives — iterative distributed label propagation on Spark,
+    checked against DuckDB's recursive-CTE transitive closure. The step
+    that turns pairwise dedup output into keep/drop decisions."""
+    from clustopher_spark.functions.dedup import connected_components
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = ngram_jaccard_pairs(d, threshold=0.05)
+    return (
+        connected_components(pairs)
+        .select(F.col("id").alias("doc_id"), "group_id")
+        .orderBy("doc_id")
+    )

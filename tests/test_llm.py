@@ -209,3 +209,18 @@ def test_ann_ivf_deterministic(spark):
     r1 = ann_ivf_topk(e, q, k=3, n_lists=8, n_probe=2, vec_col="embedding").collect()
     r2 = ann_ivf_topk(e, q, k=3, n_lists=8, n_probe=2, vec_col="embedding").collect()
     assert r1 == r2
+
+
+def test_connected_components_chain(spark):
+    """a-b, b-c, d-e: two components with min-id canonicals; isolated f."""
+    from clustopher_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "id long")
+    got = {
+        r.id: r.group_id
+        for r in connected_components(pairs, vertices=verts).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
