@@ -224,3 +224,43 @@ def test_connected_components_chain(spark):
         for r in connected_components(pairs, vertices=verts).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_random_graphs(spark):
+    """10 random graphs: distributed label propagation must equal a
+    union-find reference on every one."""
+    import numpy as np
+    from clustopher_spark.functions.dedup import connected_components
+
+    rng = np.random.default_rng(123)
+    for _ in range(10):
+        n = int(rng.integers(5, 60))
+        m = int(rng.integers(0, n * 2))
+        edges = [(int(rng.integers(0, n)), int(rng.integers(0, n))) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1 % n)] if n > 1 else []
+        if not edges:
+            continue
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {}
+        for v in range(n):
+            want.setdefault(find(v), []).append(v)
+        canonical = {v: min(members) for members in want.values() for v in members}
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        got = {
+            r.id: r.group_id
+            for r in connected_components(pairs, vertices=verts).collect()
+        }
+        assert got == canonical, f"n={n} edges={edges}"
