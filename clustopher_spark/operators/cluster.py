@@ -376,3 +376,30 @@ def get_clusters(
             *[F.col(f"sum_{m}").alias(m) for m in (metric_cols or [])],
         )
     return cluster_at_zoom(visible, zoom, metric_cols=metric_cols, opts=opts)
+
+
+def sum_metric_maps(
+    df: DataFrame, group_col: str = "cluster_id", map_col: str = "metrics"
+) -> DataFrame:
+    """Aggregate the open-ended metrics-map tail (§1.4 points schema):
+    per-key SUM across group members, for metric keys too dynamic to pivot
+    into columns. The reference creates metric columns on first insert and
+    tolerates heterogeneous key sets per point (cluster/cluster.go:338-344,
+    tested at cluster/cluster_test.go:360-401); here a key absent from a
+    row simply contributes nothing.
+
+    explode -> (group, key) partial-aggregated SUM -> map_from_entries.
+    Two shuffles, both on keys that Catalyst partial-aggregates map-side;
+    entries are sorted so output maps compare deterministically.
+    """
+    exploded = df.select(group_col, F.explode_outer(map_col).alias("k", "v"))
+    per_key = (
+        exploded.filter(F.col("k").isNotNull())
+        .groupBy(group_col, "k")
+        .agg(F.sum("v").alias("s"))
+    )
+    return per_key.groupBy(group_col).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("k", "s")))
+        ).alias(map_col)
+    )

@@ -147,3 +147,21 @@ def test_prepare_points_dedup_and_nulls(spark):
     got = {r.id for r in out.collect()}
     assert got == {1, 3}
     assert dict(out.dtypes)["num_points"] == "bigint"
+
+
+def test_sum_metric_maps_heterogeneous_keys(spark):
+    """Reference semantics for dynamic metric keys (cluster_test.go:360-401):
+    different points carry different key sets; sums per key over members;
+    null maps tolerated."""
+    from clustopher_spark.operators.cluster import sum_metric_maps
+
+    rows = [
+        (1, {"sales": 100.0, "units": 2.0}),
+        (1, {"sales": 200.0}),
+        (1, None),
+        (2, {"elevation": 5.0}),
+    ]
+    df = spark.createDataFrame(rows, "cluster_id long, metrics map<string,double>")
+    got = {r.cluster_id: dict(r.metrics) for r in sum_metric_maps(df).collect()}
+    assert got[1] == {"sales": 300.0, "units": 2.0}
+    assert got[2] == {"elevation": 5.0}
