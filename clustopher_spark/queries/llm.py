@@ -334,3 +334,21 @@ def llm_neardup_groups(spark, sf_dir):
         .select(F.col("id").alias("doc_id"), "group_id")
         .orderBy("doc_id")
     )
+
+
+@register("llm_stratified_sample")  # seeded sampling: deterministic within a
+# session/partitioning but not SQL-expressible -> rows-only
+def llm_stratified_sample(spark, sf_dir):
+    """Stratified (per-class) sampling — the class-rebalancing step of a
+    training-data pipeline: downsample the dominant language to ~25% and
+    keep the rest whole. ``sampleBy`` pushes per-stratum Bernoulli
+    filtering into the scan (no shuffle, no collect); seeded for
+    reproducibility within a partitioning."""
+    d = table(spark, sf_dir, "documents")
+    fractions = {"en": 0.25, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    sampled = d.sampleBy("lang", fractions, seed=42)
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("lang")
+    )

@@ -264,3 +264,25 @@ def test_connected_components_random_graphs(spark):
             for r in connected_components(pairs, vertices=verts).collect()
         }
         assert got == canonical, f"n={n} edges={edges}"
+
+
+def test_stratified_sample_rebalances(spark):
+    from clustopher_spark.queries import QUERIES
+
+    out = {
+        r.lang: r.n_kept
+        for r in QUERIES["llm_stratified_sample"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    totals = {
+        r.lang: r.n
+        for r in spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # non-en classes kept whole; en downsampled to roughly a quarter
+    for lang in ("de", "es", "fr", "zh"):
+        assert out[lang] == totals[lang]
+    assert 0.1 * totals["en"] < out["en"] < 0.45 * totals["en"]
