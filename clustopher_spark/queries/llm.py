@@ -352,3 +352,30 @@ def llm_stratified_sample(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_kept"))
         .orderBy("lang")
     )
+
+
+@register(
+    "llm_text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm_text,
+           length(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS norm_len,
+           length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_ws
+    FROM documents ORDER BY doc_id
+    """,
+)
+def llm_text_normalize(spark, sf_dir):
+    """Text normalization (the cleaning pass before dedup/fingerprinting):
+    trim, collapse whitespace runs, lowercase — pure JVM regexp_replace,
+    no Python. Also counts raw whitespace chars as a cleaning metric."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("norm_len"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+        ).alias("n_ws"),
+    ).orderBy("doc_id")

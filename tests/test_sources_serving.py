@@ -142,3 +142,22 @@ def test_read_write_any_roundtrip(spark, tmp_path):
     write_any(pts, path)
     back = read_any(spark, path, schema=schema)
     assert back.count() == 500
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution on the points dataset: files written before a new
+    metric column existed read seamlessly under mergeSchema, nulls filling
+    the gap — the add-a-column-without-rewrite path at 100 TB."""
+    base = str(tmp_path / "evolving")
+    old = spark.createDataFrame(
+        [(1, -100.0, 40.0)], "id long, lng double, lat double"
+    )
+    new = spark.createDataFrame(
+        [(2, -101.0, 41.0, 7.5)], "id long, lng double, lat double, value double"
+    )
+    old.write.parquet(base + "/batch=1")
+    new.write.parquet(base + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    rows = {r.id: r for r in merged.collect()}
+    assert set(merged.columns) >= {"id", "lng", "lat", "value"}
+    assert rows[1].value is None and rows[2].value == 7.5
