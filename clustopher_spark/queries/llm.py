@@ -379,3 +379,37 @@ def llm_text_normalize(spark, sf_dir):
             - F.length(F.regexp_replace(F.col("text"), r"\s", ""))
         ).alias("n_ws"),
     ).orderBy("doc_id")
+
+
+@register(
+    "llm_embedding_near_dups",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.42
+    ORDER BY id_a, id_b
+    """,
+)
+def llm_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, exact all-pairs form for the
+    oracle (JVM zip_with/aggregate dot products over the id_a < id_b
+    triangle). The production scale path is the LSH-bucketed
+    ``similarity.embedding_cosine_near_dups`` (candidates from shared
+    hyperplane buckets only), verified against planted dups in tests —
+    this exact variant is its recall reference."""
+    from clustopher_spark.functions.similarity import cosine
+
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cs = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cs_raw", cs)
+        .filter(F.col("cs_raw") >= 0.42)
+        .select("id_a", "id_b", F.round("cs_raw", 6).alias("cos_sim"))
+        .orderBy("id_a", "id_b")
+    )
