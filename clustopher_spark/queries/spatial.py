@@ -239,3 +239,50 @@ def spatial_geojson(spark, sf_dir):
     return cells.select(
         "cell_x", "cell_y", F.to_json(feature).alias("feature")
     ).orderBy("cell_x", "cell_y")
+
+
+@register(
+    "spatial_haversine_distance",
+    oracle=f"""
+    WITH pts AS ({POINTS_SQL}),
+    d AS (
+      SELECT cell_x,
+             2 * 6371.0 * asin(sqrt(
+               pow(sin(radians(lat - 40.0) / 2), 2)
+               + cos(radians(40.0)) * cos(radians(lat))
+                 * pow(sin(radians(lng - (-100.0)) / 2), 2)
+             )) AS km
+      FROM pts)
+    SELECT cell_x, COUNT(*) AS n,
+           ROUND(MIN(km), 4) AS min_km, ROUND(MAX(km), 4) AS max_km
+    FROM d GROUP BY cell_x ORDER BY cell_x
+    """,
+)
+def spatial_haversine_distance(spark, sf_dir):
+    """True-sphere great-circle distance (haversine) from every point to
+    the anchor (-100, 40) — the geodesic alternative to the reference's
+    tile-space Euclidean metric (SURVEY.md §2.7 distance row). Pure column
+    trig, min/max per exact integer cell key (grouping on a transcendental
+    band would flip buckets across engine ulps)."""
+    pts = points_df(spark, sf_dir)
+    km = (
+        F.lit(2 * 6371.0)
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("lat") - 40.0) / 2), 2)
+                + F.cos(F.radians(F.lit(40.0)))
+                * F.cos(F.radians(F.col("lat")))
+                * F.pow(F.sin(F.radians(F.col("lng") - (-100.0)) / 2), 2)
+            )
+        )
+    )
+    return (
+        pts.select("cell_x", km.alias("km"))
+        .groupBy("cell_x")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("km"), 4).alias("min_km"),
+            F.round(F.max("km"), 4).alias("max_km"),
+        )
+        .orderBy("cell_x")
+    )
