@@ -327,3 +327,37 @@ def datetime_function_gallery(spark, sf_dir):
         .cast("long")
         .alias("days_to_y2k"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "sql_text_lateral_subquery",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, CAST(t.o_totalprice AS DOUBLE) AS price
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_custkey < 20
+    ORDER BY c.c_custkey, price DESC, t.o_orderkey
+    """,
+)
+def sql_text_lateral_subquery(spark, sf_dir):
+    """Correlated LATERAL derived table (per-customer top-2 orders) — the
+    SQL-text form of per-group top-k. Catalyst decorrelates it to the same
+    window/join plan as the DataFrame version; identical SQL runs on both
+    engines."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, CAST(t.o_totalprice AS DOUBLE) AS price
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey < 20
+        ORDER BY c.c_custkey, price DESC, t.o_orderkey
+        """
+    )
