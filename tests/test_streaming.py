@@ -218,3 +218,40 @@ def test_foreach_batch_upsert_exactly_once(spark, tmp_path):
     shutil.rmtree(tbl + "_checkpoint")
     foreach_batch_upsert(stream2, tbl, keys=["event_id"], query_name="upsert2")
     assert spark.read.parquet(tbl).count() == ev.count()
+
+
+def test_checkpoint_recovery_processes_only_new_files(spark, tmp_path):
+    """A restarted stream resumes from its checkpoint: files already
+    committed are not reprocessed, so a plain append sink holds each
+    event exactly once after new files arrive and the query re-runs."""
+    ev = table(spark, SF_DIR, "events")
+    w = __import__("pyspark").sql.window.Window.orderBy("ts")
+    parts = ev.orderBy("ts").withColumn("part", F.ntile(2).over(w))
+    src = str(tmp_path / "src")
+    first = parts.filter(F.col("part") == 1).drop("part")
+    second = parts.filter(F.col("part") == 2).drop("part")
+    first.write.parquet(src + "/f1")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(first.schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(src)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == first.count()
+    second.write.parquet(src + "/f2")
+    run_once()  # same checkpoint: must process ONLY the new file
+    final = spark.read.parquet(out)
+    assert final.count() == ev.count(), "reprocessed or missed files"
+    assert final.select("event_id").distinct().count() == ev.count()
