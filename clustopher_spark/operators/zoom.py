@@ -42,9 +42,33 @@ def _cluster_level_local(
     against it by tests). Input/output frames use the zoom_levels schema
     minus the zoom column, with `id`/`num_points`/metric names on input."""
     px, py = project_np(pdf["lng"].to_numpy(), pdf["lat"].to_numpy(), zoom, opts.extent)
-    assigned = _greedy_assign(
-        pdf["id"].to_numpy(np.int64), px, py, opts.radius, opts.min_points
+    ids_all = pdf["id"].to_numpy(np.int64)
+    # Partition by supercell exactly like the distributed kernel stage —
+    # clusters must never span supercells on EITHER path, or the local
+    # tail would merge boundary groups the distributed path keeps apart
+    # and the two paths would disagree (caught by the incremental-update
+    # equivalence test).
+    size = opts.supercell_size
+    gx = np.floor(px / size).astype(np.int64)
+    gy = np.floor(py / size).astype(np.int64)
+    order = np.lexsort((gy, gx))
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    sgx, sgy = gx[order], gy[order]
+    bounds = np.flatnonzero(
+        np.concatenate(([True], (sgx[1:] != sgx[:-1]) | (sgy[1:] != sgy[:-1])))
     )
+    bounds = np.append(bounds, len(order))
+    assigned_sorted = np.empty(len(order), dtype=np.int64)
+    ids_s, px_s, py_s = ids_all[order], px[order], py[order]
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e - s == 1:
+            assigned_sorted[s] = ids_s[s]
+        else:
+            assigned_sorted[s:e] = _greedy_assign(
+                ids_s[s:e], px_s[s:e], py_s[s:e], opts.radius, opts.min_points
+            )
+    assigned = assigned_sorted[inv]
     w = pdf["num_points"].to_numpy(np.float64)
     df = pd.DataFrame(
         {
@@ -175,3 +199,124 @@ def query_zoom_levels(
         & (F.col("lat") >= south)
         & (F.col("lat") <= north)
     )
+
+
+def _with_supercell(df: DataFrame, zoom: int, opts: ClusterOptions) -> DataFrame:
+    """Tag rows with the supercell key cluster_at_zoom would assign them —
+    identical projection + floor expressions, so incremental maintenance
+    and full builds agree on cell membership."""
+    from clustopher_spark.plans.projection import project_cols
+
+    px, py = project_cols(F.col("lng"), F.col("lat"), zoom, opts.extent)
+    size = opts.supercell_size
+    return df.withColumn("scx", F.floor(px / F.lit(size))).withColumn(
+        "scy", F.floor(py / F.lit(size))
+    )
+
+
+def update_zoom_levels(
+    levels_old: DataFrame,
+    points_old: DataFrame,
+    points_new: DataFrame,
+    metric_cols: list[str] | None = None,
+    opts: ClusterOptions = ClusterOptions(),
+) -> DataFrame:
+    """Incremental pyramid maintenance: append ``points_new`` and recluster
+    ONLY the supercells they perturb, per zoom. Returns a zoom_levels table
+    exactly equal to ``materialize_zoom_levels(points_old UNION points_new)``
+    — supercells are independent and the kernel is deterministic per cell,
+    so untouched cells keep identical clusters (the equivalence is pinned
+    by test, not assumed).
+
+    Change propagation: each level's perturbed-cell set is derived from the
+    DIRTY positions of the previous level — both the newly produced
+    clusters and the old clusters they displaced (a removal perturbs the
+    coarser level even where nothing new lands; displaced rows invalidate
+    cells but are never reclustering inputs). Work per level is
+    O(|affected cells|), not O(|world|): at 100 TB an append batch touches
+    batch-sized supercells and everything else is an anti-join passthrough
+    of the existing level. The reference has no incremental path at all.
+
+    Tradeoff: each level pays a fixed ~4 Spark jobs of scheduling, so at
+    toy scale a full in-memory rebuild is faster — the incremental path
+    wins once re-reading the whole point set (the full rebuild's floor)
+    dominates those fixed costs, i.e. exactly the 100 TB regime.
+    """
+    metric_cols = metric_cols or []
+    if "num_points" not in points_old.columns:
+        points_old = points_old.withColumn("num_points", F.lit(1).cast("long"))
+    if "num_points" not in points_new.columns:
+        points_new = points_new.withColumn("num_points", F.lit(1).cast("long"))
+
+    in_cols = ["id", "lng", "lat", "num_points", *metric_cols]
+    as_points = [
+        F.col("cluster_id").alias("id"),
+        "lng",
+        "lat",
+        F.col("point_count").alias("num_points"),
+        *[F.col(f"sum_{m}").alias(m) for m in metric_cols],
+    ]
+
+    def cells_of(df, zoom):
+        # eager checkpoint: the cell set is tiny (one row per perturbed
+        # supercell) but consumed three times per level — without pinning
+        # it, each consumer re-runs the previous level's kernel lineage
+        # and the rebuild goes superlinear across levels
+        return (
+            _with_supercell(df, zoom, opts)
+            .select("scx", "scy")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    zooms = list(range(opts.max_zoom, opts.min_zoom - 1, -1))
+    out_levels: list[DataFrame] = []
+    level_prev_new: DataFrame | None = None  # the (z+1) level after update
+    dirty: DataFrame | None = None           # (lng, lat) rows that changed at z+1
+    for zoom in zooms:
+        if level_prev_new is None:
+            # deepest level: recluster cells touched by the appended points
+            delta_cells = cells_of(points_new.select(*in_cols), zoom)
+            tagged_old = _with_supercell(points_old.select(*in_cols), zoom, opts)
+            affected = tagged_old.join(
+                delta_cells, ["scx", "scy"], "left_semi"
+            ).select(*in_cols)
+            recluster_in = affected.unionByName(points_new.select(*in_cols))
+        else:
+            delta_cells = cells_of(dirty, zoom)
+            tagged = _with_supercell(
+                level_prev_new.select(*as_points), zoom, opts
+            )
+            recluster_in = tagged.join(
+                delta_cells, ["scx", "scy"], "left_semi"
+            ).select(*in_cols)
+        # affected cells are batch-sized: cap kernel parallelism so tiny
+        # recluster sets don't pay 32-task scheduling per level; checkpoint
+        # because both the level union and the dirty set consume it
+        new_out = cluster_at_zoom(
+            recluster_in, zoom, metric_cols=metric_cols, opts=opts, parallelism=8
+        ).localCheckpoint(eager=True)
+
+        old_level = levels_old.filter(F.col("zoom") == zoom).drop("zoom")
+        old_tagged = _with_supercell(old_level, zoom, opts)
+        untouched = old_tagged.join(
+            delta_cells, ["scx", "scy"], "left_anti"
+        ).drop("scx", "scy")
+        removed = old_tagged.join(
+            delta_cells, ["scx", "scy"], "left_semi"
+        ).drop("scx", "scy")
+
+        # one checkpoint per level: everything downstream (output union,
+        # dirty set, next level's input) reads from it, keeping lineage
+        # flat without extra eager jobs
+        level_prev_new = untouched.unionByName(new_out).localCheckpoint(eager=True)
+        out_levels.append(level_prev_new.withColumn("zoom", F.lit(zoom)))
+        # dirty rows for the coarser level: produced clusters + displaced
+        # old clusters (positions only — removals invalidate, never feed)
+        dirty = new_out.select("lng", "lat").unionByName(
+            removed.select("lng", "lat")
+        )
+    out = out_levels[0]
+    for lv in out_levels[1:]:
+        out = out.unionByName(lv)
+    return out

@@ -168,3 +168,43 @@ def test_serve_cache_matches_spark_path(spark):
     if deep is not None and deep not in cached:
         pdf = eng.get_clusters_local(-125, 25, -65, 49, deep)
         assert len(pdf) == eng.get_clusters(-125, 25, -65, 49, deep).count()
+
+
+def test_incremental_pyramid_equals_full_rebuild(spark):
+    """update_zoom_levels(old, delta) must reproduce
+    materialize_zoom_levels(old UNION delta) exactly — supercell
+    independence + deterministic kernel make untouched cells identical and
+    reclustered cells recompute the same inputs."""
+    from clustopher_spark.operators.zoom import (
+        materialize_zoom_levels,
+        update_zoom_levels,
+    )
+    from clustopher_spark.sources.generators import generate_test_points
+
+    opts = ClusterOptions(radius=100.0, min_points=2, max_zoom=8)
+    old = generate_test_points(spark, 8000, seed=21).select("id", "lng", "lat", "value")
+    new = (
+        generate_test_points(spark, 400, seed=22)
+        .select("id", "lng", "lat", "value")
+        .withColumn("id", F.col("id") + 1_000_000)
+    )
+    levels_old = materialize_zoom_levels(old, ["value"], opts)
+    incremental = update_zoom_levels(levels_old, old, new, ["value"], opts)
+    full = materialize_zoom_levels(old.unionByName(new), ["value"], opts)
+
+    def canon(df):
+        return sorted(
+            (
+                r.zoom,
+                r.cluster_id,
+                round(r.lng, 9),
+                round(r.lat, 9),
+                r.point_count,
+                r.num_members,
+                bool(r.is_cluster),
+                round(r.sum_value, 6),
+            )
+            for r in df.collect()
+        )
+    a, b = canon(incremental), canon(full)
+    assert len(a) == len(b) and a == b
