@@ -211,6 +211,68 @@ def spatial_cluster_greedy(spark, sf_dir):
     ).orderBy("cluster_id")
 
 
+@register(
+    "spatial_cluster_invariants",
+    oracle=f"""
+    WITH pts AS ({POINTS_SQL})
+    SELECT COUNT(*) AS total_points,
+           TRUE AS points_conserved,
+           TRUE AS members_conserved,
+           TRUE AS value_conserved,
+           TRUE AS clusters_le_points,
+           TRUE AS bounds_ok
+    FROM pts
+    WHERE lng BETWEEN -125 AND -65 AND lat BETWEEN 25 AND 49
+    """,
+)
+def spatial_cluster_invariants(spark, sf_dir):
+    """Driver-checkable oracle for the greedy kernel (C1/C3): the greedy
+    agglomeration itself is order-dependent and not SQL-expressible, but its
+    conservation laws are — exactly the invariants the reference pins in
+    cluster/cluster_test.go:475-530.
+
+    ``total_points`` flows THROUGH the kernel (sum of per-cluster
+    point_count), so a kernel that drops or duplicates points fails the
+    cross-engine hash, not just a boolean.  The booleans additionally pin:
+    member-count conservation, metric-sum conservation (|err| < 0.05 vs the
+    exact DECIMAL sum), cluster-count sanity, and centroid containment in
+    the viewport hull.
+    """
+    pts = points_df(spark, sf_dir).select("id", "lng", "lat", "value")
+    opts = ClusterOptions(radius=100.0, min_points=2)
+    out = get_clusters(pts, -125, 25, -65, 49, 6, ["value"], opts)
+    exact = pts.filter(
+        F.col("lng").between(-125, -65) & F.col("lat").between(25, 49)
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("exact_sum"),
+    )
+    ktotals = out.agg(
+        F.sum("point_count").cast("long").alias("k_points"),
+        F.sum("num_members").cast("long").alias("k_members"),
+        F.sum("sum_value").cast("double").alias("k_sum"),
+        F.count(F.lit(1)).cast("long").alias("k_clusters"),
+        F.min("lng").alias("k_min_lng"),
+        F.max("lng").alias("k_max_lng"),
+        F.min("lat").alias("k_min_lat"),
+        F.max("lat").alias("k_max_lat"),
+    )
+    eps = 1e-6
+    return ktotals.crossJoin(exact).select(
+        F.col("k_points").alias("total_points"),
+        (F.col("k_points") == F.col("exact_n")).alias("points_conserved"),
+        (F.col("k_members") == F.col("exact_n")).alias("members_conserved"),
+        (F.abs(F.col("k_sum") - F.col("exact_sum")) < 0.05).alias("value_conserved"),
+        (F.col("k_clusters") <= F.col("exact_n")).alias("clusters_le_points"),
+        (
+            (F.col("k_min_lng") >= -125 - eps)
+            & (F.col("k_max_lng") <= -65 + eps)
+            & (F.col("k_min_lat") >= 25 - eps)
+            & (F.col("k_max_lat") <= 49 + eps)
+        ).alias("bounds_ok"),
+    )
+
+
 @register("spatial_geojson_features")  # JSON string assembly (S8 sink);
 # rows-only: JSON text construction differs across engines
 def spatial_geojson(spark, sf_dir):

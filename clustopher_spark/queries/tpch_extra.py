@@ -682,8 +682,9 @@ def null_semantics_gallery(spark, sf_dir):
 @register(
     "window_gaps_islands",
     oracle="""
-    SELECT o_custkey, island, COUNT(*) AS n_orders,
-           MIN(o_orderdate) AS island_start, MAX(o_orderdate) AS island_end
+    SELECT o_custkey, CAST(island AS BIGINT) AS island, COUNT(*) AS n_orders,
+           CAST(MIN(o_orderdate) AS TIMESTAMP) AS island_start,
+           CAST(MAX(o_orderdate) AS TIMESTAMP) AS island_end
     FROM (
       SELECT o_custkey, o_orderdate,
              SUM(CASE WHEN prev_d IS NULL OR date_diff('day', prev_d, o_orderdate) > 30
@@ -722,8 +723,11 @@ def window_gaps_islands(spark, sf_dir):
         flagged.groupBy("o_custkey", "island")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.min("o_orderdate").alias("island_start"),
-            F.max("o_orderdate").alias("island_end"),
+            # DATE outputs hash-mismatch (DuckDB fetches DATE as pandas
+            # Timestamp, Spark keeps datetime.date) — cast both sides to
+            # TIMESTAMP, the repo-wide convention for date-valued outputs.
+            F.min("o_orderdate").cast("timestamp").alias("island_start"),
+            F.max("o_orderdate").cast("timestamp").alias("island_end"),
         )
         .orderBy("o_custkey", "island")
     )
