@@ -14,8 +14,8 @@ from pyspark.sql import functions as F
 
 from clustopher_spark.operators.cluster import (
     ClusterOptions,
+    aggregate_assignment,
     assign_clusters,
-    cluster_at_zoom,
     filter_viewport,
     get_clusters,
 )
@@ -136,16 +136,33 @@ class Clustopher:
             return pdf[mask]
         return self.get_clusters(west, south, east, north, zoom).toPandas()
 
+    def _assigned_once(self, west, south, east, north, zoom: int):
+        """Single kernel pass shared by the metadata paths.
+
+        Returns ``(visible, assigned, clusters)`` where ``assigned`` is the
+        cached kernel output — the most expensive stage runs exactly once,
+        and both the cluster aggregate and the id->cluster_id metadata join
+        are derived from the same cached rows (round-1 advice: the old code
+        ran ``assign_clusters`` + ``cluster_at_zoom`` separately, executing
+        the kernel 2x per request)."""
+        visible = filter_viewport(self.points, west, south, east, north, zoom, self.opts)
+        pts = visible
+        if "num_points" not in pts.columns:
+            pts = pts.withColumn("num_points", F.lit(1).cast("long"))
+        assigned = assign_clusters(
+            pts, zoom, self.opts, passthrough_cols=self.metric_cols
+        ).cache()
+        clusters = aggregate_assignment(assigned, zoom, self.metric_cols, self.opts)
+        return visible, assigned, clusters
+
     def get_clusters_with_metadata(self, west, south, east, north, zoom: int) -> DataFrame:
         """Cluster rows + nested meta_freq map (the in-process ToGeoJSON path
         keeps metadata, cluster/cluster.go:2026-2034; we keep it end-to-end)."""
         zoom = min(zoom, self.opts.max_zoom)
-        visible = filter_viewport(self.points, west, south, east, north, zoom, self.opts)
-        assign = assign_clusters(visible, zoom, self.opts).select("id", "cluster_id")
-        clusters = cluster_at_zoom(visible, zoom, self.metric_cols, self.opts)
+        visible, assigned, clusters = self._assigned_once(west, south, east, north, zoom)
         if not self.meta_cols:
             return clusters
-        joined = visible.join(assign, "id")
+        joined = visible.join(assigned.select("id", "cluster_id"), "id")
         counts = metadata_counts(joined, self.meta_cols)
         freq = frequencies_from_counts(counts)
         maps = frequencies_as_map(freq)
@@ -156,14 +173,13 @@ class Clustopher:
     def get_metadata_summary(self, west, south, east, north, zoom: int):
         """Returns (counts_df, metric_stats_df, distribution_df)."""
         zoom = min(zoom, self.opts.max_zoom)
-        visible = filter_viewport(self.points, west, south, east, north, zoom, self.opts)
-        assign = assign_clusters(visible, zoom, self.opts).select("id", "cluster_id")
-        clusters = cluster_at_zoom(visible, zoom, self.metric_cols, self.opts).cache()
+        visible, assigned, clusters = self._assigned_once(west, south, east, north, zoom)
+        clusters = clusters.cache()
         counts = cluster_counts(clusters)
         stats = metric_stats(clusters, self.metric_cols) if self.metric_cols else None
         dist = None
         if self.meta_cols:
-            joined = visible.join(assign, "id")
+            joined = visible.join(assigned.select("id", "cluster_id"), "id")
             dist = categorical_distribution(metadata_counts(joined, self.meta_cols))
         return counts, stats, dist
 

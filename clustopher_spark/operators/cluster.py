@@ -293,6 +293,26 @@ def cluster_at_zoom(
     assigned = assign_clusters(
         points, zoom, opts, parallelism=parallelism, passthrough_cols=metric_cols
     )
+    return aggregate_assignment(assigned, zoom, metric_cols, opts)
+
+
+def aggregate_assignment(
+    assigned: DataFrame,
+    zoom: int,
+    metric_cols: list[str] | None = None,
+    opts: ClusterOptions = ClusterOptions(),
+) -> DataFrame:
+    """A1/A2 aggregation over a kernel assignment: ``(id, cluster_id, px,
+    py, num_points[, metrics])`` -> one row per cluster with weighted
+    centroid, counts and metric sums (reference cluster/cluster.go:1896-1950).
+
+    Split out of :func:`cluster_at_zoom` so callers that also need the raw
+    assignment (e.g. the engine's metadata paths, which join meta columns on
+    ``id``) can run the kernel ONCE, cache the assignment, and derive both
+    the cluster aggregate and the join from it instead of paying the
+    kernel twice.
+    """
+    metric_cols = metric_cols or []
     w = F.col("num_points").cast("double")
     aggs: list[Column] = [
         (F.sum(F.col("px") * w) / F.sum(w)).alias("cpx"),

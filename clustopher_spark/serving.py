@@ -39,21 +39,46 @@ class DatasetCache:
         self.max_datasets = max_datasets
         self._entries: OrderedDict[str, Clustopher] = OrderedDict()
         self._lock = threading.Lock()
+        # per-key load gate: concurrent misses for the same dataset share
+        # ONE loader invocation (the load is a full pyramid read + serve
+        # cache build — letting N requests race it N-plicates the most
+        # expensive operation in the serving tier)
+        self._loading: dict[str, threading.Event] = {}
 
     def get(self, dataset_id: str, loader) -> Clustopher:
-        with self._lock:
-            if dataset_id in self._entries:
-                self._entries.move_to_end(dataset_id)  # refresh last-accessed
-                return self._entries[dataset_id]
-        engine = loader(dataset_id)
-        with self._lock:
-            self._entries[dataset_id] = engine
-            self._entries.move_to_end(dataset_id)
-            while len(self._entries) > self.max_datasets:
-                _, evicted = self._entries.popitem(last=False)
-                if evicted._zoom_levels is not None:
-                    evicted._zoom_levels.unpersist()
-        return engine
+        while True:
+            with self._lock:
+                if dataset_id in self._entries:
+                    self._entries.move_to_end(dataset_id)  # refresh last-accessed
+                    return self._entries[dataset_id]
+                gate = self._loading.get(dataset_id)
+                if gate is None:
+                    gate = threading.Event()
+                    self._loading[dataset_id] = gate
+                    owns_load = True
+                else:
+                    owns_load = False
+            if owns_load:
+                try:
+                    engine = loader(dataset_id)
+                except BaseException:
+                    with self._lock:
+                        self._loading.pop(dataset_id, None)
+                    gate.set()  # wake waiters; one of them retries the load
+                    raise
+                with self._lock:
+                    self._entries[dataset_id] = engine
+                    self._entries.move_to_end(dataset_id)
+                    while len(self._entries) > self.max_datasets:
+                        _, evicted = self._entries.popitem(last=False)
+                        if evicted._zoom_levels is not None:
+                            evicted._zoom_levels.unpersist()
+                    self._loading.pop(dataset_id, None)
+                gate.set()
+                return engine
+            # another request is loading this dataset — wait, then re-check
+            # (cache hit on success, or take over the load on its failure)
+            gate.wait()
 
 
 class ClusterService:

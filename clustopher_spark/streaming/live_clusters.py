@@ -69,9 +69,22 @@ def serve_live_clusters(
         F.col("wx") / F.col("point_count"), F.col("wy") / F.col("point_count"),
         zoom, opts.extent,
     )
+    # synthetic stable id per cell: pack (cx, cy) into one int64. The shift
+    # is derived from the actual per-axis cell bound at this zoom
+    # (cx, cy < ceil(2^zoom * extent / radius)) instead of a fixed 2^22 —
+    # a fixed shift collides for deeper zooms / larger extents / smaller
+    # radii, silently merging distinct cells into one pseudo-point.
+    import math
+
+    n_cells = max(1, math.ceil((1 << zoom) * opts.extent / opts.radius))
+    bits = max(1, (n_cells - 1).bit_length())
+    if 2 * bits > 62:
+        raise ValueError(
+            f"cell-id packing overflows int64: zoom={zoom} extent={opts.extent} "
+            f"radius={opts.radius} needs 2*{bits} bits"
+        )
     pseudo = cells.select(
-        # synthetic stable id per cell (cells are sparse; pack coords)
-        (F.col("cx") * F.lit(1 << 22) + F.col("cy")).alias("id"),
+        (F.col("cx") * F.lit(1 << bits) + F.col("cy")).alias("id"),
         lng.alias("lng"),
         lat.alias("lat"),
         F.col("point_count").alias("num_points"),

@@ -170,6 +170,43 @@ def test_serve_cache_matches_spark_path(spark):
         assert len(pdf) == eng.get_clusters(-125, 25, -65, 49, deep).count()
 
 
+def test_metadata_paths_single_kernel_pass(spark):
+    """Round-1 advice: get_clusters_with_metadata ran the greedy kernel
+    twice (assign_clusters + cluster_at_zoom). Now both the cluster
+    aggregate and the metadata join derive from ONE cached assignment —
+    values must match the direct path, and the plan must show the cached
+    reuse (InMemoryTableScan) instead of a second kernel stage."""
+    from clustopher_spark.operators.cluster import cluster_at_zoom, filter_viewport
+
+    rows = [
+        (i, -100.0 + (i % 20) * 0.01, 40.0 + (i // 20) * 0.01, float(i), "Urban" if i % 3 else "Rural")
+        for i in range(1, 201)
+    ]
+    df = spark.createDataFrame(rows, "id long, lng double, lat double, value double, category string")
+    eng = Clustopher(df, metric_cols=["value"], meta_cols=["category"], opts=OPTS)
+    out = eng.get_clusters_with_metadata(-125, 25, -65, 49, 5)
+
+    # the meta-join branch must consume the cached kernel output, not
+    # re-run the kernel: exactly one MapInPandas stage feeding an
+    # InMemoryRelation scanned twice
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, "assignment not reused from cache"
+
+    direct = cluster_at_zoom(
+        filter_viewport(df, -125, 25, -65, 49, 5, OPTS), 5, ["value"], OPTS
+    )
+    canon = lambda d: sorted(  # noqa: E731
+        (r.cluster_id, round(r.lng, 9), round(r.lat, 9), r.point_count, round(r.sum_value, 6))
+        for r in d.collect()
+    )
+    assert canon(out.select("cluster_id", "lng", "lat", "point_count", "sum_value")) == canon(direct)
+    # frequencies still correct off the shared assignment
+    freqs = {r.point_count: r.meta_freq for r in out.collect()}
+    for pc, fm in freqs.items():
+        if fm and "category" in fm:
+            assert abs(sum(fm["category"].values()) - 1.0) < 1e-9
+
+
 def test_incremental_pyramid_equals_full_rebuild(spark):
     """update_zoom_levels(old, delta) must reproduce
     materialize_zoom_levels(old UNION delta) exactly — supercell

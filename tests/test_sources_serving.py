@@ -161,3 +161,59 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     rows = {r.id: r for r in merged.collect()}
     assert set(merged.columns) >= {"id", "lng", "lat", "value"}
     assert rows[1].value is None and rows[2].value == 7.5
+
+
+def test_dataset_cache_concurrent_miss_single_load():
+    """Concurrent misses for the same dataset must share ONE loader call
+    (the load is the serving tier's most expensive operation); a loader
+    failure must wake waiters so one of them retries."""
+    import threading
+    import time
+
+    from clustopher_spark.serving import DatasetCache
+
+    cache = DatasetCache(max_datasets=2)
+    calls = []
+
+    def slow_loader(ds_id):
+        calls.append(ds_id)
+        time.sleep(0.2)
+        return type("Eng", (), {"_zoom_levels": None})()
+
+    results = []
+    threads = [
+        threading.Thread(target=lambda: results.append(cache.get("a", slow_loader)))
+        for _ in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(calls) == 1, f"loader ran {len(calls)}x for one dataset"
+    assert len({id(r) for r in results}) == 1, "waiters got different engines"
+
+    # failure path: waiters are woken and one retries
+    attempts = []
+
+    def flaky_loader(ds_id):
+        attempts.append(ds_id)
+        if len(attempts) == 1:
+            time.sleep(0.1)
+            raise RuntimeError("boom")
+        return type("Eng", (), {"_zoom_levels": None})()
+
+    outcomes = []
+
+    def worker():
+        try:
+            outcomes.append(cache.get("b", flaky_loader))
+        except RuntimeError:
+            outcomes.append("err")
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert "err" in outcomes, "first loader's failure must propagate"
+    assert any(o != "err" for o in outcomes), "a waiter should retry and succeed"
