@@ -2,12 +2,16 @@
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 stages.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-container): ``decode_fn=None`` uses a deterministic fake decoder so the
-Spark-side plumbing — schemas, batch iteration, partitioning, UDF
-signatures — is real and tested; pass a real decoder (PIL/librosa/ffmpeg)
-in production. The fake decoder derives "decoded" properties from a hash
-of the bytes, so results are stable across runs and engines.
+The default decode step is a deterministic fake (``decode_fn=None``) so
+the Spark-side plumbing — schemas, batch iteration, partitioning, UDF
+signatures — is testable without heavyweight media libraries; pass a real
+decoder (PIL/librosa/ffmpeg) in production. For two formats real codecs
+ship in-repo with zero extra dependencies
+(:mod:`clustopher_spark.functions.codecs`): 24-bit BMP
+(``bmp_image_decode`` / ``bmp_resize``) and PCM-16 WAV
+(``wav_audio_decode``) — plug them in via ``decode_fn`` / ``resize_fn``.
+Video frame extraction remains stub-only (a pure-Python container parser
+would not be honest plumbing for ffmpeg-scale work).
 """
 
 from __future__ import annotations
