@@ -89,7 +89,7 @@ def main() -> None:
     import tempfile
 
     from clustopher_spark.engine import Clustopher
-    from clustopher_spark.operators.cluster import ClusterOptions
+    from clustopher_spark.operators.cluster import ClusterOptions, get_clusters
     from clustopher_spark.queries.spatial import points_df
 
     tmp = tempfile.mkdtemp(prefix="clustopher_bench_")
@@ -132,6 +132,55 @@ def main() -> None:
         timings["serve_viewport_hot"] = round(time.perf_counter() - t0, 4)
         print(
             f"# serve_viewport_hot: {timings['serve_viewport_hot']}s ({len(hot)} rows)",
+            file=sys.stderr,
+        )
+        # adversarial skew: a dense city blob that lands in ONE supercell at
+        # zoom 0 — the worst-case task for the supercell-partitioned kernel.
+        # Bounded by the O(n) CSR r-grid kernel (~0.6 s / 1M points in a
+        # single cell, measured single-threaded); this entry keeps the bound
+        # visible round-over-round.
+        n_hot = 200_000
+        hot = spark.range(1, n_hot + 1).selectExpr(
+            "id",
+            "-100.0 + (id % 447) * 0.0005 as lng",
+            "40.0 + ((id * 7) % 449) * 0.0005 as lat",
+            "cast(id % 13 as double) as value",
+        )
+        t0 = time.perf_counter()
+        hot_out = get_clusters(
+            hot, -180, -85, 180, 85, 0, ["value"],
+            ClusterOptions(radius=100.0, min_points=2),
+        )
+        n_hot_rows = hot_out.count()
+        timings["skew_hot_supercell_200k"] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# skew_hot_supercell_200k: {timings['skew_hot_supercell_200k']}s"
+            f" ({n_hot_rows} clusters from {n_hot} pts in one cell)",
+            file=sys.stderr,
+        )
+
+        # the baseline-comparable 1M-point pyramid build (BASELINE.md
+        # "~30 s / 1M points"): full 17-level pyramid, zooms 0-16, same
+        # config as the README's 27.4 s measurement (radius 100,
+        # min_points 2; input materialized before the clock starts so the
+        # timing covers clustering, not synthesis).
+        from clustopher_spark.sources.generators import generate_test_points
+
+        pts_1m = (
+            generate_test_points(spark, 1_000_000, seed=7)
+            .select("id", "lng", "lat", "value")
+            .localCheckpoint(eager=True)
+        )
+        pts_1m.count()
+        opts_1m = ClusterOptions(radius=100.0, min_points=2, max_zoom=16)
+        eng_1m = Clustopher(pts_1m, ["value"], opts=opts_1m)
+        t0 = time.perf_counter()
+        eng_1m.materialize()
+        n_pyr = eng_1m._zoom_levels.count()
+        timings["pyramid_build_1m_points"] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# pyramid_build_1m_points: {timings['pyramid_build_1m_points']}s"
+            f" ({n_pyr} pyramid rows, zooms 0-16)",
             file=sys.stderr,
         )
     finally:

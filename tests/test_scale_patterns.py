@@ -82,3 +82,38 @@ def test_salted_aggregate_matches_plain(spark):
     p = {r.l_returnflag: (round(r.sum_l_quantity, 6), r.count_l_orderkey, r.max_l_extendedprice)
          for r in plain.collect()}
     assert s == p
+
+
+def test_hot_supercell_skew_bounded(spark):
+    """Adversarial skew: 200k points inside ONE supercell (a dense city
+    blob queried at zoom 0). The supercell hash partitioning serializes
+    that cell onto one task by design — the bound is the kernel itself,
+    which is O(n) via the CSR r-grid (measured ~0.6 s per 1M points in a
+    single cell). The full distributed query over the hot cell must finish
+    in seconds and conserve every point."""
+    import time
+
+    from clustopher_spark.operators.cluster import ClusterOptions, get_clusters
+
+    n = 200_000
+    # ~0.2 deg blob => one supercell at zoom 0 (world is 512px, cell 1600px)
+    pts = (
+        spark.range(1, n + 1)
+        .selectExpr(
+            "id",
+            "-100.0 + (id % 447) * 0.0005 as lng",
+            "40.0 + ((id * 7) % 449) * 0.0005 as lat",
+            "cast(id % 13 as double) as value",
+        )
+    )
+    opts = ClusterOptions(radius=100.0, min_points=2)
+    t0 = time.perf_counter()
+    out = get_clusters(pts, -180, -85, 180, 85, 0, ["value"], opts).collect()
+    dt = time.perf_counter() - t0
+    assert sum(r.point_count for r in out) == n, "points lost under skew"
+    total_val = sum(r.sum_value for r in out)
+    expect = sum(i % 13 for i in range(1, n + 1))
+    assert abs(total_val - expect) < 1e-6 * expect + 1e-9
+    # generous wall bound: catches an accidental O(n^2) regression (which
+    # would take minutes), not scheduler noise
+    assert dt < 60, f"hot-supercell query took {dt:.1f}s"
