@@ -217,3 +217,58 @@ def test_dataset_cache_concurrent_miss_single_load():
         t.join()
     assert "err" in outcomes, "first loader's failure must propagate"
     assert any(o != "err" for o in outcomes), "a waiter should retry and succeed"
+
+
+def test_grpc_rpc_surface(spark, tmp_path):
+    """S9 parity: the five reference RPCs (proto/cluster_service.proto:7-16)
+    through the transport-agnostic dispatcher with proto-shaped messages.
+    (grpcio itself is absent in this runtime; serve_grpc is the
+    import-guarded production binding over this exact dispatch.)"""
+    from clustopher_spark.operators.cluster import ClusterOptions
+    from clustopher_spark.rpc import SERVICE_NAME, ClusterRpc
+    from clustopher_spark.serving import ClusterService
+
+    svc = ClusterService(
+        spark, str(tmp_path / "grpc_cat"), ClusterOptions(radius=100.0, min_points=2, max_zoom=6)
+    )
+    rpc = ClusterRpc(svc)
+    assert rpc.method_names() == [
+        f"/{SERVICE_NAME}/{m}"
+        for m in ["ListClusters", "LoadCluster", "CreateCluster", "GetClusters", "GetMetadata"]
+    ]
+
+    created = rpc.dispatch(f"/{SERVICE_NAME}/CreateCluster", {"num_points": 1500})
+    info = created["cluster"]
+    assert info["num_points"] == 1500 and info["file_size"] > 0 and info["timestamp"]
+    ds = info["id"]
+
+    listed = rpc.dispatch(f"/{SERVICE_NAME}/ListClusters", {})
+    assert any(c["id"] == ds for c in listed["clusters"])
+
+    loaded = rpc.dispatch(f"/{SERVICE_NAME}/LoadCluster", {"cluster_id": ds})
+    assert loaded["cluster"]["id"] == ds
+
+    got = rpc.dispatch(
+        f"/{SERVICE_NAME}/GetClusters",
+        {"cluster_id": ds, "zoom": 3,
+         "bounds": {"min_x": -180, "min_y": -85, "max_x": 180, "max_y": 85}},
+    )
+    feats = got["features"]
+    assert sum(f["count"] for f in feats) == 1500
+    assert any(f["is_cluster"] for f in feats)
+    assert all(set(f) == {"x", "y", "count", "id", "metrics", "is_cluster"} for f in feats)
+
+    md = rpc.dispatch(
+        f"/{SERVICE_NAME}/GetMetadata",
+        {"cluster_id": ds, "zoom": 3,
+         "bounds": {"min_x": -180, "min_y": -85, "max_x": 180, "max_y": 85}},
+    )
+    assert md["total_points"] == 1500
+    assert "value" in md["metrics_summary"]
+    dist = md["metadata_summary"]["category"]["distribution"]["values"]
+    assert abs(sum(dist.values()) - 100.0) < 1e-6
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        rpc.dispatch(f"/{SERVICE_NAME}/Nope", {})
