@@ -413,3 +413,234 @@ def llm_embedding_near_dups(spark, sf_dir):
         .select("id_a", "id_b", F.round("cs_raw", 6).alias("cos_sim"))
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "llm_quality_rules",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    agg AS (
+      SELECT doc_id,
+             COUNT(*) AS n_words,
+             ROUND(AVG(length(tok)), 4) AS mean_word_len,
+             ROUND(AVG(CASE WHEN tok IN ('the','a','an','and','of','to','in','is','it')
+                            THEN 1.0 ELSE 0.0 END), 4) AS stopword_frac,
+             ROUND(COUNT(DISTINCT tok) * 1.0 / COUNT(*), 4) AS unique_frac
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, mean_word_len, stopword_frac, unique_frac,
+           (n_words BETWEEN 10 AND 100000
+            AND mean_word_len BETWEEN 2.0 AND 10.0
+            AND unique_frac >= 0.1) AS keep
+    FROM agg ORDER BY doc_id
+    """,
+)
+def llm_quality_rules(spark, sf_dir):
+    """Gopher-style quality-rule battery (Rae et al. 2021 §A1.1, public):
+    word count bounds, mean word length window, stopword fraction, unique-
+    word fraction, combined ``keep`` verdict. Pure column expressions over
+    one explode + group-by — map-side partial aggregation, one shuffle on
+    doc_id, no Python. At 100 TB this is the canonical pre-filter pass
+    that runs BEFORE expensive dedup/embedding stages."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    stop = F.col("tok").isin("the", "a", "an", "and", "of", "to", "in", "is", "it")
+    agg = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(F.avg(F.length("tok")), 4).alias("mean_word_len"),
+        F.round(F.avg(F.when(stop, 1.0).otherwise(0.0)), 4).alias("stopword_frac"),
+        F.round(
+            F.count_distinct(F.col("tok")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("unique_frac"),
+    )
+    keep = (
+        F.col("n_words").between(10, 100000)
+        & F.col("mean_word_len").between(2.0, 10.0)
+        & (F.col("unique_frac") >= 0.1)
+    )
+    return agg.select(
+        "doc_id", "n_words", "mean_word_len", "stopword_frac", "unique_frac",
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "llm_repetition_stats",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+             generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+    ),
+    top1 AS (
+      SELECT doc_id, SUM(c) AS n, MAX(c) AS top_c FROM counts GROUP BY doc_id
+    ),
+    bigrams AS (
+      SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+      FROM toks
+    ),
+    bg AS (
+      SELECT doc_id, COUNT(bg) AS nb, COUNT(DISTINCT bg) AS db
+      FROM bigrams WHERE bg IS NOT NULL GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           ROUND(t.top_c * 1.0 / t.n, 4) AS top_token_frac,
+           ROUND(CASE WHEN COALESCE(bg.nb, 0) = 0 THEN 0.0
+                      ELSE (bg.nb - bg.db) * 1.0 / bg.nb END, 4) AS dup_bigram_frac
+    FROM top1 t LEFT JOIN bg ON t.doc_id = bg.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def llm_repetition_stats(spark, sf_dir):
+    """Repetition signals (the Gopher/C4 "repetitious text" family):
+    most-frequent-token mass fraction and duplicate-bigram fraction per
+    document. Token counts and bigram formation both partition by doc_id —
+    ONE shuffle key reused across the window and both aggregations; no
+    cross-document traffic at any scale."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "tok"),
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    top1 = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.max("c").alias("top_c")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("tok"), F.lead("tok").over(w)).alias("bg"),
+        F.lead("tok").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    bg = bigrams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nb"), F.count_distinct("bg").alias("db")
+    )
+    return (
+        top1.join(bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.col("top_c").cast("double") / F.col("n"), 4).alias(
+                "top_token_frac"
+            ),
+            F.round(
+                F.when(F.coalesce(F.col("nb"), F.lit(0)) == 0, 0.0).otherwise(
+                    (F.col("nb") - F.col("db")).cast("double") / F.col("nb")
+                ),
+                4,
+            ).alias("dup_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "llm_gram_df_coverage",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+             generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    g AS (SELECT doc_id, gram FROM grams WHERE gram IS NOT NULL),
+    df AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           ROUND(AVG(CASE WHEN df.df >= 3 THEN 1.0 ELSE 0.0 END), 4) AS shared_frac
+    FROM g JOIN df ON g.gram = df.gram
+    GROUP BY g.doc_id ORDER BY g.doc_id
+    """,
+)
+def llm_gram_df_coverage(spark, sf_dir):
+    """Cross-document duplicated-text coverage (the substring-dedup
+    signal): the fraction of each document's 3-grams that occur in >= 3
+    distinct documents. The document-frequency table is a hash aggregation
+    on the gram — the same inverted-index shape as the n-gram Jaccard
+    pass, so no all-pairs comparison at any scale; the join back is an
+    equi-join on gram that AQE broadcasts when the df table is small."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "tok"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.select(
+            "doc_id",
+            F.col("tok").alias("t0"),
+            F.lead("tok", 1).over(w).alias("t1"),
+            F.lead("tok", 2).over(w).alias("t2"),
+        )
+        .filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "t0", "t1", "t2").alias("gram"))
+    )
+    df_tbl = grams.groupBy("gram").agg(F.count_distinct("doc_id").alias("df"))
+    return (
+        grams.join(df_tbl, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.avg(F.when(F.col("df") >= 3, 1.0).otherwise(0.0)), 4).alias(
+                "shared_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "llm_label_centroid_cosine",
+    oracle="""
+    WITH e AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    cent AS (SELECT label, dim, AVG(v) AS c FROM e GROUP BY label, dim),
+    gcent AS (SELECT dim, AVG(v) AS g FROM e GROUP BY dim)
+    SELECT cent.label,
+           ROUND(SUM(cent.c * gcent.g)
+                 / (sqrt(SUM(cent.c * cent.c)) * sqrt(SUM(gcent.g * gcent.g))),
+                 4) AS cos_to_global
+    FROM cent JOIN gcent ON cent.dim = gcent.dim
+    GROUP BY cent.label ORDER BY cent.label
+    """,
+)
+def llm_label_centroid_cosine(spark, sf_dir):
+    """Per-label embedding centroid vs the global corpus centroid (cosine)
+    — the drift/clustering-health check of an embedding pipeline. Shape:
+    posexplode by dimension (x dim, narrow), two map-side-combinable
+    averages, then a join on dim where the global side is `dim` rows —
+    broadcast. No all-pairs, no Python."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = e.groupBy("label", "dim").agg(F.avg("v").alias("c"))
+    glob = e.groupBy("dim").agg(F.avg("v").alias("g"))
+    num = F.sum(F.col("c") * F.col("g"))
+    den = F.sqrt(F.sum(F.col("c") * F.col("c"))) * F.sqrt(F.sum(F.col("g") * F.col("g")))
+    return (
+        cent.join(F.broadcast(glob), "dim")
+        .groupBy("label")
+        .agg(F.round(num / den, 4).alias("cos_to_global"))
+        .orderBy("label")
+    )
