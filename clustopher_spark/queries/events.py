@@ -284,3 +284,37 @@ def events_conversion_funnel(spark, sf_dir):
         .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_viewed_after")))
         .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchased_after")))
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM ({EVENTS_US_SQL})),
+    firsts AS (SELECT user_id, MIN(d) AS cohort_d FROM ev GROUP BY user_id)
+    SELECT CAST(f.cohort_d AS TIMESTAMP) AS cohort_date,
+           CAST(date_diff('day', f.cohort_d, e.d) AS BIGINT) AS day_n,
+           COUNT(DISTINCT e.user_id) AS retained
+    FROM ev e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY cohort_date, day_n ORDER BY cohort_date, day_n
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Retention triangle: users grouped by first-activity date, distinct
+    actives per (cohort, days-since-first). Two shuffles, both on user_id /
+    the (cohort, day) pair — the cohort table is one row per user, so the
+    join back is broadcastable at any event volume (users << events).
+    Day buckets derive from each user's own first day, not calendar weeks,
+    so no engine week-start convention can skew the compare."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        ev.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            F.col("cohort_d").cast("timestamp").alias("cohort_date"),
+            F.datediff("d", "cohort_d").cast("long").alias("day_n"),
+        )
+        .agg(F.count_distinct("user_id").alias("retained"))
+        .orderBy("cohort_date", "day_n")
+    )

@@ -644,3 +644,66 @@ def llm_label_centroid_cosine(spark, sf_dir):
         .agg(F.round(num / den, 4).alias("cos_to_global"))
         .orderBy("label")
     )
+
+
+@register(
+    "llm_pipeline_end_to_end",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, COUNT(*) AS n_words,
+             COUNT(DISTINCT tok) * 1.0 / COUNT(*) AS unique_frac
+      FROM toks GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT d.doc_id, d.lang, d.source, q.n_words,
+             md5(lower(regexp_replace(d.text, '\s+', ' ', 'g'))) AS fp
+      FROM documents d JOIN quality q ON d.doc_id = q.doc_id
+      WHERE q.n_words >= 10 AND q.unique_frac >= 0.1
+    ),
+    deduped AS (
+      SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp
+    )
+    SELECT k.lang, k.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(k.n_words) AS BIGINT) AS total_words
+    FROM deduped u JOIN kept k ON u.doc_id = k.doc_id
+    GROUP BY k.lang, k.source ORDER BY k.lang, k.source
+    """,
+)
+def llm_pipeline_end_to_end(spark, sf_dir):
+    """The full training-data prep pipeline as ONE declarative plan:
+    quality filter (word count + unique fraction) -> exact dedup by
+    normalized-content fingerprint (keep lowest doc_id) -> per-(lang,
+    source) corpus accounting. Every stage is a hash aggregation or
+    equi-join on a key Catalyst can partially aggregate — the whole
+    pipeline is three shuffles at any scale, no Python, and column
+    pruning reaches the scan (only text/lang/source/doc_id are read)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    quality = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        (F.count_distinct("tok").cast("double") / F.count(F.lit(1))).alias(
+            "unique_frac"
+        ),
+    )
+    kept = (
+        d.join(quality, "doc_id")
+        .filter((F.col("n_words") >= 10) & (F.col("unique_frac") >= 0.1))
+        .select("doc_id", "lang", "source", "n_words", fingerprint(F.col("text")).alias("fp"))
+    )
+    deduped = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        deduped.join(kept, ["fp", "doc_id"])
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+        )
+        .orderBy("lang", "source")
+    )
