@@ -136,15 +136,17 @@ def llm_lang_id(spark, sf_dir):
            COUNT(*) / (a.n_sh + b.n_sh - COUNT(*)) AS jaccard
     FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
-    HAVING COUNT(*) / (a.n_sh + b.n_sh - COUNT(*)) >= 0.1
+    HAVING COUNT(*) / (a.n_sh + b.n_sh - COUNT(*)) >= 0.02
     ORDER BY id_a, id_b
     """,
 )
 def llm_ngram_jaccard(spark, sf_dir):
     """Word-3-gram Jaccard near-dup pairs via inverted-index join (docs<100
-    keeps the pair space test-sized; the plan shape is the 100 TB one)."""
+    keeps the pair space test-sized; the plan shape is the 100 TB one).
+    Threshold 0.02 so the oracle checks real pairs at the driver's sf0.01
+    (synthetic word-bag docs share few exact 3-grams; max observed ~0.03)."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return ngram_jaccard_pairs(d, threshold=0.1).orderBy("id_a", "id_b")
+    return ngram_jaccard_pairs(d, threshold=0.02).orderBy("id_a", "id_b")
 
 
 @register("llm_minhash_candidates")  # MinHash perms/banding not SQL-expressible
@@ -706,4 +708,69 @@ def llm_pipeline_end_to_end(spark, sf_dir):
             F.sum("n_words").cast("long").alias("total_words"),
         )
         .orderBy("lang", "source")
+    )
+
+
+@register(
+    "llm_multi_signal_near_dups",
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents WHERE doc_id < 100
+    ), sh AS (
+      SELECT doc_id, n_sh, unnest(shset) AS sh FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                             i -> array_to_string(toks[i:i+2], ' '))) AS shset,
+               len(list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                             i -> array_to_string(toks[i:i+2], ' ')))) AS n_sh
+        FROM docs)
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) / (a.n_sh + b.n_sh - COUNT(*)) AS jaccard
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+      HAVING COUNT(*) / (a.n_sh + b.n_sh - COUNT(*)) >= 0.02
+    )
+    SELECT p.id_a, p.id_b,
+           ROUND(p.jaccard, 4) AS jaccard,
+           ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 4) AS cos_sim,
+           (p.jaccard >= 0.025 AND list_cosine_similarity(
+                CAST(ea.embedding AS DOUBLE[]),
+                CAST(eb.embedding AS DOUBLE[])) >= 0.4) AS both_agree
+    FROM pairs p
+    JOIN embeddings ea ON ea.vec_id = p.id_a
+    JOIN embeddings eb ON eb.vec_id = p.id_b
+    ORDER BY id_a, id_b
+    """,
+)
+def llm_multi_signal_near_dups(spark, sf_dir):
+    """Multi-signal dedup consensus: candidate pairs from the text channel
+    (word-3-gram Jaccard, inverted-index join — never all-pairs) scored
+    against the embedding channel (exact cosine on the candidate pairs
+    only). The cross-modal join keys on doc_id == vec_id, so the embedding
+    lookups are two equi-joins that AQE broadcasts at candidate-list
+    cardinality. This is the production near-dup recipe: cheap text
+    blocking picks candidates, the dense signal confirms."""
+    from clustopher_spark.functions.similarity import cosine
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = ngram_jaccard_pairs(d, threshold=0.02)
+    e = table(spark, sf_dir, "embeddings")
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cs = cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cs_raw", cs)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("jaccard", 4).alias("jaccard"),
+            F.round("cs_raw", 4).alias("cos_sim"),
+            ((F.col("jaccard") >= 0.025) & (F.col("cs_raw") >= 0.4)).alias("both_agree"),
+        )
+        .orderBy("id_a", "id_b")
     )
