@@ -16,6 +16,17 @@ from pyspark.sql.window import Window
 MERSENNE_PRIME = (1 << 31) - 1
 
 
+def portable_hash60(col: Column) -> Column:
+    """60-bit hash reproducible across engines: first 15 hex digits of md5,
+    read base-16. Spark's ``conv`` and DuckDB's ``('0x' || hex)::BIGINT``
+    agree exactly, so pipelines built on it (minhash/simhash ``portable``
+    mode) can be replayed verbatim by the SQL oracle. xxhash64 stays the
+    default for production (faster, codegen'd); the hash only has to be
+    *uniform*, not any particular function, for LSH guarantees to hold.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 # --- exact -------------------------------------------------------------------
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -125,19 +136,23 @@ def minhash_signatures(
     num_hashes: int = 32,
     k: int = 3,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, sig ARRAY<BIGINT>[num_hashes]) MinHash signatures.
 
     One explode + one groupBy: each shingle is hashed once with xxhash64
     (JVM-side), then the num_hashes permutations are affine transforms of
     that single hash — min-aggregated per document. No UDFs.
+    ``portable=True`` swaps the base hash for :func:`portable_hash60` so a
+    DuckDB oracle can reproduce the signatures bit-for-bit.
     """
     params = _perm_params(num_hashes, seed)
     df = _spread(df)
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("sh")
     )
-    h = F.pmod(F.xxhash64("sh"), F.lit(MERSENNE_PRIME))
+    base = portable_hash60(F.col("sh")) if portable else F.xxhash64("sh")
+    h = F.pmod(base, F.lit(MERSENNE_PRIME))
     hashed = sh.select("id", h.alias("h"))
     mins = [
         F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE_PRIME))).alias(f"m{i}")
@@ -148,21 +163,26 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH banding: two docs are candidates if any band of their signatures
     matches exactly. Explode to (band_idx, band_hash) keys and self-join —
     the standard bucket-join pattern; shuffle key cardinality ~ n * bands.
+    ``portable=True`` keys bands on the comma-joined signature values
+    (engine-neutral string) instead of xxhash64 of the slice.
     """
+
+    def band_key(b):
+        sl = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        if portable:
+            return F.concat_ws(",", F.transform(sl, lambda x: x.cast("string")))
+        return F.xxhash64(sl)
+
     banded = signatures.select(
         "id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
         ).alias("band_idx", "band_hash"),
     )
     a = banded.alias("a")
@@ -187,14 +207,15 @@ def minhash_dedup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     k: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates ->
     signature-estimated Jaccard filter. Estimated Jaccard = fraction of
     matching signature positions."""
     # signatures feed three plan branches (banding + both sides of the
     # estimate join) — cache so the shingle explosion runs once
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k).cache()
-    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k, portable=portable).cache()
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands, portable=portable)
     a = sigs.alias("sa")
     b = sigs.alias("sb")
     joined = (
@@ -219,17 +240,25 @@ def minhash_dedup_pairs(
 
 # --- SimHash -------------------------------------------------------------------
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64,
+    portable: bool = False,
+) -> DataFrame:
     """(id, simhash BIGINT): per-token xxhash64, bitwise weighted majority.
 
     Explode tokens -> per-bit +/-1 contributions summed in one groupBy
     (64 conditional-sum expressions, all codegen'd) -> sign bits packed.
+    ``portable=True`` uses the 60-bit cross-engine hash (pass ``bits<=60``)
+    so the DuckDB oracle can replay the exact simhash values.
     """
+    if portable and bits > 60:
+        raise ValueError("portable simhash is limited to 60 bits (15 hex digits)")
     toks = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
     )
-    h = toks.select("id", F.xxhash64("tok").alias("h"))
+    base = portable_hash60(F.col("tok")) if portable else F.xxhash64("tok")
+    h = toks.select("id", base.alias("h"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -245,21 +274,28 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return sums.select("id", packed.alias("simhash"))
 
 
-def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_near_pairs(
+    sim_df: DataFrame, max_hamming: int = 8, bits: int = 64
+) -> DataFrame:
     """Candidate pairs with Hamming distance <= max_hamming.
 
-    Pigeonhole banding: split 64 bits into 4 x 16-bit chunks; any pair
-    within distance <= 3*chunks must agree on >= 1 chunk, so an equi-join
-    on (chunk_idx, chunk_value) finds all candidates; exact popcount
-    filters after."""
+    Pigeonhole banding: split the hash into 4 equal chunks and equi-join on
+    (chunk_idx, chunk_value). Recall is exact for pairs within distance
+    <= 3 (pigeonhole: <4 differing bits leave one chunk untouched); beyond
+    that it is the standard LSH trade — pairs whose >=4 diffs spread across
+    all 4 chunks are missed, and raising recall means more/narrower chunks
+    at quadratically hotter join keys. Precision is exact either way: the
+    popcount filter runs on every candidate."""
     chunks = 4
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
     banded = sim_df.select(
         "id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright(F.col("simhash"), i * chunk_bits).bitwiseAND(F.lit(mask))
                     for i in range(chunks)
                 ]
             )

@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from clustopher_spark.functions.dedup import (
+    MERSENNE_PRIME,
+    _perm_params,
     exact_dedup,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
@@ -20,6 +22,7 @@ from clustopher_spark.functions.similarity import (
     norm,
 )
 from clustopher_spark.functions.text import (
+    LANG_MARKERS,
     bpe_ish_token_count,
     fingerprint,
     lang_id,
@@ -105,8 +108,32 @@ def llm_quality_histogram(spark, sf_dir):
     )
 
 
-@register("llm_lang_id")  # heuristic scorer; pinned by unit test rather than
-# SQL oracle (the CASE-chain tie-break is awkward to mirror exactly in SQL)
+# the Spark when()-chain in functions.text.lang_id resolves ties by fixed
+# language order (en > de > fr > es), which a SQL CASE mirrors exactly:
+# CASE picks the first branch whose score equals the max.
+_LANG_SCORE_SQL = {
+    lang: rf"len(regexp_extract_all(lower(text), '\b({'|'.join(words)})\b'))"
+    for lang, words in LANG_MARKERS.items()
+}
+_LANG_ID_ORACLE = f"""
+    WITH scored AS (
+      SELECT lang,
+             {", ".join(f"{expr} AS s_{l}" for l, expr in _LANG_SCORE_SQL.items())},
+             greatest({", ".join("s_" + l for l in _LANG_SCORE_SQL)}) AS best
+      FROM documents
+    ), detected AS (
+      SELECT lang,
+             CASE WHEN best = 0 THEN 'und'
+                  {" ".join(f"WHEN s_{l} = best THEN '{l}'" for l in _LANG_SCORE_SQL)}
+                  ELSE 'und' END AS detected
+      FROM scored
+    )
+    SELECT lang, detected, COUNT(*) AS n
+    FROM detected GROUP BY lang, detected ORDER BY lang, detected
+    """
+
+
+@register("llm_lang_id", oracle=_LANG_ID_ORACLE)
 def llm_lang_id(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     return (
@@ -149,19 +176,117 @@ def llm_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(d, threshold=0.02).orderBy("id_a", "id_b")
 
 
-@register("llm_minhash_candidates")  # MinHash perms/banding not SQL-expressible
+def _minhash_oracle(num_hashes=32, bands=8, threshold=0.3) -> str:
+    """DuckDB replay of the portable MinHash-LSH pipeline: same 60-bit md5
+    base hash, same affine permutations (generated from the same seeded
+    params), same band keys — so signatures, candidates, and the estimated
+    Jaccard match the Spark result bit-for-bit."""
+    p = MERSENNE_PRIME
+    rows = num_hashes // bands
+    perms = _perm_params(num_hashes)
+    mins = ",\n             ".join(
+        f"MIN(({a} * h + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(perms)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, concat_ws(',', "
+        + ", ".join(f"m{b * rows + r}" for r in range(rows))
+        + ") AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    eq_sum = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return rf"""
+    WITH docs AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 1)),
+            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM docs
+    ), hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % {p} AS h FROM sh
+    ), sig AS (
+      SELECT doc_id, {mins}
+      FROM hashed GROUP BY doc_id
+    ), bands AS (
+      {band_selects}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b, ({eq_sum}) / {float(num_hashes)} AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+    WHERE ({eq_sum}) / {float(num_hashes)} >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+@register("llm_minhash_candidates", oracle=_minhash_oracle())
 def llm_minhash(spark, sf_dir):
     """MinHash(32) + LSH(8 bands x 4 rows) near-dup candidates with
-    signature-estimated Jaccard >= 0.3."""
+    signature-estimated Jaccard >= 0.3 (portable hash so the DuckDB oracle
+    replays signatures, banding, and the estimate exactly)."""
     d = table(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(d, threshold=0.3).orderBy("id_a", "id_b")
+    return minhash_dedup_pairs(d, threshold=0.3, portable=True).orderBy("id_a", "id_b")
 
 
-@register("llm_simhash_near_pairs")  # bit-level ops, pinned by unit tests
+def _simhash_oracle(bits=60, chunks=4, max_hamming=12) -> str:
+    """DuckDB replay of the portable 60-bit simhash + pigeonhole banding."""
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    packed = " + ".join(f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits))
+    chunk_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk_idx,"
+        f" (simhash >> {c * chunk_bits}) & {mask} AS chunk_val FROM sim"
+        for c in range(chunks)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ), sums AS (
+      SELECT doc_id, {bit_sums}
+      FROM hashed GROUP BY doc_id
+    ), sim AS (
+      SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM sums
+    ), chunks AS (
+      {chunk_selects}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS h_a, b.simhash AS h_b
+      FROM chunks a JOIN chunks b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(h_a, h_b)) <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+
+
+@register("llm_simhash_near_pairs", oracle=_simhash_oracle())
 def llm_simhash(spark, sf_dir):
+    """60-bit portable simhash + 4-chunk pigeonhole banding; hamming <= 12
+    (banding recall documented in functions.dedup.simhash_near_pairs)."""
     d = table(spark, sf_dir, "documents")
-    sim = simhash(d)
-    return simhash_near_pairs(sim, max_hamming=12).orderBy("id_a", "id_b")
+    sim = simhash(d, bits=60, portable=True)
+    return (
+        simhash_near_pairs(sim, max_hamming=12, bits=60)
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 @register(
@@ -338,19 +463,44 @@ def llm_neardup_groups(spark, sf_dir):
     )
 
 
-@register("llm_stratified_sample")  # seeded sampling: deterministic within a
-# session/partitioning but not SQL-expressible -> rows-only
+# per-stratum keep fraction, expressed as a 4-hex-digit md5 threshold:
+# keep iff substr(md5(doc_id), 1, 4) < hex(frac * 16^4). md5 is identical
+# in Spark and DuckDB, so the sample is bit-for-bit reproducible across
+# engines, partitionings, AND cluster sizes — the property a 100 TB
+# pipeline actually needs from "seeded" sampling (Spark's sampleBy is only
+# stable for a fixed partitioning). Salt the key to re-draw.
+_STRATA_HEX = {"en": f"{int(0.25 * 0xFFFF):04x}", "de": "ffff", "es": "ffff", "fr": "ffff", "zh": "ffff"}
+_STRATA_CASE = " ".join(
+    f"WHEN lang = '{l}' THEN '{h}'" for l, h in _STRATA_HEX.items()
+)
+
+
+@register(
+    "llm_stratified_sample",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_kept
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+          < (CASE {_STRATA_CASE} ELSE '0000' END)
+    GROUP BY lang ORDER BY lang
+    """,
+)
 def llm_stratified_sample(spark, sf_dir):
     """Stratified (per-class) sampling — the class-rebalancing step of a
     training-data pipeline: downsample the dominant language to ~25% and
-    keep the rest whole. ``sampleBy`` pushes per-stratum Bernoulli
-    filtering into the scan (no shuffle, no collect); seeded for
-    reproducibility within a partitioning."""
+    keep the rest whole. Deterministic hash-Bernoulli (md5 threshold on the
+    doc id): a pure scan filter — no shuffle, no collect — whose outcome is
+    independent of partitioning, so reruns and backfills at any cluster
+    size keep exactly the same rows."""
     d = table(spark, sf_dir, "documents")
-    fractions = {"en": 0.25, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
-    sampled = d.sampleBy("lang", fractions, seed=42)
+    thresh = F.lit("0000")
+    for lang, hx in _STRATA_HEX.items():
+        thresh = F.when(F.col("lang") == lang, F.lit(hx)).otherwise(thresh)
+    kept = d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < thresh
+    )
     return (
-        sampled.groupBy("lang")
+        kept.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_kept"))
         .orderBy("lang")
     )

@@ -273,34 +273,52 @@ def spatial_cluster_invariants(spark, sf_dir):
     )
 
 
-@register("spatial_geojson_features")  # JSON string assembly (S8 sink);
-# rows-only: JSON text construction differs across engines
+@register(
+    "spatial_geojson_features",
+    oracle=f"""
+    WITH pts AS ({POINTS_SQL}),
+    cells AS (
+      SELECT cell_x, cell_y, COUNT(*) AS point_count,
+             SUM(CAST(value AS DECIMAL(18,2))) AS value
+      FROM pts GROUP BY cell_x, cell_y
+    )
+    SELECT cell_x, cell_y,
+           '{{"type":"Feature","geometry":{{"type":"Point","coordinates":['
+           || ((-125 + cell_x + 0.5)::DECIMAL(12,6))::VARCHAR || ','
+           || ((25 + cell_y + 0.5)::DECIMAL(12,6))::VARCHAR
+           || ']}},"properties":{{"point_count":' || point_count::VARCHAR
+           || ',"value":' || value::VARCHAR
+           || ',"cluster":' || (CASE WHEN point_count > 1 THEN 'true' ELSE 'false' END)
+           || '}}}}' AS feature
+    FROM cells ORDER BY cell_x, cell_y
+    """,
+)
 def spatial_geojson(spark, sf_dir):
     """ToGeoJSON sink shape (reference cluster/cluster.go:1999-2050) over
-    grid-cell clusters: Feature rows assembled with to_json(struct(...))."""
+    grid-cell clusters. The Feature string is assembled from engine-neutral
+    renderings — DECIMAL casts (fixed scale, identical text in Spark and
+    DuckDB) and integer/boolean literals — so the oracle checks the JSON
+    text byte-for-byte; coordinates are the exact cell centers."""
     pts = points_df(spark, sf_dir)
-    cells = (
-        pts.groupBy("cell_x", "cell_y")
-        .agg(
-            F.count(F.lit(1)).alias("point_count"),
-            F.round(F.avg("lng"), 6).alias("lng"),
-            F.round(F.avg("lat"), 6).alias("lat"),
-            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias("value"),
-        )
+    cells = pts.groupBy("cell_x", "cell_y").agg(
+        F.count(F.lit(1)).alias("point_count"),
+        F.sum(F.col("value").cast(DEC)).alias("value"),
     )
-    feature = F.struct(
-        F.lit("Feature").alias("type"),
-        F.struct(
-            F.lit("Point").alias("type"),
-            F.array(F.col("lng"), F.col("lat")).alias("coordinates"),
-        ).alias("geometry"),
-        F.struct(
-            F.col("point_count"), F.col("value"), (F.col("point_count") > 1).alias("cluster")
-        ).alias("properties"),
+    lng_s = (F.col("cell_x") + F.lit(-125) + F.lit(0.5)).cast("decimal(12,6)").cast("string")
+    lat_s = (F.col("cell_y") + F.lit(25) + F.lit(0.5)).cast("decimal(12,6)").cast("string")
+    feature = F.concat(
+        F.lit('{"type":"Feature","geometry":{"type":"Point","coordinates":['),
+        lng_s, F.lit(","), lat_s,
+        F.lit(']},"properties":{"point_count":'),
+        F.col("point_count").cast("string"),
+        F.lit(',"value":'), F.col("value").cast("string"),
+        F.lit(',"cluster":'),
+        F.when(F.col("point_count") > 1, F.lit("true")).otherwise(F.lit("false")),
+        F.lit("}}"),
     )
-    return cells.select(
-        "cell_x", "cell_y", F.to_json(feature).alias("feature")
-    ).orderBy("cell_x", "cell_y")
+    return cells.select("cell_x", "cell_y", feature.alias("feature")).orderBy(
+        "cell_x", "cell_y"
+    )
 
 
 @register(
