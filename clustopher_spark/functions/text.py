@@ -83,6 +83,28 @@ def lang_id(text: Column) -> Column:
     return F.when(best_score == 0, F.lit("und")).otherwise(result)
 
 
+# PII patterns: conservative syntax (char classes, bounded repeats, \b) that
+# Java regex and RE2/DuckDB interpret identically — no lookarounds.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails then phone numbers with typed placeholders — the
+    scrubbing pass a training pipeline runs before publishing a corpus.
+    Pure JVM ``regexp_replace``: runs at scan speed, no Python."""
+    out = F.regexp_replace(text, EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(out, PHONE_RE, "[PHONE]")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in the text."""
+    return (
+        F.regexp_count(text, F.lit(EMAIL_RE)),
+        F.regexp_count(text, F.lit(PHONE_RE)),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 over whitespace-normalized,
     lowercased text (stands in for the reference-free rolling hash)."""

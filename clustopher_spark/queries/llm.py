@@ -6,6 +6,7 @@ fidelity levels, text analysis, similarity search.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from clustopher_spark.functions.dedup import (
     MERSENNE_PRIME,
@@ -26,8 +27,10 @@ from clustopher_spark.functions.text import (
     bpe_ish_token_count,
     fingerprint,
     lang_id,
+    pii_counts,
     punct_ratio,
     quality_score,
+    redact_pii,
     stopword_ratio,
     token_count,
 )
@@ -923,4 +926,197 @@ def llm_multi_signal_near_dups(spark, sf_dir):
             ((F.col("jaccard") >= 0.025) & (F.col("cs_raw") >= 0.4)).alias("both_agree"),
         )
         .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "llm_contamination_check",
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 1)),
+            i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+      FROM docs
+    ), exact AS (
+      SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+             'exact' AS signal, CAST(NULL AS BIGINT) AS n_common_grams
+      FROM docs t JOIN docs e ON t.fp = e.fp
+       AND t.doc_id % 10 < 9 AND e.doc_id % 10 = 9
+    ), ngram AS (
+      SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+             'ngram' AS signal, COUNT(*) AS n_common_grams
+      FROM sh a JOIN sh b ON a.sh = b.sh
+       AND a.doc_id % 10 < 9 AND b.doc_id % 10 = 9
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= 3
+    )
+    SELECT * FROM (SELECT * FROM exact UNION ALL SELECT * FROM ngram)
+    ORDER BY train_id, eval_id, signal
+    """,
+)
+def llm_contamination_check(spark, sf_dir):
+    """Benchmark decontamination: flag training documents that leak into the
+    held-out split (doc_id % 10 == 9), by exact normalized fingerprint and
+    by shared word-3-grams (>= 3). Both signals are hash-bucket equi-joins
+    — fingerprint groupBy and inverted-index gram join — so at 100 TB the
+    eval side (tiny) broadcasts and the corpus is never pairwise-compared.
+    Mirrors the n-gram overlap decontamination procedure used for LLM
+    training sets (GPT-3/PaLM-style), re-expressed as relational ops."""
+    d = table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(
+                            F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) - 3,
+                            F.lit(0),
+                        ),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), i + 1, 3),
+                    ),
+                )
+            )
+        ).alias("sh"),
+    )
+    fps = d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    train_f = fps.filter(F.col("doc_id") % 10 < 9).withColumnsRenamed({"doc_id": "train_id"})
+    eval_f = fps.filter(F.col("doc_id") % 10 == 9).withColumnsRenamed({"doc_id": "eval_id"})
+    exact = (
+        train_f.join(eval_f, "fp")
+        .select(
+            "train_id",
+            "eval_id",
+            F.lit("exact").alias("signal"),
+            F.lit(None).cast("long").alias("n_common_grams"),
+        )
+    )
+    tr = docs.filter(F.col("doc_id") % 10 < 9).select(
+        F.col("doc_id").alias("train_id"), "sh"
+    )
+    ev = docs.filter(F.col("doc_id") % 10 == 9).select(
+        F.col("doc_id").alias("eval_id"), "sh"
+    )
+    ngram = (
+        tr.join(ev, "sh")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_common_grams"))
+        .filter(F.col("n_common_grams") >= 3)
+        .select("train_id", "eval_id", F.lit("ngram").alias("signal"), "n_common_grams")
+    )
+    return exact.unionByName(ngram).orderBy("train_id", "eval_id", "signal")
+
+
+# deterministic PII derivation from the customer key (the synthetic tables
+# carry no contact fields) — same precedent as the spatial points derivation:
+# exact integer/string arithmetic both engines reproduce verbatim.
+_CONTACT_SQL = """
+    SELECT c_custkey AS cust_id,
+           c_name
+           || CASE WHEN c_custkey % 3 = 0
+                   THEN ' <user' || c_custkey || '@example.com>' ELSE '' END
+           || CASE WHEN c_custkey % 4 < 3
+                   THEN ' phone 555-' || (1000 + c_custkey % 9000) ELSE '' END
+           || ' segment ' || c_mktsegment AS contact
+    FROM customer
+"""
+
+
+@register(
+    "llm_pii_redaction",
+    oracle=rf"""
+    WITH cards AS ({_CONTACT_SQL})
+    SELECT cust_id,
+           regexp_replace(
+             regexp_replace(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+             '\b\d{{3}}-\d{{4}}\b', '[PHONE]', 'g') AS redacted,
+           len(regexp_extract_all(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS n_emails,
+           len(regexp_extract_all(contact, '\b\d{{3}}-\d{{4}}\b')) AS n_phones
+    FROM cards ORDER BY cust_id
+    """,
+)
+def llm_pii_redaction(spark, sf_dir):
+    """PII scrubbing before corpus publication: emails and phone numbers
+    replaced with typed placeholders, plus per-document detection counts.
+    Pure JVM regexp passes over the scan — zero shuffles, zero Python — so
+    the redaction sweep runs at full scan bandwidth over 100 TB."""
+    c = table(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.col("c_name"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.lit(" <user"), F.col("c_custkey").cast("string"), F.lit("@example.com>")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("c_custkey") % 4 < 3,
+            F.concat(F.lit(" phone 555-"), (F.lit(1000) + F.col("c_custkey") % 9000).cast("string")),
+        ).otherwise(F.lit("")),
+        F.lit(" segment "),
+        F.col("c_mktsegment"),
+    )
+    cards = c.select(F.col("c_custkey").alias("cust_id"), contact.alias("contact"))
+    n_emails, n_phones = pii_counts(F.col("contact"))
+    return cards.select(
+        "cust_id",
+        redact_pii(F.col("contact")).alias("redacted"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    ).orderBy("cust_id")
+
+
+@register(
+    "llm_sequence_packing",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+      FROM documents
+    ), packed AS (
+      SELECT source, doc_id, n_tok,
+             CAST((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tok) // 512 AS BIGINT) AS pack_id
+      FROM toks
+    )
+    SELECT source, pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed GROUP BY source, pack_id ORDER BY source, pack_id
+    """,
+)
+def llm_sequence_packing(spark, sf_dir):
+    """Sequence packing for training: greedy-fill documents into ~512-token
+    packs in doc_id order (a document whose start offset crosses a pack
+    boundary spills into the next pack — the deterministic streaming-pack
+    rule). Packing is per ``source`` shard: the window partitions by
+    source, so at 100 TB each shard packs independently in parallel instead
+    of forcing one global ordered window."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", token_count(F.col("text")).alias("n_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512).cast("long"),
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "pack_id")
     )

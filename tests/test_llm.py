@@ -383,3 +383,63 @@ def test_multimodal_with_real_codecs(spark):
     # louder sine -> higher RMS, in the right ballpark
     rms = [feats[i].rms for i in range(4)]
     assert rms == sorted(rms) and abs(rms[0] - 3000 / 32768 / np.sqrt(2)) < 1e-3
+
+
+def test_redact_pii_fixtures(spark):
+    from clustopher_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        ("contact jane.doe+spam@mail.example.co or 555-0199 x2",),
+        ("no pii here at all",),
+        ("two mails a@b.io c.d@e.org and 123-4567",),
+    ]
+    df = spark.createDataFrame(rows, ["t"])
+    n_e, n_p = pii_counts(F.col("t"))
+    out = df.select(
+        redact_pii(F.col("t")).alias("r"), n_e.alias("ne"), n_p.alias("np")
+    ).collect()
+    assert out[0].r == "contact [EMAIL] or [PHONE] x2"
+    assert (out[0].ne, out[0].np) == (1, 1)
+    assert out[1].r == "no pii here at all" and out[1].ne == 0 and out[1].np == 0
+    assert out[2].r == "two mails [EMAIL] [EMAIL] and [PHONE]"
+    assert (out[2].ne, out[2].np) == (2, 1)
+
+
+def test_portable_hash_matches_duckdb(spark):
+    """The 60-bit md5 hash — the one cross-engine primitive every portable
+    pipeline (minhash/simhash oracles) rests on — must agree with DuckDB."""
+    import duckdb
+
+    from clustopher_spark.functions.dedup import portable_hash60
+
+    words = ["table", "scan window", "a", "", "batch join merge", "号"]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = {r.w: r.h for r in df.select("w", portable_hash60(F.col("w")).alias("h")).collect()}
+    con = duckdb.connect()
+    for w in words:
+        (exp,) = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [w]
+        ).fetchone()
+        assert got[w] == exp, w
+
+
+def test_sequence_packing_conserves_tokens(spark):
+    from clustopher_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    packs = QUERIES["llm_sequence_packing"](spark, sf).collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_docs = docs.count()
+    total_tokens = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("s")
+    ).collect()[0].s
+    assert sum(p.n_docs for p in packs) == n_docs
+    assert sum(p.n_tokens for p in packs) == total_tokens
+    # packs fill in doc order: within a source, first_doc ranges never overlap
+    by_src = {}
+    for p in packs:
+        by_src.setdefault(p.source, []).append(p)
+    for src, ps in by_src.items():
+        ps.sort(key=lambda p: p.pack_id)
+        for a, b in zip(ps, ps[1:]):
+            assert a.last_doc < b.first_doc
