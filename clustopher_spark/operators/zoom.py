@@ -105,12 +105,108 @@ def _cluster_level_local(
     return out
 
 
+def _chain_levels_local(
+    pdf: pd.DataFrame, zooms: list[int], metric_cols: list[str], opts: ClusterOptions
+) -> pd.DataFrame:
+    """Run a descending chain of pyramid levels over one frame in numpy,
+    feeding each level's clusters into the next (the closure property the
+    whole pyramid rests on). Shared by the driver-side tail and the fused
+    distributed pass — one implementation, one behavior."""
+    frames = []
+    for z in zooms:
+        out = _cluster_level_local(pdf, z, metric_cols, opts)
+        frames.append(out.assign(zoom=z))
+        pdf = out.rename(
+            columns={"cluster_id": "id", "point_count": "num_points",
+                     **{f"sum_{m}": m for m in metric_cols}}
+        )[["id", "lng", "lat", "num_points", *metric_cols]]
+    return pd.concat(frames, ignore_index=True)
+
+
+def _fuse_cut(opts: ClusterOptions, parts: int) -> int:
+    """Coarsest zoom whose supercell grid still offers >= 4x ``parts``
+    cells — the fused pass partitions on that grid, so this keeps the
+    single kernel stage at full parallelism."""
+    z = opts.min_zoom
+    while (
+        z < opts.max_zoom
+        and (2**z * opts.extent / opts.supercell_size) ** 2 < 4 * parts
+    ):
+        z += 1
+    return z
+
+
+def fused_zoom_pass(
+    points: DataFrame,
+    zooms: list[int],
+    metric_cols: list[str] | None = None,
+    opts: ClusterOptions = ClusterOptions(),
+    parallelism: int | None = None,
+) -> DataFrame:
+    """All levels in ``zooms`` (descending, contiguous) in ONE shuffle and
+    ONE Python boundary.
+
+    Partition by the supercell grid of the COARSEST chained level:
+    projected coords halve per zoom step (px_{z-1} = px_z / 2), so a
+    supercell at z-1 is exactly a union of supercells at z — every finer
+    level's cells are whole inside a partition, and the per-level kernel
+    runs are identical to the level-at-a-time plan (pinned by test). The
+    level-at-a-time build shuffles + Arrow-transfers the (barely shrinking)
+    point set once per sparse zoom; this pass pays both costs once total,
+    and the in-kernel chain shrinks the frame as levels merge.
+
+    Scale note: a partition holds every chained level's rows for its cells,
+    so the memory envelope is input_rows/parts x chain depth — at 100 TB
+    size ``parts`` accordingly. Known skew caveat: one dense metro area in
+    a single coarse cell serializes onto one task; pass ``fuse=False`` to
+    ``materialize_zoom_levels`` (level-at-a-time + hierarchical pre-pass)
+    when the data is pathologically concentrated.
+    """
+    from clustopher_spark.plans.projection import project_cols
+
+    metric_cols = metric_cols or []
+    spark = points.sparkSession
+    z_lo = zooms[-1]
+    px, py = project_cols(F.col("lng"), F.col("lat"), z_lo, opts.extent)
+    size = opts.supercell_size
+    src = points
+    if "num_points" not in src.columns:
+        src = src.withColumn("num_points", F.lit(1).cast("long"))
+    binned = (
+        src.select("id", "lng", "lat", "num_points", *metric_cols)
+        .withColumn("scx", F.floor(px / F.lit(size)))
+        .withColumn("scy", F.floor(py / F.lit(size)))
+    )
+    parts = parallelism or max(spark.sparkContext.defaultParallelism, 8)
+    binned = binned.repartition(parts, "scx", "scy")
+    metric_schema = "".join(f", sum_{m} double" for m in metric_cols)
+    schema = (
+        "cluster_id long, lng double, lat double, point_count long,"
+        f" num_members long, is_cluster boolean{metric_schema}, zoom int"
+    )
+    out_cols = [
+        "cluster_id", "lng", "lat", "point_count", "num_members", "is_cluster",
+        *[f"sum_{m}" for m in metric_cols], "zoom",
+    ]
+    chain, mcols, o = list(zooms), list(metric_cols), opts
+
+    def run_partition(batches):
+        frames = [b for b in batches]
+        if not frames:
+            return
+        pdf = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+        yield _chain_levels_local(pdf, chain, mcols, o)[out_cols]
+
+    return binned.mapInPandas(run_partition, schema=schema)
+
+
 def materialize_zoom_levels(
     points: DataFrame,
     metric_cols: list[str] | None = None,
     opts: ClusterOptions = ClusterOptions(),
     cache_levels: bool = True,
     local_tail_threshold: int = 100_000,
+    fuse: bool = True,
 ) -> DataFrame:
     """Build the full ``zoom_levels`` table: one cluster set per zoom.
 
@@ -130,19 +226,33 @@ def materialize_zoom_levels(
     current = points
     n_rows: int | None = None  # unknown for the raw input; known post-checkpoint
     zooms = list(range(opts.max_zoom, opts.min_zoom - 1, -1))
-    for idx, zoom in enumerate(zooms):
+    start = 0
+    if fuse and cache_levels and len(zooms) > 1:
+        z_cut = _fuse_cut(opts, default_par)
+        chain = [z for z in zooms if z >= z_cut]
+        if len(chain) > 1:
+            fused = fused_zoom_pass(points, chain, metric_cols, opts)
+            # checkpoint once: the union, the z_cut re-read below, and any
+            # downstream consumer all reuse the materialized pass
+            fused = fused.localCheckpoint(eager=True)
+            levels.append(fused)
+            lowest = fused.filter(F.col("zoom") == z_cut)
+            n_rows = lowest.count()
+            current = lowest.select(
+                F.col("cluster_id").alias("id"),
+                "lng",
+                "lat",
+                F.col("point_count").alias("num_points"),
+                *[F.col(f"sum_{m}").alias(m) for m in metric_cols],
+            )
+            start = len(chain)
+    for idx, zoom in enumerate(zooms[start:], start):
         if n_rows is not None and n_rows <= local_tail_threshold:
             # ---- driver-side tail: finish the pyramid in one numpy pass ----
             pdf = current.toPandas()
-            frames = []
-            for z in zooms[idx:]:
-                out = _cluster_level_local(pdf, z, metric_cols, opts)
-                frames.append(out.assign(zoom=z))
-                pdf = out.rename(
-                    columns={"cluster_id": "id", "point_count": "num_points",
-                             **{f"sum_{m}": m for m in metric_cols}}
-                )[["id", "lng", "lat", "num_points", *metric_cols]]
-            tail = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+            tail = spark.createDataFrame(
+                _chain_levels_local(pdf, zooms[idx:], metric_cols, opts)
+            )
             levels.append(tail)
             break
         # scale kernel parallelism to the level size: upper levels shrink

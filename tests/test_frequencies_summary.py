@@ -245,3 +245,31 @@ def test_incremental_pyramid_equals_full_rebuild(spark):
         )
     a, b = canon(incremental), canon(full)
     assert len(a) == len(b) and a == b
+
+
+def test_fused_pass_matches_level_at_a_time(spark):
+    # The fused single-boundary pyramid pass must produce the same pyramid
+    # as the level-at-a-time plan (supercell nesting argument), up to float
+    # associativity in the weighted-centroid sums (partition composition
+    # differs, so summation order may differ).
+    rows = [
+        (i, -120.0 + (i % 83) * 0.31, 28.0 + ((i * 13) % 59) * 0.29, float(i % 11))
+        for i in range(1, 3001)
+    ]
+    df = spark.createDataFrame(rows, "id long, lng double, lat double, value double")
+    opts = ClusterOptions(radius=60.0, min_points=2, max_zoom=9)
+
+    def canon(zl):
+        return sorted(
+            (r.zoom, r.cluster_id, round(r.lng, 9), round(r.lat, 9), r.point_count,
+             r.num_members, bool(r.is_cluster), round(r.sum_value, 6))
+            for r in zl.collect()
+        )
+
+    fused = canon(
+        materialize_zoom_levels(df, ["value"], opts, local_tail_threshold=0, fuse=True)
+    )
+    unfused = canon(
+        materialize_zoom_levels(df, ["value"], opts, local_tail_threshold=0, fuse=False)
+    )
+    assert fused == unfused
