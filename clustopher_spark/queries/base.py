@@ -63,13 +63,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (runtime-settable)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) parquet read via nanosAsLong: truncate to the
-        # microsecond precision Spark timestamps carry. Oracle SQL applies
-        # the matching date_trunc('microseconds', ts) (EVENTS_US_SQL).
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) parquet read via nanosAsLong: truncate to the
+            # microsecond precision Spark timestamps carry. Oracle SQL applies
+            # the matching date_trunc('microseconds', ts) (EVENTS_US_SQL).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet infers as NTZ;
+            # event-time ops (watermarks, window()) require LTZ. Session tz is
+            # pinned to UTC so the cast is value-preserving and deterministic.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -19,19 +19,39 @@ EVENTS_SCHEMA = (
 )
 
 
+def _events_ts_unit(path: str) -> str:
+    """Physical unit of the ``ts`` column ("ns"/"us"/"ms"/"s").
+
+    The driver's generator has emitted both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) parquet across rounds; the streaming source needs a
+    declared schema up front, so probe one footer instead of assuming.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    f = path
+    if os.path.isdir(path):
+        f = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+    t = pq.read_schema(f).field("ts").type
+    return getattr(t, "unit", "us")
+
+
 def stream_events(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """File-source stream over an events parquet directory.
 
-    (The driver's single events.parquet carries TIMESTAMP(NANOS), which the
-    streaming parquet source reads as long under nanosAsLong — convert.)
+    TIMESTAMP(NANOS) parquet is only readable as long (nanosAsLong) and
+    needs an explicit truncation to Spark's microsecond timestamps; other
+    units read natively as timestamp.
     """
     import os
 
-    reader = spark.readStream.schema(
-        EVENTS_SCHEMA.replace("ts timestamp", "ts long")
-    )
+    nanos = _events_ts_unit(path) == "ns"
+    schema = EVENTS_SCHEMA.replace("ts timestamp", "ts long") if nanos else EVENTS_SCHEMA
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if os.path.isfile(path):
@@ -39,7 +59,9 @@ def stream_events(
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
