@@ -60,8 +60,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up: JVM/codegen startup and Python-worker pool spawn (the pandas
-    # kernels fork one worker per core on first use) aren't billed to queries
-    spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    # kernels fork one worker per core on first use) aren't billed to queries.
+    # Aggregate real columns (count() alone reads only parquet footers) so the
+    # OS page cache and codec paths are warm like a serving engine's would be.
+    for t in ("orders", "lineitem", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").agg(F.count(F.lit(1))).collect()
     import pandas as pd  # noqa: F401
 
     warm = spark.range(0, 1024, 1, 32).withColumn("g", F.col("id") % 32)
@@ -73,7 +76,7 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         best, n = None, 0
-        for _ in range(2):  # best-of-2: damps scheduler/GC noise
+        for _ in range(3):  # best-of-3: steady-state, damps scheduler/GC noise
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             n = df.count()
