@@ -97,3 +97,63 @@ def salted_aggregate(
         merge = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}[how]
         stage2_aggs.append(merge(f"_p_{col}").alias(f"{how}_{col}"))
     return stage1.groupBy(*key_cols).agg(*stage2_aggs)
+
+
+# --- small-file compaction ----------------------------------------------------
+
+def parquet_dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) for a parquet directory, via the Hadoop
+    FileSystem API so it works identically on local paths, HDFS, and object
+    stores (where the small-file problem actually bites)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    n, total = 0, 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue  # _SUCCESS, checksums, metadata
+        n += 1
+        total += st.getLen()
+    return n, total
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Maintenance compaction for a fragmented parquet directory — the
+    operation every long-lived 100 TB table needs after streaming /
+    incremental appends produce thousands of KB-sized files (each file
+    costs a scan task + an object-store GET, so read parallelism collapses
+    into scheduling overhead).
+
+    Sizes output from the ACTUAL on-disk byte count, not row count:
+    ``n_out = ceil(total_bytes / target_file_bytes)``.
+
+    Two modes, chosen by ``sort_cols``:
+    * None — ``coalesce(n_out)``: a NARROW dependency, zero shuffle; each
+      output task concatenates whole input splits. The cheapest possible
+      rewrite and the default for pure bin-packing.
+    * sort columns given — ``repartitionByRange(n_out, *sort_cols)`` +
+      ``sortWithinPartitions``: one range shuffle that also restores
+      clustering, so per-file min/max statistics become disjoint and
+      data-skipping works again (the same reason ``catalog.save`` Z-orders).
+
+    Returns the number of output data files written.
+    """
+    df = spark.read.parquet(path)
+    _, total = parquet_dir_stats(spark, path)
+    n_out = max(1, -(-total // target_file_bytes))
+    if sort_cols:
+        df = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        df = df.coalesce(n_out)
+    df.write.mode("overwrite").parquet(out_path)
+    n_files, _ = parquet_dir_stats(spark, out_path)
+    return n_files

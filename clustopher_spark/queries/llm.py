@@ -1120,3 +1120,69 @@ def llm_sequence_packing(spark, sf_dir):
         )
         .orderBy("source", "pack_id")
     )
+
+
+@register(
+    "llm_doc_chunking",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(trim(text), '\s+') AS tok,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, source, tok, n_tok,
+             unnest(generate_series(0, n_tok - 1, 48)) AS start_tok
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(start_tok // 48 AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(LEAST(64, n_tok - start_tok) AS BIGINT) AS chunk_len,
+           md5(array_to_string(tok[start_tok + 1 : start_tok + LEAST(64, n_tok - start_tok)], ' ')) AS chunk_md5
+    FROM starts
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def llm_doc_chunking(spark, sf_dir):
+    """Sliding-window document chunking (chunk 64 tokens, stride 48 — 16-token
+    overlap), the standard shape for embedding/RAG corpus prep.  All JVM-side:
+    ``split`` tokenizes once, ``sequence()`` generates the per-doc start
+    offsets, ``explode`` fans out chunk rows, ``slice``+``array_join``
+    materialize each window.  No Python boundary, no shuffle at all — chunking
+    is embarrassingly parallel per input split, so at 100 TB this runs as a
+    pure map stage at scan parallelism (row explosion stays bounded by
+    stride/chunk ratio ~1.33x tokens)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), r"\s+").alias("tok"),
+    ).withColumn("n_tok", F.size("tok"))
+    # n_tok >= 1 always holds after split (even '' tokenizes to ['']), but the
+    # guard keeps sequence() boundaries legal if an upstream source ever
+    # yields a null/empty token array.
+    toks = toks.filter(F.col("n_tok") >= 1)
+    chunks = toks.select(
+        "doc_id",
+        "tok",
+        "n_tok",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_tok") - 1, F.lit(48))
+        ).alias("start_tok"),
+    )
+    chunk_len = F.least(F.lit(64), F.col("n_tok") - F.col("start_tok"))
+    return (
+        chunks.select(
+            "doc_id",
+            F.floor(F.col("start_tok") / 48).cast("long").alias("chunk_idx"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            chunk_len.cast("long").alias("chunk_len"),
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("tok"), F.col("start_tok") + 1, chunk_len),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -117,3 +117,59 @@ def test_hot_supercell_skew_bounded(spark):
     # generous wall bound: catches an accidental O(n^2) regression (which
     # would take minutes), not scheduler noise
     assert dt < 60, f"hot-supercell query took {dt:.1f}s"
+
+
+def test_compaction_coalesce_no_shuffle(spark, tmp_path):
+    from clustopher_spark.operators.scale import compact_small_files, parquet_dir_stats
+
+    src = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    # 64 tiny files — the post-streaming-append pathology
+    spark.range(0, 100_000).withColumn("v", F.col("id") * 2).repartition(64).write.parquet(src)
+    n_in, total = parquet_dir_stats(spark, src)
+    assert n_in == 64
+    # target ~ half the data per file -> expect exactly 2 output files
+    n_out = compact_small_files(spark, src, out, target_file_bytes=(total + 1) // 2)
+    assert n_out == 2
+    got = spark.read.parquet(out)
+    assert got.count() == 100_000
+    assert got.agg(F.sum("v")).first()[0] == 2 * (99_999 * 100_000 // 2)
+    # coalesce mode must not shuffle
+    df = spark.read.parquet(src).coalesce(2)
+    assert "Exchange" not in _plan(df)
+
+
+def test_compaction_sorted_restores_skipping(spark, tmp_path):
+    from clustopher_spark.operators.scale import compact_small_files
+
+    src = str(tmp_path / "frag_sorted")
+    out = str(tmp_path / "compact_sorted")
+    # keys scattered round-robin across files -> every file spans the full
+    # key range and min/max skipping is useless
+    spark.range(0, 50_000).withColumn("k", (F.col("id") * 37) % 50_000).repartition(32).write.parquet(src)
+    compact_small_files(spark, src, out, target_file_bytes=1, sort_cols=["k"])
+    # range-partitioned output: per-file key ranges must be (near-)disjoint —
+    # assert every file's span is far below the full range
+    import pyarrow.parquet as pq
+    import glob
+
+    spans = []
+    for f in glob.glob(out + "/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo = min(
+            md.row_group(i).column(c).statistics.min
+            for i in range(md.num_row_groups)
+            for c in range(md.num_columns)
+            if md.schema.column(c).name == "k"
+        )
+        hi = max(
+            md.row_group(i).column(c).statistics.max
+            for i in range(md.num_row_groups)
+            for c in range(md.num_columns)
+            if md.schema.column(c).name == "k"
+        )
+        spans.append((lo, hi))
+    assert len(spans) > 1
+    spans.sort()
+    overlaps = sum(1 for a, b in zip(spans, spans[1:]) if b[0] <= a[1])
+    assert overlaps == 0, spans
