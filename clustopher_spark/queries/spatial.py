@@ -366,3 +366,121 @@ def spatial_haversine_distance(spark, sf_dir):
         )
         .orderBy("cell_x")
     )
+
+
+_HAVERSINE_KM_SQL = """
+      2 * 6371.0 * asin(sqrt(
+        pow(sin(radians(lat - 40.0) / 2), 2)
+        + cos(radians(40.0)) * cos(radians(lat))
+          * pow(sin(radians(lng - (-100.0)) / 2), 2)
+      ))
+"""
+
+
+@register(
+    "spatial_knn_query",
+    oracle=f"""
+    WITH pts AS ({POINTS_SQL})
+    SELECT id, lng, lat, ROUND({_HAVERSINE_KM_SQL}, 4) AS km
+    FROM pts
+    ORDER BY {_HAVERSINE_KM_SQL}, id
+    LIMIT 25
+    """,
+)
+def spatial_knn_query(spark, sf_dir):
+    """k nearest points to an anchor (-100, 40) by great-circle distance —
+    the reference's KD-tree range/nearest query surface
+    (cluster/cluster.go:2151-2212) re-expressed distributively.  No index
+    build and no global sort: ``orderBy(...).limit(k)`` plans as
+    TakeOrderedAndProject, a per-partition top-k heap plus a k-row driver
+    merge, so at 100 TB every scan task keeps 25 rows and the shuffle is
+    k*n_partitions rows, not the table.  Ties broken by id (duplicate
+    coordinates exist by construction)."""
+    pts = points_df(spark, sf_dir)
+    km = (
+        F.lit(2 * 6371.0)
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("lat") - 40.0) / 2), 2)
+                + F.cos(F.radians(F.lit(40.0)))
+                * F.cos(F.radians(F.col("lat")))
+                * F.pow(F.sin(F.radians(F.col("lng") - (-100.0)) / 2), 2)
+            )
+        )
+    )
+    return (
+        pts.select("id", "lng", "lat", km.alias("_km"))
+        .orderBy("_km", "id")
+        .limit(25)
+        .select("id", "lng", "lat", F.round(F.col("_km"), 4).alias("km"))
+    )
+
+
+def _quadkey_digits_sql(zoom: int) -> str:
+    """Quadkey as SQL string concat: digit i = tx bit + 2*ty bit."""
+    parts = [
+        f"CAST(((tx // {1 << (zoom - i)}) % 2) + 2 * ((ty // {1 << (zoom - i)}) % 2) AS VARCHAR)"
+        for i in range(1, zoom + 1)
+    ]
+    return " || ".join(parts)
+
+
+@register(
+    "spatial_tile_quadkeys",
+    oracle=f"""
+    WITH pts AS ({POINTS_SQL}),
+    tiles AS (
+      SELECT CAST(floor((lng + 180.0) / 360.0 * 1024.0) AS BIGINT) AS tx,
+             CAST(floor((0.5 - 0.25 * ln((1.0 + sin(radians(lat)))
+                   / (1.0 - sin(radians(lat)))) / pi()) * 1024.0) AS BIGINT) AS ty,
+             value
+      FROM pts)
+    SELECT {_quadkey_digits_sql(10)} AS quadkey,
+           tx, ty, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM tiles GROUP BY tx, ty ORDER BY tx, ty
+    """,
+)
+def spatial_tile_quadkeys(spark, sf_dir):
+    """Slippy-map tile aggregation at zoom 10 with Bing-style quadkey
+    addressing — the serving-tier partition key for map tiles (each zoom-z
+    tile's key is its zoom-(z-1) parent's key plus one digit, so prefix
+    ranges ARE pyramid subtrees; partitioning/bucketing by quadkey
+    co-locates every ancestor chain).  Tile math is the same Web-Mercator
+    used by projectFast (plans/projection.py); the quadkey is built from
+    integer bit arithmetic after one floor, so the oracle matches exactly.
+    One shuffle (the tile groupBy)."""
+    pts = points_df(spark, sf_dir)
+    z = 10
+    n_tiles = F.lit(float(1 << z))
+    lat_r = F.radians(F.col("lat"))
+    tx = F.floor((F.col("lng") + 180.0) / 360.0 * n_tiles).cast("long")
+    ty = F.floor(
+        (
+            F.lit(0.5)
+            - F.lit(0.25)
+            * F.log((F.lit(1.0) + F.sin(lat_r)) / (F.lit(1.0) - F.sin(lat_r)))
+            / F.lit(3.141592653589793)
+        )
+        * n_tiles
+    ).cast("long")
+    tiles = pts.select(tx.alias("tx"), ty.alias("ty"), "value")
+    digits = [
+        (
+            (F.col("tx") / F.lit(1 << (z - i))).cast("long") % 2
+            + 2 * ((F.col("ty") / F.lit(1 << (z - i))).cast("long") % 2)
+        ).cast("string")
+        for i in range(1, z + 1)
+    ]
+    return (
+        tiles.groupBy("tx", "ty")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.concat(*digits).alias("quadkey"),
+            "tx", "ty", "n", "sum_value",
+        )
+        .orderBy("tx", "ty")
+    )
