@@ -189,6 +189,32 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # streaming drain: file source -> watermarked tumbling agg -> memory
+    # sink with trigger(availableNow) — the end-to-end micro-batch path
+    # (state store + watermark bookkeeping included), reported so streaming
+    # throughput is visible round-over-round alongside the batch numbers.
+    from clustopher_spark.streaming.windows import (
+        run_available_now,
+        stream_events,
+        tumbling_counts_stream,
+    )
+
+    n_ev = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    t0 = time.perf_counter()
+    q = run_available_now(
+        tumbling_counts_stream(stream_events(spark, f"{SF_DIR}/events.parquet")),
+        "bench_stream_tumbling",
+    )
+    dt = time.perf_counter() - t0
+    n_out = spark.table("bench_stream_tumbling").count()
+    q.stop()
+    timings["streaming_tumbling_drain"] = round(dt, 3)
+    print(
+        f"# streaming_tumbling_drain: {dt:.3f}s ({n_ev} events -> {n_out} windows,"
+        f" {n_ev / dt:,.0f} events/s)",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

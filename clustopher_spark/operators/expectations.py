@@ -1,0 +1,44 @@
+"""Data-quality expectations: declarative rule audit over any DataFrame.
+
+The pipeline-gate operator a 100 TB ingest needs before training data is
+blessed: N predicate rules are evaluated in ONE scan (each rule is a
+``sum(case when violated)`` — map-side partial aggregation, no shuffle of
+row data, one 1-row partial per task), then pivoted to long form with a
+zero-row ``stack``. Referential rules (key exists in a dimension) are
+expressed by the caller as a pre-joined column (broadcast anti-join side
+channel) so the audit itself stays single-pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def expectations_audit(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Audit ``df`` against named expectations.
+
+    rules: {rule_name: boolean Column that is True when the row PASSES}.
+    Returns one row per rule: (rule, n_violations, n_rows, violation_rate)
+    with the rate rounded to 6 decimals.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, pred in rules.items():
+        # NULL predicate result counts as a violation (three-valued logic
+        # must not silently pass nulls)
+        aggs.append(
+            F.sum(F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)).alias(
+                f"_v_{name}"
+            )
+        )
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(f"'{name}', _v_{name}" for name in rules)
+    long = wide.selectExpr(
+        f"stack({len(rules)}, {stack_args}) as (rule, n_violations)", "_n as n_rows"
+    )
+    return long.select(
+        "rule",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(F.col("n_violations") / F.col("n_rows"), 6).alias("violation_rate"),
+    )

@@ -1186,3 +1186,51 @@ def llm_doc_chunking(spark, sf_dir):
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@register(
+    "llm_weighted_sample",
+    oracle=r"""
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars,
+             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 9007199254740992 + 1) / 9007199254740993.0) / n_chars AS ares_key
+      FROM documents
+      WHERE n_chars > 0
+    ), ranked AS (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ares_key DESC, doc_id) AS sample_rank
+      FROM keyed
+    )
+    SELECT lang, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id, n_chars
+    FROM ranked WHERE sample_rank <= 5
+    ORDER BY lang, sample_rank
+    """,
+)
+def llm_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-Res):
+    5 docs per language, selection probability proportional to ``n_chars``.
+    The uniform draw is a PORTABLE HASH of the doc id (not ``rand()``), so
+    the sample is (a) deterministic and replayable by the SQL oracle
+    bit-for-bit, and (b) stable under re-partitioning and retries — the
+    property that makes sampling reproducible on a 1000-executor cluster
+    where ``rand()`` would resample per task attempt.  Key = ln(u)/w,
+    top-k per stratum by window rank: one shuffle on lang, no global
+    materialization."""
+    from clustopher_spark.functions.dedup import portable_hash60
+
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.pmod(portable_hash60(F.col("doc_id").cast("string")), F.lit(9007199254740992))
+        + 1
+    ) / F.lit(9007199254740993.0)
+    keyed = d.select(
+        "lang", "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("ares_key")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("ares_key"), "doc_id")
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= 5)
+        .select("lang", "sample_rank", "doc_id", "n_chars")
+        .orderBy("lang", "sample_rank")
+    )

@@ -200,3 +200,61 @@ def agg_grouping_sets(spark, sf_dir):
         ORDER BY l_returnflag NULLS FIRST, l_suppkey NULLS FIRST
         """
     )
+
+
+def _expectation_rules_sql() -> str:
+    rules = {
+        "custkey_in_customer": "_ck IS NOT NULL",
+        "custkey_not_null": "o_custkey IS NOT NULL",
+        "orderdate_in_range": "o_orderdate BETWEEN DATE '1992-01-01' AND DATE '1998-12-31'",
+        "priority_format": "regexp_matches(o_orderpriority, '^[1-5]-')",
+        "status_valid": "o_orderstatus IN ('O', 'F', 'P')",
+        "totalprice_positive": "o_totalprice > 0",
+    }
+    viol = ",\n        ".join(
+        f"SUM(CASE WHEN COALESCE({pred}, FALSE) THEN 0 ELSE 1 END) AS v_{i}"
+        for i, pred in enumerate(rules.values())
+    )
+    arms = "\n    UNION ALL ".join(
+        f"SELECT '{name}' AS rule, CAST(v_{i} AS BIGINT) AS n_violations, n_rows, "
+        f"ROUND(v_{i} / n_rows, 6) AS violation_rate FROM agg"
+        for i, name in enumerate(rules)
+    )
+    return f"""
+    WITH j AS (
+      SELECT o.*, c.c_custkey AS _ck
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        {viol}
+      FROM j
+    )
+    {arms}
+    ORDER BY rule
+    """
+
+
+@register("stats_quality_expectations", oracle=_expectation_rules_sql())
+def stats_quality_expectations(spark, sf_dir):
+    """Declarative data-quality gate over ``orders``: six expectations
+    (null / range / set-membership / regex / positivity / referential
+    integrity against ``customer``) audited in ONE scan via
+    ``operators.expectations.expectations_audit`` — each rule is a
+    map-side conditional sum, the referential rule rides a broadcast left
+    join, and the long-form result comes from a zero-cost ``stack`` over
+    the single 1-row aggregate. The 100 TB shape: no shuffle of row data,
+    ever."""
+    from clustopher_spark.operators.expectations import expectations_audit
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("_ck"))
+    j = o.join(F.broadcast(c), o.o_custkey == F.col("_ck"), "left")
+    rules = {
+        "custkey_in_customer": F.col("_ck").isNotNull(),
+        "custkey_not_null": F.col("o_custkey").isNotNull(),
+        "orderdate_in_range": F.col("o_orderdate").between("1992-01-01", "1998-12-31"),
+        "priority_format": F.col("o_orderpriority").rlike("^[1-5]-"),
+        "status_valid": F.col("o_orderstatus").isin("O", "F", "P"),
+        "totalprice_positive": F.col("o_totalprice") > 0,
+    }
+    return expectations_audit(j, rules).orderBy("rule")
