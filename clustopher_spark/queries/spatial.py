@@ -484,3 +484,69 @@ def spatial_tile_quadkeys(spark, sf_dir):
         )
         .orderBy("tx", "ty")
     )
+
+
+@register(
+    "spatial_geofence_join",
+    oracle=f"""
+    WITH pts AS ({POINTS_SQL}),
+    fences AS (
+      SELECT n_nationkey AS fence_id,
+             -125 + (n_nationkey % 5) * 12 AS west,
+             -125 + (n_nationkey % 5) * 12 + 10 AS east,
+             25 + (n_nationkey // 5) * 4 AS south,
+             25 + (n_nationkey // 5) * 4 + 4 AS north
+      FROM nation
+    )
+    SELECT f.fence_id, COUNT(*) AS n_points,
+           CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM pts p JOIN fences f
+      ON p.lng >= f.west AND p.lng < f.east
+     AND p.lat >= f.south AND p.lat < f.north
+    GROUP BY f.fence_id ORDER BY f.fence_id
+    """,
+)
+def spatial_geofence_join(spark, sf_dir):
+    """Point-in-polygon (geofence) join — 25 rectangular fences derived from
+    ``nation`` — decomposed the scalable way: the naive range join is a
+    BroadcastNestedLoopJoin (every point tested against every fence; at
+    100 TB that is points x fences work), so instead each fence EXPLODES to
+    the integer grid cells it covers (tiny: fences x cells-per-fence rows)
+    and the join becomes a broadcast HASH join on (cell_x, cell_y) —
+    per-point work is one hash probe, independent of fence count.  Fence
+    bounds are integer degrees and membership is half-open
+    ([west, east) x [south, north)), so cell coverage is exact and the
+    DuckDB oracle — which runs the naive theta join — must agree row for
+    row.  The residual BETWEEN refinement stays in the join condition for
+    the general (non-aligned) case."""
+    pts = points_df(spark, sf_dir)
+    n = table(spark, sf_dir, "nation")
+    fences = n.select(
+        F.col("n_nationkey").alias("fence_id"),
+        (F.lit(-125) + (F.col("n_nationkey") % 5) * 12).alias("west"),
+        (F.lit(-115) + (F.col("n_nationkey") % 5) * 12).alias("east"),
+        (F.lit(25) + F.expr("n_nationkey div 5") * 4).alias("south"),
+        (F.lit(29) + F.expr("n_nationkey div 5") * 4).alias("north"),
+    )
+    # fence -> covered 1-degree cells (cell_x = lng - (-125), cell_y = lat - 25
+    # for integer-degree bounds; half-open so the east/north edge cells are
+    # excluded exactly like the membership predicate)
+    covered = fences.select(
+        "fence_id", "west", "east", "south", "north",
+        F.explode(F.sequence(F.col("west") + 125, F.col("east") + 125 - 1)).alias("cell_x"),
+    ).select(
+        "fence_id", "west", "east", "south", "north", "cell_x",
+        F.explode(F.sequence(F.col("south") - 25, F.col("north") - 25 - 1)).alias("cell_y"),
+    )
+    j = pts.join(F.broadcast(covered), ["cell_x", "cell_y"]).filter(
+        (F.col("lng") >= F.col("west")) & (F.col("lng") < F.col("east"))
+        & (F.col("lat") >= F.col("south")) & (F.col("lat") < F.col("north"))
+    )
+    return (
+        j.groupBy("fence_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .orderBy("fence_id")
+    )
