@@ -42,6 +42,12 @@ def _window_priority(name: str) -> int:
     """
     if name not in ORACLES:
         return 4
+    if name == "stats_linear_regression":
+        # demoted from tier 0 in round 2: the flagship families grew to
+        # exactly 50 oracles, and keeping this gallery query in tier 0
+        # would push the window_gaps_islands re-check (round-1 FAIL) out
+        # of the driver's 50-query window
+        return 2
     if name.startswith(("spatial_", "llm_", "events_", "stats_")):
         return 0
     if name == "window_gaps_islands":
