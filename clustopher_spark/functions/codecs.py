@@ -129,6 +129,101 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
 
 
 # --------------------------------------------------------------------------
+# AVI (RIFF container, uncompressed 24-bit DIB frames)
+# --------------------------------------------------------------------------
+
+_AVIH = struct.Struct("<IIIIIIIIII4I")  # 56-byte MainAVIHeader
+_STRH = struct.Struct("<4s4sIHHIIIIIIII4H")  # 56-byte AVIStreamHeader
+
+
+def encode_avi(frames: list, fps: int = 10) -> bytes:
+    """List of (H, W, 3) uint8 RGB frames (same shape) -> uncompressed AVI
+    bytes ('DIB ' video stream: BGR bottom-up scanlines, 4-byte row
+    padding, one '00db' chunk per frame)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    arr0 = np.asarray(frames[0], dtype=np.uint8)
+    h, w = arr0.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = stride * h
+
+    def dib(frame: np.ndarray) -> bytes:
+        a = np.asarray(frame, dtype=np.uint8)
+        if a.shape != arr0.shape:
+            raise ValueError("all frames must share one shape")
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)
+        return rows.tobytes()
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return struct.pack("<4sI", tag, len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(tag: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", tag + body)
+
+    avih = chunk(
+        b"avih",
+        _AVIH.pack(
+            1_000_000 // fps, frame_bytes * fps, 0, 0x10, len(frames), 0, 1,
+            frame_bytes, w, h, 0, 0, 0, 0,
+        ),
+    )
+    strh = chunk(
+        b"strh",
+        _STRH.pack(
+            b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, len(frames), frame_bytes,
+            0xFFFFFFFF, 0, 0, 0, w, h,
+        ),
+    )
+    strf = chunk(
+        b"strf",
+        _BMP_INFO_HDR.pack(_BMP_INFO_HDR.size, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0),
+    )
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+    riff_body = b"AVI " + hdrl + movi
+    return struct.pack("<4sI", b"RIFF", len(riff_body)) + riff_body
+
+
+def decode_avi(data: bytes) -> tuple[float, list]:
+    """Uncompressed-DIB AVI bytes -> (fps, [(H, W, 3) uint8 RGB frames]).
+    Walks the RIFF chunk tree; frame chunks are '00db'/'00dc' inside the
+    'movi' LIST; geometry comes from the MainAVIHeader."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    w = h = None
+    usec_per_frame = 100_000
+    raw_frames: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal w, h, usec_per_frame
+        pos = 0
+        while pos + 8 <= len(buf):
+            tag, size = struct.unpack_from("<4sI", buf, pos)
+            body = buf[pos + 8 : pos + 8 + size]
+            if tag == b"LIST":
+                walk(body[4:])
+            elif tag == b"avih":
+                fields = _AVIH.unpack_from(body)
+                usec_per_frame, w, h = fields[0], fields[8], fields[9]
+            elif tag in (b"00db", b"00dc"):
+                raw_frames.append(body)
+            pos += 8 + size + (size & 1)
+
+    walk(data[12:])
+    if w is None or h is None:
+        raise ValueError("missing avih header")
+    stride = (w * 3 + 3) & ~3
+    frames = []
+    for raw in raw_frames:
+        rows = np.frombuffer(raw[: stride * h], dtype=np.uint8).reshape(h, stride)
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        frames.append(bgr[::-1, :, ::-1].copy())
+    fps = 1e6 / usec_per_frame if usec_per_frame else 10.0
+    return fps, frames
+
+
+# --------------------------------------------------------------------------
 # decode_fn adapters for clustopher_spark.functions.multimodal
 # --------------------------------------------------------------------------
 
@@ -161,3 +256,18 @@ def wav_audio_decode(data: bytes) -> tuple[int, int, float]:
     mono = pcm.astype(np.float64).mean(axis=1)
     rms = float(np.sqrt(np.mean(mono**2)) / 32768.0) if len(mono) else 0.0
     return sr, pcm.shape[0], round(rms, 6)
+
+def avi_video_frames(data: bytes, n: int) -> list:
+    """``sample_video_frames`` decode_fn over real AVI bytes: decode the
+    container, take ``n`` evenly-spaced frames, and return
+    (frame_idx, frame_ts_seconds, md5-of-frame-pixels) triples."""
+    import hashlib
+
+    fps, frames = decode_avi(data)
+    if not frames:
+        return []
+    idxs = np.unique(np.linspace(0, len(frames) - 1, num=min(n, len(frames)), dtype=int))
+    return [
+        (int(i), round(float(i / fps), 6), hashlib.md5(frames[i].tobytes()).hexdigest())
+        for i in idxs
+    ]

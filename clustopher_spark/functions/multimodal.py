@@ -8,10 +8,11 @@ signatures — is testable without heavyweight media libraries; pass a real
 decoder (PIL/librosa/ffmpeg) in production. For two formats real codecs
 ship in-repo with zero extra dependencies
 (:mod:`clustopher_spark.functions.codecs`): 24-bit BMP
-(``bmp_image_decode`` / ``bmp_resize``) and PCM-16 WAV
-(``wav_audio_decode``) — plug them in via ``decode_fn`` / ``resize_fn``.
-Video frame extraction remains stub-only (a pure-Python container parser
-would not be honest plumbing for ffmpeg-scale work).
+(``bmp_image_decode`` / ``bmp_resize``), PCM-16 WAV
+(``wav_audio_decode``), and uncompressed-DIB AVI video
+(``avi_video_frames`` for ``sample_video_frames``) — plug them in via
+``decode_fn`` / ``resize_fn``. Compressed codecs (JPEG/H.264/...) still
+belong to PIL/ffmpeg in production.
 """
 
 from __future__ import annotations

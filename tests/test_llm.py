@@ -385,6 +385,36 @@ def test_multimodal_with_real_codecs(spark):
     assert rms == sorted(rms) and abs(rms[0] - 3000 / 32768 / np.sqrt(2)) < 1e-3
 
 
+def test_video_frames_with_real_avi_codec(spark):
+    """sample_video_frames over REAL AVI bytes: encode synthetic videos,
+    decode + evenly-sample through the mapInPandas fan-out, and check each
+    emitted frame hash against the source frame's pixels."""
+    import hashlib
+
+    import numpy as np
+
+    from clustopher_spark.functions.codecs import avi_video_frames, encode_avi
+
+    rng = np.random.default_rng(23)
+    videos = {
+        vid: [rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8) for _ in range(4 + vid)]
+        for vid in range(3)
+    }
+    rows = [(vid, bytes(encode_avi(fr, fps=5))) for vid, fr in videos.items()]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = sample_video_frames(df, frames_per_video=3, decode_fn=avi_video_frames).collect()
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r.id, []).append(r)
+    for vid, frames in videos.items():
+        got = sorted(by_vid[vid], key=lambda r: r.frame_idx)
+        assert len(got) == 3
+        assert got[0].frame_idx == 0 and got[-1].frame_idx == len(frames) - 1
+        for r in got:
+            assert r.frame_hash == hashlib.md5(frames[r.frame_idx].tobytes()).hexdigest()
+            assert abs(r.frame_ts - r.frame_idx / 5.0) < 1e-9
+
+
 def test_redact_pii_fixtures(spark):
     from clustopher_spark.functions.text import pii_counts, redact_pii
 
