@@ -228,10 +228,21 @@ def materialize_zoom_levels(
     zooms = list(range(opts.max_zoom, opts.min_zoom - 1, -1))
     start = 0
     if fuse and cache_levels and len(zooms) > 1:
-        z_cut = _fuse_cut(opts, default_par)
+        # Scale the fused pass's partition count with input size: the kernel
+        # chain is O(rows) per task, so wall time is set by the FULLEST
+        # task, and at 32 partitions a 10M-point build leaves cores idle
+        # behind the skewed supercells (measured 1.8x slower than 64).
+        # ~150k chained rows per task balances skew against per-task
+        # overhead; clamped to [defaultParallelism, 4x] so small inputs
+        # keep full-width tasks and huge ones don't explode the shuffle.
+        # One count() on the input pays for itself immediately (the common
+        # callers hand over a checkpointed/cached frame where it is free).
+        n_input = points.count()
+        parts = min(max(default_par, -(-n_input // 150_000)), 4 * default_par)
+        z_cut = _fuse_cut(opts, parts)
         chain = [z for z in zooms if z >= z_cut]
         if len(chain) > 1:
-            fused = fused_zoom_pass(points, chain, metric_cols, opts)
+            fused = fused_zoom_pass(points, chain, metric_cols, opts, parallelism=parts)
             # checkpoint once: the union, the z_cut re-read below, and any
             # downstream consumer all reuse the materialized pass
             fused = fused.localCheckpoint(eager=True)
