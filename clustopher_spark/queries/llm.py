@@ -1234,3 +1234,82 @@ def llm_weighted_sample(spark, sf_dir):
         .select("lang", "sample_rank", "doc_id", "n_chars")
         .orderBy("lang", "sample_rank")
     )
+
+
+@register(
+    "llm_embedding_quantization",
+    oracle="""
+    WITH scale AS (
+      SELECT MAX(list_max(list_transform(embedding, x -> abs(x)))) AS s
+      FROM embeddings
+    ), q AS (
+      SELECT label,
+             list_transform(embedding,
+                            x -> least(127, greatest(-127, round(x / s * 127)))) AS codes,
+             embedding, s
+      FROM embeddings, scale
+    ), err AS (
+      SELECT label,
+             sqrt(list_sum(list_transform(
+               list_zip(embedding, codes),
+               p -> (p[1] - p[2] * s / 127) * (p[1] - p[2] * s / 127)))) AS l2_err,
+             list_max(list_transform(
+               list_zip(embedding, codes),
+               p -> abs(p[1] - p[2] * s / 127))) AS max_abs
+      FROM q
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND(AVG(l2_err), 6) AS mean_l2_err,
+           ROUND(MAX(max_abs), 6) AS max_abs_err
+    FROM err GROUP BY label ORDER BY label
+    """,
+)
+def llm_embedding_quantization(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column with a
+    reconstruction-error audit per label — the 4x memory/IO shrink that
+    makes billion-vector ANN fit executor memory at 100 TB.  The global
+    scale is one partial-aggregated max joined back by broadcast (no
+    driver round-trip in the plan); quantize + error are pure JVM
+    higher-order functions (``transform``/``zip_with``/``aggregate``) —
+    zero Python boundaries, one shuffle (the label groupBy)."""
+    e = table(spark, sf_dir, "embeddings")
+    scale = e.select(
+        F.max(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, F.abs(x)),
+            )
+        ).alias("s")
+    )
+    q = e.crossJoin(F.broadcast(scale)).select(
+        "label",
+        "embedding",
+        "s",
+        F.transform(
+            "embedding",
+            lambda x: F.least(
+                F.lit(127.0), F.greatest(F.lit(-127.0), F.round(x / F.col("s") * 127))
+            ),
+        ).alias("codes"),
+    )
+    diff_sq = F.zip_with(
+        "embedding", "codes", lambda x, c: F.pow(x - c * F.col("s") / 127, F.lit(2))
+    )
+    abs_diff = F.zip_with(
+        "embedding", "codes", lambda x, c: F.abs(x - c * F.col("s") / 127)
+    )
+    err = q.select(
+        "label",
+        F.sqrt(F.aggregate(diff_sq, F.lit(0.0), lambda a, x: a + x)).alias("l2_err"),
+        F.array_max(abs_diff).alias("max_abs"),
+    )
+    return (
+        err.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("l2_err"), 6).alias("mean_l2_err"),
+            F.round(F.max("max_abs"), 6).alias("max_abs_err"),
+        )
+        .orderBy("label")
+    )
