@@ -133,7 +133,14 @@ class ClusterCatalog:
     # --- S6: load ---
 
     def load_points(self, dataset_id: str) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.root, dataset_id, "points"))
+        # mergeSchema: long-lived datasets accrete metric columns across
+        # appended batches; the union schema reads older files with nulls
+        # backfilled instead of failing (footer merge costs one listing
+        # pass — fine for a per-dataset load, would be a config on a
+        # million-file table)
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(self.root, dataset_id, "points")
+        )
 
     def load_zoom_levels(self, dataset_id: str) -> DataFrame:
         return self.spark.read.parquet(

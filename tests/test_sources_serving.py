@@ -272,3 +272,30 @@ def test_grpc_rpc_surface(spark, tmp_path):
 
     with _pytest.raises(KeyError):
         rpc.dispatch(f"/{SERVICE_NAME}/Nope", {})
+
+
+def test_load_points_merges_evolved_schema(spark, tmp_path):
+    """Append-evolved datasets load with the union schema: a batch that
+    adds a metric column must not break reads of the whole dataset, and
+    older rows surface NULL for the new column."""
+    import os
+
+    from clustopher_spark.sources.catalog import ClusterCatalog
+
+    cat = ClusterCatalog(spark, str(tmp_path))
+    base = spark.range(0, 100).selectExpr(
+        "id", "cast(id % 360 - 180 as double) as lng",
+        "cast(id % 170 - 85 as double) as lat", "cast(id as double) as value"
+    )
+    ds = cat.save(base, dataset_id="evolving")
+    evolved = spark.range(100, 150).selectExpr(
+        "id", "cast(id % 360 - 180 as double) as lng",
+        "cast(id % 170 - 85 as double) as lat", "cast(id as double) as value",
+        "cast(id * 2 as double) as weight"
+    )
+    evolved.write.mode("append").parquet(os.path.join(str(tmp_path), ds, "points"))
+    got = cat.load_points(ds)
+    assert "weight" in got.columns
+    assert got.count() == 150
+    assert got.filter("weight IS NULL").count() == 100
+    assert got.filter("weight IS NOT NULL").count() == 50
