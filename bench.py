@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "llm_minhash_candidates",
     "llm_knn_cosine",
     "llm_ann_lsh_topk",
+    # round-2 additions (keep the r1 entries above unchanged for
+    # round-over-round comparability; these extend the set)
+    "spatial_geofence_join",
+    "llm_doc_chunking",
 ]
 
 

@@ -318,3 +318,64 @@ def events_retention_cohorts(spark, sf_dir):
         .agg(F.count_distinct("user_id").alias("retained"))
         .orderBy("cohort_date", "day_n")
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ({EVENTS_US_SQL}) GROUP BY event_type, h
+    ), scored AS (
+      SELECT event_type, h, n,
+             AVG(n) OVER w AS mu,
+             STDDEV_SAMP(n) OVER w AS sd,
+             COUNT(*) OVER w AS n_hist
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, h, n, ROUND((n - mu) / sd, 4) AS z
+    FROM scored
+    WHERE n_hist >= 12 AND sd > 0 AND abs(n - mu) / sd > 2.5
+    ORDER BY event_type, h
+    """,
+)
+def events_anomaly_zscore(spark, sf_dir):
+    """Self-calibrating volume-anomaly detection: hourly event counts whose
+    z-score against the TRAILING 24 hours (frame excludes the current row,
+    so the anomaly can't suppress its own baseline) exceeds 2.5, with a
+    12-hour warm-up before flagging.  The monitoring query every streaming
+    ingest runs next to itself; 100 TB shape: one groupBy shuffle to
+    hourly partials (tiny), then a per-event_type window over ~one row per
+    hour — state is bounded by cardinality(event_type) x 25 rows no matter
+    the event volume.  Streaming twin: the hourly partials are exactly
+    ``tumbling_counts_stream`` output, so the same scoring runs on its
+    sink table."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "h",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+    )
+    return (
+        scored.filter(
+            (F.col("n_hist") >= 12)
+            & (F.col("sd") > 0)
+            & (F.abs(F.col("n") - F.col("mu")) / F.col("sd") > 2.5)
+        )
+        .select("event_type", "h", "n", F.round((F.col("n") - F.col("mu")) / F.col("sd"), 4).alias("z"))
+        .orderBy("event_type", "h")
+    )
