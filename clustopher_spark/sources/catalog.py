@@ -87,15 +87,13 @@ class ClusterCatalog:
 
     # --- S5: save ---
 
-    def save(
+    def _write_dataset(
         self,
         points: DataFrame,
-        dataset_id: str | None = None,
-        zoom_levels: DataFrame | None = None,
-        layout: str = "zorder",
-    ) -> str:
-        dataset_id = dataset_id or uuid.uuid4().hex[:8]
-        path = os.path.join(self.root, dataset_id)
+        path: str,
+        zoom_levels: DataFrame | None,
+        layout: str,
+    ) -> int:
         n = points.count()
         if layout == "zorder" and {"lng", "lat"} <= set(points.columns):
             # Morton-ordered write: row-group stats tight in BOTH axes ->
@@ -119,6 +117,18 @@ class ClusterCatalog:
                 .partitionBy("zoom")
                 .parquet(os.path.join(path, "zoom_levels"))
             )
+        return n
+
+    def save(
+        self,
+        points: DataFrame,
+        dataset_id: str | None = None,
+        zoom_levels: DataFrame | None = None,
+        layout: str = "zorder",
+    ) -> str:
+        dataset_id = dataset_id or uuid.uuid4().hex[:8]
+        path = os.path.join(self.root, dataset_id)
+        n = self._write_dataset(points, path, zoom_levels, layout)
         meta = {
             "dataset_id": dataset_id,
             "num_points": n,
@@ -130,21 +140,85 @@ class ClusterCatalog:
             json.dump(meta, f)
         return dataset_id
 
+    # --- snapshot versioning (time travel) ---
+
+    def save_snapshot(
+        self,
+        dataset_id: str,
+        points: DataFrame,
+        zoom_levels: DataFrame | None = None,
+        layout: str = "zorder",
+    ) -> int:
+        """Immutable snapshot write: version N lands wholly under
+        ``versions/v{N}/`` and only then does ``meta.json`` repoint
+        ``latest`` (a single small-file swap — the atomic commit).  Old
+        versions are never mutated, so concurrent readers of any pinned
+        version are isolated from writers, and a crashed writer leaves at
+        worst an unreferenced directory.  The same write-ahead layout
+        scheme object-store table formats use, minus the manifest log —
+        adequate for whole-snapshot (non-incremental) publication."""
+        meta = self._meta(dataset_id)
+        version = int(meta.get("latest", 0)) + 1
+        vpath = os.path.join(self.root, dataset_id, "versions", f"v{version}")
+        n = self._write_dataset(points, vpath, zoom_levels, layout)
+        meta.setdefault("dataset_id", dataset_id)
+        meta["latest"] = version
+        meta.setdefault("history", []).append(
+            {
+                "version": version,
+                "num_points": n,
+                "created_at": time.strftime("%Y%m%d-%H%M%S"),
+                "has_zoom_levels": zoom_levels is not None,
+            }
+        )
+        meta["num_points"] = n
+        meta["columns"] = points.columns
+        meta["has_zoom_levels"] = zoom_levels is not None
+        tmp = os.path.join(self.root, dataset_id, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.root, dataset_id, "meta.json"))
+        return version
+
+    def _meta(self, dataset_id: str) -> dict:
+        meta_path = os.path.join(self.root, dataset_id, "meta.json")
+        if os.path.isfile(meta_path):
+            with open(meta_path) as f:
+                return json.load(f)
+        os.makedirs(os.path.join(self.root, dataset_id), exist_ok=True)
+        return {}
+
+    def history(self, dataset_id: str) -> list[dict]:
+        return self._meta(dataset_id).get("history", [])
+
+    def _resolve(self, dataset_id: str, version: int | None) -> str:
+        """Path of a dataset's data root: a pinned snapshot, the latest
+        snapshot, or the legacy unversioned layout."""
+        meta = self._meta(dataset_id)
+        v = version if version is not None else meta.get("latest")
+        if v is not None:
+            vpath = os.path.join(self.root, dataset_id, "versions", f"v{int(v)}")
+            if os.path.isdir(vpath):
+                return vpath
+            if version is not None:
+                raise FileNotFoundError(f"{dataset_id} has no version v{version}")
+        return os.path.join(self.root, dataset_id)
+
     # --- S6: load ---
 
-    def load_points(self, dataset_id: str) -> DataFrame:
+    def load_points(self, dataset_id: str, version: int | None = None) -> DataFrame:
         # mergeSchema: long-lived datasets accrete metric columns across
         # appended batches; the union schema reads older files with nulls
         # backfilled instead of failing (footer merge costs one listing
         # pass — fine for a per-dataset load, would be a config on a
         # million-file table)
         return self.spark.read.option("mergeSchema", "true").parquet(
-            os.path.join(self.root, dataset_id, "points")
+            os.path.join(self._resolve(dataset_id, version), "points")
         )
 
-    def load_zoom_levels(self, dataset_id: str) -> DataFrame:
+    def load_zoom_levels(self, dataset_id: str, version: int | None = None) -> DataFrame:
         return self.spark.read.parquet(
-            os.path.join(self.root, dataset_id, "zoom_levels")
+            os.path.join(self._resolve(dataset_id, version), "zoom_levels")
         )
 
     # --- S7: catalog scans ---

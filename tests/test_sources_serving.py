@@ -299,3 +299,36 @@ def test_load_points_merges_evolved_schema(spark, tmp_path):
     assert got.count() == 150
     assert got.filter("weight IS NULL").count() == 100
     assert got.filter("weight IS NOT NULL").count() == 50
+
+
+def test_snapshot_versioning_time_travel(spark, tmp_path):
+    """save_snapshot publishes immutable versions; pinned reads see the
+    old data after a newer snapshot lands, and latest follows the commit."""
+    from clustopher_spark.sources.catalog import ClusterCatalog
+
+    cat = ClusterCatalog(spark, str(tmp_path))
+    v1_pts = spark.range(0, 50).selectExpr(
+        "id", "cast(id as double) as lng", "cast(id % 80 as double) as lat",
+        "cast(1 as double) as value"
+    )
+    assert cat.save_snapshot("ds", v1_pts) == 1
+    v2_pts = spark.range(0, 80).selectExpr(
+        "id", "cast(id as double) as lng", "cast(id % 80 as double) as lat",
+        "cast(2 as double) as value"
+    )
+    assert cat.save_snapshot("ds", v2_pts) == 2
+
+    assert cat.load_points("ds").count() == 80                 # latest
+    assert cat.load_points("ds", version=1).count() == 50      # pinned
+    assert cat.load_points("ds", version=1).agg({"value": "max"}).first()[0] == 1.0
+    hist = cat.history("ds")
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[0]["num_points"] == 50 and hist[1]["num_points"] == 80
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        cat.load_points("ds", version=9)
+
+    # legacy unversioned datasets still load
+    legacy = cat.save(v1_pts, dataset_id="old_style")
+    assert cat.load_points(legacy).count() == 50
