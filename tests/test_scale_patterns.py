@@ -173,3 +173,28 @@ def test_compaction_sorted_restores_skipping(spark, tmp_path):
     spans.sort()
     overlaps = sum(1 for a, b in zip(spans, spans[1:]) if b[0] <= a[1])
     assert overlaps == 0, spans
+
+
+def test_expectations_audit_operator(spark):
+    from clustopher_spark.operators.expectations import expectations_audit
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "ok"), (2, -5.0, "ok"), (3, None, "bad"), (4, 7.0, None)],
+        "id long, v double, status string",
+    )
+    out = {
+        r.rule: r
+        for r in expectations_audit(
+            df,
+            {
+                "v_positive": F.col("v") > 0,          # NULL v -> violation
+                "status_known": F.col("status").isin("ok", "bad"),
+                "id_unique_range": F.col("id").between(1, 4),
+            },
+        ).collect()
+    }
+    assert out["v_positive"].n_violations == 2          # -5.0 and NULL
+    assert out["status_known"].n_violations == 1        # NULL status
+    assert out["id_unique_range"].n_violations == 0
+    assert all(r.n_rows == 4 for r in out.values())
+    assert abs(out["v_positive"].violation_rate - 0.5) < 1e-9

@@ -255,3 +255,28 @@ def test_checkpoint_recovery_processes_only_new_files(spark, tmp_path):
     final = spark.read.parquet(out)
     assert final.count() == ev.count(), "reprocessed or missed files"
     assert final.select("event_id").distinct().count() == ev.count()
+
+
+def test_anomaly_scoring_over_streaming_sink(spark, events_stream):
+    """The events_anomaly_zscore docstring claims its hourly partials are
+    exactly the tumbling stream's output — prove it: drain the stream,
+    re-aggregate the sink to (event_type, hour, n), and check equality
+    with the batch hourly partials the scorer consumes."""
+    from clustopher_spark.streaming import tumbling_counts_stream
+    from clustopher_spark.streaming.windows import run_available_now
+
+    q = run_available_now(tumbling_counts_stream(events_stream), "anom_sink")
+    try:
+        sink = spark.table("anom_sink").select(
+            F.col("wstart").alias("h"), "event_type", "n"
+        )
+        batch = (
+            table(spark, SF_DIR, "events")
+            .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        got = {(r.event_type, r.h): r.n for r in sink.collect()}
+        want = {(r.event_type, r.h): r.n for r in batch.collect()}
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
