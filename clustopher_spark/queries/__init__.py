@@ -30,6 +30,7 @@ _DEMOTED_FROM_WINDOW = {
     "stats_linear_regression",   # regr_* gallery
     "llm_text_normalize",        # trivial trim/collapse/lower
     "llm_lang_quality_histogram",  # subsumed by llm_quality_rules + llm_lang_id
+    "spatial_haversine_distance",  # same trig exercised harder by spatial_knn_query
 }
 
 

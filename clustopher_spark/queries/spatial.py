@@ -550,3 +550,92 @@ def spatial_geofence_join(spark, sf_dir):
         )
         .orderBy("fence_id")
     )
+
+
+@register(
+    "spatial_quadkey_rollup",
+    oracle=f"""
+    WITH pts AS ({POINTS_SQL}),
+    tiles AS (
+      SELECT CAST(floor((lng + 180.0) / 360.0 * 1024.0) AS BIGINT) AS tx,
+             CAST(floor((0.5 - 0.25 * ln((1.0 + sin(radians(lat)))
+                   / (1.0 - sin(radians(lat)))) / pi()) * 1024.0) AS BIGINT) AS ty,
+             value
+      FROM pts),
+    z10 AS (
+      SELECT {_quadkey_digits_sql(10)} AS quadkey, COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+      FROM tiles GROUP BY tx, ty
+    ),
+    rolled AS (
+      SELECT 10 AS zoom, quadkey, CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(sum_value) AS DOUBLE) AS sum_value
+      FROM z10 GROUP BY quadkey
+      UNION ALL
+      SELECT 8 AS zoom, substr(quadkey, 1, 8), CAST(SUM(n) AS BIGINT),
+             CAST(SUM(sum_value) AS DOUBLE)
+      FROM z10 GROUP BY substr(quadkey, 1, 8)
+      UNION ALL
+      SELECT 6 AS zoom, substr(quadkey, 1, 6), CAST(SUM(n) AS BIGINT),
+             CAST(SUM(sum_value) AS DOUBLE)
+      FROM z10 GROUP BY substr(quadkey, 1, 6)
+    )
+    SELECT zoom, quadkey, n, sum_value
+    FROM rolled ORDER BY zoom, quadkey
+    """,
+)
+def spatial_quadkey_rollup(spark, sf_dir):
+    """Tile pyramid as quadkey PREFIX rollups: the z10 base aggregate is
+    computed once, then z8 and z6 re-aggregate the (already tiny) z10
+    partials by key truncation — the hypertable/continuous-aggregate
+    pattern on the space axis, and the quadkey property that makes it
+    free: a parent tile's key IS the child's prefix, so coarser levels
+    never touch raw points.  At 100 TB exactly one shuffle sees input
+    rows; every rollup shuffles tile counts (bounded by 4^z, not n)."""
+    pts = points_df(spark, sf_dir)
+    z = 10
+    n_tiles = F.lit(float(1 << z))
+    lat_r = F.radians(F.col("lat"))
+    tx = F.floor((F.col("lng") + 180.0) / 360.0 * n_tiles).cast("long")
+    ty = F.floor(
+        (
+            F.lit(0.5)
+            - F.lit(0.25)
+            * F.log((F.lit(1.0) + F.sin(lat_r)) / (F.lit(1.0) - F.sin(lat_r)))
+            / F.lit(3.141592653589793)
+        )
+        * n_tiles
+    ).cast("long")
+    digits = [
+        (
+            (F.col("tx") / F.lit(1 << (z - i))).cast("long") % 2
+            + 2 * ((F.col("ty") / F.lit(1 << (z - i))).cast("long") % 2)
+        ).cast("string")
+        for i in range(1, z + 1)
+    ]
+    base = (
+        pts.select(tx.alias("tx"), ty.alias("ty"), "value")
+        .groupBy("tx", "ty")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).alias("sum_value_dec"),
+        )
+        .select(
+            F.concat(*digits).alias("quadkey"), "n", "sum_value_dec"
+        )
+        .localCheckpoint(eager=True)  # compute the base once; 3 consumers
+    )
+    levels = []
+    for zz in (10, 8, 6):
+        levels.append(
+            base.groupBy(F.substring("quadkey", 1, zz).alias("quadkey"))
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("sum_value_dec").cast("double").alias("sum_value"),
+            )
+            .select(F.lit(zz).alias("zoom"), "quadkey", "n", "sum_value")
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.orderBy("zoom", "quadkey")
