@@ -1313,3 +1313,47 @@ def llm_embedding_quantization(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@register(
+    "llm_incremental_ingest_dedup",
+    oracle=r"""
+    WITH hist AS (
+      SELECT DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id < 400
+    ), batch AS (
+      SELECT doc_id, source,
+             md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id >= 400
+    )
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(SUM(CASE WHEN h.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN h.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_of_history
+    FROM batch b LEFT JOIN hist h ON b.fp = h.fp
+    GROUP BY b.source ORDER BY b.source
+    """,
+)
+def llm_incremental_ingest_dedup(spark, sf_dir):
+    """Daily-ingest dedup: a new batch (doc_id >= 400) is admitted only
+    where its normalized fingerprint is absent from the historical corpus
+    (doc_id < 400) — the anti-join every incremental training-data
+    pipeline runs before append.  100 TB shape: history is touched only as
+    a DISTINCT fingerprint projection (16 bytes/doc); the join is a hash
+    equi-join on the digest and with a bloom/bucketed fingerprint store
+    the probe side never rescans raw history.  Streaming twin:
+    ``dedup_within_watermark`` bounds the same state by time."""
+    d = table(spark, sf_dir, "documents")
+    fp = fingerprint(F.col("text")).alias("fp")
+    hist = d.filter(F.col("doc_id") < 400).select(fp).distinct()
+    batch = d.filter(F.col("doc_id") >= 400).select("doc_id", "source", fp)
+    j = batch.join(hist.withColumnRenamed("fp", "hfp"), F.col("fp") == F.col("hfp"), "left")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_batch"),
+            F.sum(F.when(F.col("hfp").isNull(), 1).otherwise(0)).cast("long").alias("n_new"),
+            F.sum(F.when(F.col("hfp").isNotNull(), 1).otherwise(0)).cast("long").alias("n_dup_of_history"),
+        )
+        .orderBy("source")
+    )

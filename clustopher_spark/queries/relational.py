@@ -957,3 +957,52 @@ def join_fuzzy_name_levenshtein(spark, sf_dir):
         .filter(F.col("edit_dist") <= 2)
         .orderBy("name_a", "name_b")
     )
+
+
+@register(
+    "join_brand_cooccurrence",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY brand_a, brand_b
+    HAVING COUNT(*) >= 50
+    ORDER BY brand_a, brand_b
+    """,
+)
+def join_brand_cooccurrence(spark, sf_dir):
+    """Market-basket co-occurrence: brand pairs appearing in the same
+    order at least 50 times.  The inverted-index self-join shape: dedupe
+    to (order, brand) FIRST (caps the per-order fan-out at
+    distinct-brands², independent of line-item count), equi-join on the
+    order key, count pairs.  The brand dimension rides a broadcast join
+    onto lineitem.  At 100 TB a pathological mega-order is the hot key —
+    same mitigation as shingle df-caps (drop orders with > K distinct
+    brands, stated recall trade)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") >= 50)
+        .orderBy("brand_a", "brand_b")
+    )
