@@ -1320,11 +1320,11 @@ def llm_embedding_quantization(spark, sf_dir):
     oracle=r"""
     WITH hist AS (
       SELECT DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
-      FROM documents WHERE doc_id < 400
+      FROM documents WHERE doc_id % 5 <> 4
     ), batch AS (
       SELECT doc_id, source,
              md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
-      FROM documents WHERE doc_id >= 400
+      FROM documents WHERE doc_id % 5 = 4
     )
     SELECT b.source,
            CAST(COUNT(*) AS BIGINT) AS n_batch,
@@ -1335,9 +1335,9 @@ def llm_embedding_quantization(spark, sf_dir):
     """,
 )
 def llm_incremental_ingest_dedup(spark, sf_dir):
-    """Daily-ingest dedup: a new batch (doc_id >= 400) is admitted only
+    """Daily-ingest dedup: a new batch (every fifth doc — an SF-independent split) is admitted only
     where its normalized fingerprint is absent from the historical corpus
-    (doc_id < 400) — the anti-join every incremental training-data
+    — the anti-join every incremental training-data
     pipeline runs before append.  100 TB shape: history is touched only as
     a DISTINCT fingerprint projection (16 bytes/doc); the join is a hash
     equi-join on the digest and with a bloom/bucketed fingerprint store
@@ -1345,8 +1345,8 @@ def llm_incremental_ingest_dedup(spark, sf_dir):
     ``dedup_within_watermark`` bounds the same state by time."""
     d = table(spark, sf_dir, "documents")
     fp = fingerprint(F.col("text")).alias("fp")
-    hist = d.filter(F.col("doc_id") < 400).select(fp).distinct()
-    batch = d.filter(F.col("doc_id") >= 400).select("doc_id", "source", fp)
+    hist = d.filter(F.col("doc_id") % 5 != 4).select(fp).distinct()
+    batch = d.filter(F.col("doc_id") % 5 == 4).select("doc_id", "source", fp)
     j = batch.join(hist.withColumnRenamed("fp", "hfp"), F.col("fp") == F.col("hfp"), "left")
     return (
         j.groupBy("source")
