@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     # round-over-round comparability; these extend the set)
     "spatial_geofence_join",
     "llm_doc_chunking",
+    "llm_embedding_quantization",
+    "events_anomaly_zscore",
 ]
 
 
