@@ -473,3 +473,24 @@ def test_sequence_packing_conserves_tokens(spark):
         ps.sort(key=lambda p: p.pack_id)
         for a, b in zip(ps, ps[1:]):
             assert a.last_doc < b.first_doc
+
+
+def test_embedding_quantization_error_bound(spark):
+    """int8 symmetric quantization must satisfy the half-step error bound
+    |x - x_hat| <= scale/254 (+ float slack) for every in-range value —
+    the semantic guarantee behind the oracle's reconstruction numbers."""
+    import numpy as np
+
+    from clustopher_spark.queries import QUERIES
+    from clustopher_spark.queries.base import table as _table
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["llm_embedding_quantization"](spark, sf).collect()
+    assert len(out) > 0
+    embs = _table(spark, sf, "embeddings").select("embedding").collect()
+    scale = max(abs(float(v)) for r in embs for v in r.embedding)
+    half_step = scale / 254.0
+    for r in out:
+        # output is rounded to 6 decimals -> allow half-ulp rounding slack
+        assert r.max_abs_err <= half_step + 5.1e-7, (r.label, r.max_abs_err, half_step)
+        assert 0.0 <= r.mean_l2_err <= half_step * 9  # sqrt(64) * half_step envelope
