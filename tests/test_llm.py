@@ -494,3 +494,35 @@ def test_embedding_quantization_error_bound(spark):
         # output is rounded to 6 decimals -> allow half-ulp rounding slack
         assert r.max_abs_err <= half_step + 5.1e-7, (r.label, r.max_abs_err, half_step)
         assert 0.0 <= r.mean_l2_err <= half_step * 9  # sqrt(64) * half_step envelope
+
+
+def test_binary_file_source_to_image_decode(spark, tmp_path):
+    """Files-on-disk -> binaryFile source -> real BMP decode: the full
+    multimodal ingestion path with no driver-side byte handling."""
+    import numpy as np
+
+    from clustopher_spark.functions.codecs import bmp_image_decode, encode_bmp
+    from clustopher_spark.sources.binary import load_binary_files
+
+    rng = np.random.default_rng(31)
+    for i in range(5):
+        (tmp_path / f"img_{i}.bmp").write_bytes(
+            encode_bmp(rng.integers(0, 256, size=(10 + i, 9, 3), dtype=np.uint8))
+        )
+    (tmp_path / "notes.txt").write_text("not an image")
+
+    df = load_binary_files(spark, str(tmp_path), glob="*.bmp")
+    assert df.count() == 5
+    # decode_images contract: numeric id column (join key); map the stem
+    from pyspark.sql import functions as SF
+
+    with_ids = df.select(
+        SF.regexp_extract("id", r"(\d+)$", 1).cast("long").alias("id"), "content"
+    )
+    decoded = {
+        r.id: r for r in decode_images(with_ids, decode_fn=bmp_image_decode).collect()
+    }
+    assert set(decoded) == set(range(5))
+    for i in range(5):
+        r = decoded[i]
+        assert (r.width, r.height, r.format) == (9, 10 + i, "bmp")
