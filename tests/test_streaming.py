@@ -280,3 +280,51 @@ def test_anomaly_scoring_over_streaming_sink(spark, events_stream):
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_incremental_minhash_dedup_index(spark, tmp_path):
+    """Stream two micro-batches through the persisted LSH index: a batch-2
+    copy of a batch-1 document must be flagged as an index dup, novel docs
+    must not, and dups must not grow the index."""
+    import os
+    import random
+
+    from clustopher_spark.streaming.dedup_index import incremental_minhash_dedup
+
+    rng = random.Random(7)
+    vocab = [f"w{i:03d}" for i in range(500)]
+
+    def doc(n=60):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    batch1 = [(i, doc()) for i in range(10)]
+    batch2 = [(10, batch1[3][1])] + [(i, doc()) for i in range(11, 20)]
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(str(src / "b2"))
+    # file source orders batches by modification time under maxFilesPerTrigger
+    files = sorted(str(p) for p in src.rglob("*.parquet"))
+    os.utime(files[0], (1_000_000, 1_000_000))
+    os.utime(files[1], (2_000_000, 2_000_000))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    index_path = str(tmp_path / "band_index")
+    incremental_minhash_dedup(stream, index_path)
+
+    flags = spark.read.parquet(index_path + "_flags").collect()
+    by_doc = {r.doc_id: r.dup_of_index for r in flags}
+    assert len(by_doc) == 20
+    assert by_doc[10] is True              # the planted copy
+    assert not any(v for d, v in by_doc.items() if d != 10)
+    # dup doc contributed no bands: 19 unique docs x 8 bands
+    idx = spark.read.parquet(index_path)
+    assert idx.count() == 19 * 8
+    assert idx.select("id").distinct().count() == 19
