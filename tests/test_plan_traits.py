@@ -1,0 +1,97 @@
+"""Physical-plan regression guards: the traits that make these queries
+scale (documented in PLANS.md / SCALE.md) asserted as tests, so a silent
+plan change (lost broadcast, new shuffle, dropped pushdown, extra Python
+boundary) fails CI instead of showing up as a 10x at 100 TB.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import functions as F
+
+from clustopher_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def fmt(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def plan_of(name: str, spark) -> str:
+    return fmt(QUERIES[name](spark, SF_DIR))
+
+
+def n_nodes(plan: str, op: str) -> int:
+    """Count distinct plan nodes of type ``op`` (formatted explain prints
+    each node twice: once in the tree, once in the detail section)."""
+    return len(set(re.findall(rf"{op}\s+\((\d+)\)", plan)))
+
+
+def test_star_join_stays_broadcast(spark):
+    p = plan_of("q5_revenue_by_nation", spark)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_geofence_join_is_hash_not_nested_loop(spark):
+    p = plan_of("spatial_geofence_join", spark)
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_knn_is_take_ordered_no_exchange(spark):
+    p = plan_of("spatial_knn_query", spark)
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p          # per-partition top-k + driver merge
+    assert n_nodes(p, "Scan parquet") == 1
+
+
+def test_chunking_is_pure_map_stage(spark):
+    p = plan_of("llm_doc_chunking", spark)
+    # the only exchange allowed is the presentation sort's range partitioning
+    assert n_nodes(p, "Exchange") == 1 and "rangepartitioning" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_viewport_filter_pushed_to_scan(spark, tmp_path):
+    # on a REAL stored points table (the serving layout) the bbox predicate
+    # must reach the parquet reader; the registry query derives points
+    # arithmetically, so exercise the operator on materialized data
+    from clustopher_spark.operators.cluster import filter_viewport
+    from clustopher_spark.queries.spatial import points_df
+
+    path = str(tmp_path / "pts")
+    points_df(spark, SF_DIR).select("id", "lng", "lat", "value").write.parquet(path)
+    p = fmt(filter_viewport(spark.read.parquet(path), -110.0, 30.0, -90.0, 45.0, 6))
+    pushed = p.split("PushedFilters")[1][:400]
+    assert "GreaterThanOrEqual(lng" in pushed and "LessThanOrEqual(lat" in pushed
+
+
+def test_flagship_has_exactly_one_python_kernel(spark):
+    p = plan_of("spatial_cluster_greedy", spark)
+    n_python = (
+        n_nodes(p, "ArrowEvalPython")
+        + n_nodes(p, "MapInPandas")
+        + n_nodes(p, "FlatMapGroupsInPandas")
+    )
+    assert n_python == 1, p
+
+
+def test_quality_expectations_no_row_shuffle(spark):
+    p = plan_of("stats_quality_expectations", spark)
+    # broadcast ref join + scalar aggregate: no hash-partitioned exchange of rows
+    assert "hashpartitioning" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_quantization_stays_jvm_side(spark):
+    p = plan_of("llm_embedding_quantization", spark)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
