@@ -191,6 +191,37 @@ class ClusterCatalog:
     def history(self, dataset_id: str) -> list[dict]:
         return self._meta(dataset_id).get("history", [])
 
+    def vacuum(self, dataset_id: str, keep_last: int = 2) -> list[int]:
+        """Delete snapshot directories older than the newest ``keep_last``
+        versions (never the latest). Returns the versions removed.
+        History entries stay (the commit log is cheap and auditable);
+        their ``data_removed`` flag records the GC."""
+        import shutil
+
+        meta = self._meta(dataset_id)
+        hist = meta.get("history", [])
+        if not hist:
+            return []
+        keep_last = max(1, keep_last)
+        keep = {h["version"] for h in hist[-keep_last:]}
+        keep.add(int(meta.get("latest", hist[-1]["version"])))
+        removed = []
+        for h in hist:
+            v = h["version"]
+            if v in keep or h.get("data_removed"):
+                continue
+            vpath = os.path.join(self.root, dataset_id, "versions", f"v{v}")
+            if os.path.isdir(vpath):
+                shutil.rmtree(vpath)
+            h["data_removed"] = True
+            removed.append(v)
+        if removed:
+            tmp = os.path.join(self.root, dataset_id, "meta.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, os.path.join(self.root, dataset_id, "meta.json"))
+        return removed
+
     def _resolve(self, dataset_id: str, version: int | None) -> str:
         """Path of a dataset's data root: a pinned snapshot, the latest
         snapshot, or the legacy unversioned layout."""

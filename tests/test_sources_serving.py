@@ -332,3 +332,26 @@ def test_snapshot_versioning_time_travel(spark, tmp_path):
     # legacy unversioned datasets still load
     legacy = cat.save(v1_pts, dataset_id="old_style")
     assert cat.load_points(legacy).count() == 50
+
+
+def test_vacuum_removes_old_snapshots_keeps_latest(spark, tmp_path):
+    from clustopher_spark.sources.catalog import ClusterCatalog
+
+    cat = ClusterCatalog(spark, str(tmp_path))
+    for n in (10, 20, 30, 40):
+        pts = spark.range(0, n).selectExpr(
+            "id", "cast(id as double) as lng", "cast(id % 80 as double) as lat",
+            "cast(1 as double) as value"
+        )
+        cat.save_snapshot("ds", pts)
+    assert cat.vacuum("ds", keep_last=2) == [1, 2]
+    assert cat.load_points("ds").count() == 40
+    assert cat.load_points("ds", version=3).count() == 30
+    import pytest as _p
+
+    with _p.raises(Exception):
+        cat.load_points("ds", version=1).count()
+    # history preserved with the GC recorded; vacuum is idempotent
+    assert [h["version"] for h in cat.history("ds")] == [1, 2, 3, 4]
+    assert cat.history("ds")[0]["data_removed"] is True
+    assert cat.vacuum("ds", keep_last=2) == []
