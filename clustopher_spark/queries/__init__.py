@@ -32,6 +32,7 @@ _DEMOTED_FROM_WINDOW = {
     "llm_lang_quality_histogram",  # subsumed by llm_quality_rules + llm_lang_id
     "spatial_haversine_distance",  # same trig exercised harder by spatial_knn_query
     "events_sliding_1h_30m",  # same window machinery as events_tumbling_hourly
+    "llm_text_stats",  # its token/punct/stopword signals are re-verified by llm_quality_rules
 }
 
 

@@ -1357,3 +1357,76 @@ def llm_incremental_ingest_dedup(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "llm_bigram_lm_score",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), bigrams AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1])) AS bg,
+             unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS w1
+      FROM toks WHERE len(t) >= 2
+    ), bg_counts AS (
+      SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_bg FROM bigrams GROUP BY bg
+    ), w1_counts AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_w1 FROM bigrams GROUP BY w1
+    ), vocab AS (
+      SELECT CAST(COUNT(DISTINCT bg) AS BIGINT) AS v FROM bigrams
+    ), scored AS (
+      SELECT b.doc_id,
+             ln((bc.c_bg + 1.0) / (wc.c_w1 + v.v)) AS logp
+      FROM bigrams b
+      JOIN bg_counts bc ON b.bg = bc.bg
+      JOIN w1_counts wc ON b.w1 = wc.w1
+      CROSS JOIN vocab v
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(logp), 4) AS avg_logp
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def llm_bigram_lm_score(spark, sf_dir):
+    """Corpus-self-trained bigram language-model score per document
+    (add-1 smoothing): ``avg log P(w_i | w_{i-1})`` — the KenLM-style
+    fluency signal pipelines use to filter gibberish before training.
+    100 TB shape: bigram and unigram count tables are classic map-side
+    partial aggregations; scoring joins each document's bigrams against
+    those tables by hash equi-join (count tables ~ vocabulary-sized, far
+    smaller than the corpus — broadcast when they fit, shuffle-join when
+    they don't; Spark's planner picks via AQE statistics), and the
+    per-doc average is one final groupBy on doc_id."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    ).filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] as w1, concat(t[i-1], ' ', t[i]) as bg))")
+        ).alias("_pos", "s"),
+    ).select("doc_id", F.col("s.w1").alias("w1"), F.col("s.bg").alias("bg"))
+    bg_counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c_bg"))
+    w1_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c_w1"))
+    vocab = bigrams.agg(F.countDistinct("bg").cast("long").alias("v"))
+    scored = (
+        bigrams.join(bg_counts, "bg")
+        .join(w1_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("c_bg") + 1.0) / (F.col("c_w1") + F.col("v"))).alias("logp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg("logp"), 4).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
