@@ -195,6 +195,25 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # production-path MinHash (xxhash64 base hash): the registry entry
+    # llm_minhash_candidates runs the PORTABLE (md5-based) pipeline so the
+    # DuckDB oracle can replay it bit-for-bit; this entry times the pipeline
+    # a deployment would actually run.
+    from clustopher_spark.functions.dedup import minhash_dedup_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n_pairs = minhash_dedup_pairs(docs, threshold=0.3, portable=False).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    timings["llm_minhash_production_xxhash"] = round(best, 3)
+    print(
+        f"# llm_minhash_production_xxhash: {best:.3f}s ({n_pairs} pairs)",
+        file=sys.stderr,
+    )
+
     # streaming drain: file source -> watermarked tumbling agg -> memory
     # sink with trigger(availableNow) — the end-to-end micro-batch path
     # (state store + watermark bookkeeping included), reported so streaming
