@@ -33,6 +33,7 @@ _DEMOTED_FROM_WINDOW = {
     "spatial_haversine_distance",  # same trig exercised harder by spatial_knn_query
     "events_sliding_1h_30m",  # same window machinery as events_tumbling_hourly
     "llm_text_stats",  # its token/punct/stopword signals are re-verified by llm_quality_rules
+    "llm_embedding_norms_by_label",  # plain norms; llm_label_centroid_cosine covers the array math harder
 }
 
 

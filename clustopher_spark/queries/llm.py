@@ -1430,3 +1430,53 @@ def llm_bigram_lm_score(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "llm_corpus_mix_report",
+    oracle="""
+    WITH counts AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source, lang
+    ), tot AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS n_src FROM counts GROUP BY source
+    ), probs AS (
+      SELECT c.source, c.lang, c.n, c.chars,
+             c.n * 1.0 / t.n_src AS p
+      FROM counts c JOIN tot t ON c.source = t.source
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM(chars) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           ROUND(-SUM(p * ln(p)), 4) AS lang_entropy
+    FROM probs GROUP BY source ORDER BY source
+    """,
+)
+def llm_corpus_mix_report(spark, sf_dir):
+    """Corpus-composition monitoring: per source shard, document/byte
+    volume and the Shannon entropy of its language mix — the report a
+    training-data pipeline publishes every ingest cycle so mix drift is
+    caught before a run is launched (a source whose entropy collapses got
+    monolingual; one whose doc share balloons skews the mixture).  Two
+    tiny aggregations: (source, lang) partials then per-source rollup —
+    map-side combine does the heavy lifting, shuffle rows are bounded by
+    |source| x |lang|, never corpus size."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    w = Window.partitionBy("source")
+    probs = counts.withColumn("p", F.col("n") / F.sum("n").over(w))
+    return (
+        probs.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum("chars").cast("long").alias("n_chars"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.round(-F.sum(F.col("p") * F.log("p")), 4).alias("lang_entropy"),
+        )
+        .orderBy("source")
+    )
