@@ -34,6 +34,7 @@ _DEMOTED_FROM_WINDOW = {
     "events_sliding_1h_30m",  # same window machinery as events_tumbling_hourly
     "llm_text_stats",  # its token/punct/stopword signals are re-verified by llm_quality_rules
     "llm_embedding_norms_by_label",  # plain norms; llm_label_centroid_cosine covers the array math harder
+    "spatial_geojson_features",  # string-assembly sink; spatial_grid_centroids re-verifies the aggregation under it
 }
 
 

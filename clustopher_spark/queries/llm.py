@@ -1480,3 +1480,66 @@ def llm_corpus_mix_report(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "llm_html_boilerplate_strip",
+    oracle=r"""
+    WITH pages AS (
+      SELECT doc_id,
+             '<html><body><div class="nav">' || source ||
+             ' menu home</div><p>' || text || '</p><script>track(' ||
+             CAST(doc_id AS VARCHAR) || ');</script></body></html>' AS html
+      FROM documents
+    ), cleaned AS (
+      SELECT doc_id, html,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(html, '<script>[^<]*</script>', '', 'g'),
+                   '<div class="nav">[^<]*</div>', '', 'g'),
+                 '<[^>]*>', ' ', 'g'),
+               '\s+', ' ', 'g')) AS clean
+      FROM pages
+    )
+    SELECT doc_id, md5(clean) AS clean_md5,
+           CAST(length(clean) AS BIGINT) AS clean_len,
+           ROUND(1.0 - length(clean) * 1.0 / length(html), 4) AS removed_frac
+    FROM cleaned ORDER BY doc_id
+    """,
+)
+def llm_html_boilerplate_strip(spark, sf_dir):
+    """Web-ingest cleaning: drop script blocks and nav boilerplate, strip
+    the remaining markup, normalize whitespace — the regex chain every
+    HTML-corpus pipeline runs before quality scoring (the wrapper here is
+    synthesized deterministically from the row so both engines clean the
+    SAME page and the md5 check is exact).  Pure column regexes: a map
+    stage at scan parallelism, no shuffle except the presentation sort."""
+    d = table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body><div class="nav">'), F.col("source"),
+        F.lit(" menu home</div><p>"), F.col("text"),
+        F.lit("</p><script>track("), F.col("doc_id").cast("string"),
+        F.lit(");</script></body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("html"), r"<script>[^<]*</script>", ""),
+                    r'<div class="nav">[^<]*</div>', ""),
+                r"<[^>]*>", " "),
+            r"\s+", " ")
+    )
+    return (
+        pages.select(
+            "doc_id",
+            F.md5(clean).alias("clean_md5"),
+            F.length(clean).cast("long").alias("clean_len"),
+            F.round(
+                F.lit(1.0) - F.length(clean) / F.length("html"), 4
+            ).alias("removed_frac"),
+        )
+        .orderBy("doc_id")
+    )
