@@ -379,3 +379,65 @@ def events_anomaly_zscore(spark, sf_dir):
         .select("event_type", "h", "n", F.round((F.col("n") - F.col("mu")) / F.col("sd"), 4).alias("z"))
         .orderBy("event_type", "h")
     )
+
+
+@register(
+    "events_hourly_gap_fill",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM ({EVENTS_US_SQL}) GROUP BY event_type, h
+    ), bounds AS (
+      SELECT MIN(h) AS h_lo, MAX(h) AS h_hi FROM hourly
+    ), spine AS (
+      SELECT et.event_type, unnest(generate_series(b.h_lo, b.h_hi, INTERVAL '1 hour')) AS h
+      FROM (SELECT DISTINCT event_type FROM hourly) et CROSS JOIN bounds b
+    )
+    SELECT s.event_type, s.h,
+           COALESCE(hh.n, 0) AS n,
+           COALESCE(hh.total, 0.0) AS total,
+           CAST(hh.n IS NULL AS BOOLEAN) AS gap_filled
+    FROM spine s LEFT JOIN hourly hh
+      ON s.event_type = hh.event_type AND s.h = hh.h
+    ORDER BY s.event_type, s.h
+    """,
+)
+def events_hourly_gap_fill(spark, sf_dir):
+    """Gap-filled hourly rollup (the TSDB ``time_bucket_gapfill``): a dense
+    hour spine per event_type — generated with ``sequence()`` from the
+    corpus's own bounds, never materialized on the driver — left-joined
+    against the sparse hourly partials, missing buckets zero-filled and
+    flagged.  100 TB shape: the spine is |event_type| x hours rows (tiny,
+    broadcast side), the partials are one map-side-combined groupBy; raw
+    events are scanned exactly once."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total"),
+    ).localCheckpoint(eager=True)  # reused by bounds, spine, and the join
+    bounds = hourly.agg(F.min("h").alias("h_lo"), F.max("h").alias("h_hi"))
+    spine = (
+        hourly.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h_lo", "h_hi", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "h"], "left")
+    return (
+        joined.select(
+            "event_type",
+            "h",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.coalesce("total", F.lit(0.0)).alias("total"),
+            F.col("n").isNull().alias("gap_filled"),
+        )
+        .orderBy("event_type", "h")
+    )
