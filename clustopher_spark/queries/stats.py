@@ -9,6 +9,7 @@ subqueries) rather than the DataFrame API.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from clustopher_spark.queries.base import register, table
 
@@ -258,3 +259,57 @@ def stats_quality_expectations(spark, sf_dir):
         "totalprice_positive": F.col("o_totalprice") > 0,
     }
     return expectations_audit(j, rules).orderBy("rule")
+
+
+@register(
+    "stats_ks_price_drift",
+    oracle="""
+    WITH per_value AS (
+      SELECT o_totalprice AS v,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS c_o,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c_f
+      FROM orders WHERE o_orderstatus IN ('O', 'F')
+      GROUP BY v
+    ), cdf AS (
+      SELECT v,
+             SUM(c_o) OVER (ORDER BY v) AS cum_o,
+             SUM(c_f) OVER (ORDER BY v) AS cum_f,
+             SUM(c_o) OVER () AS n_o,
+             SUM(c_f) OVER () AS n_f
+      FROM per_value
+    )
+    SELECT CAST(MAX(n_o) AS BIGINT) AS n_open,
+           CAST(MAX(n_f) AS BIGINT) AS n_filled,
+           ROUND(MAX(ABS(cum_o * 1.0 / n_o - cum_f * 1.0 / n_f)), 6) AS ks_stat
+    FROM cdf
+    """,
+)
+def stats_ks_price_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov statistic between the order-price
+    distributions of open vs filled orders — the distribution-drift gate a
+    pipeline runs between ingest cycles.  Exact-at-scale shape: collapse to
+    per-DISTINCT-value group counts first (map-side combine bounds the
+    ordered pass by value cardinality, not row count), then one global
+    ordered window builds both CDFs and takes the sup-distance.  When value
+    cardinality itself is huge, the approximate path is quantile sketches
+    (stats_approx_percentile); this is the exact reference for it."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus").isin("O", "F"))
+    per_value = o.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).cast("long").alias("c_o"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).cast("long").alias("c_f"),
+    )
+    w_ord = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    cdf = per_value.select(
+        F.sum("c_o").over(w_ord).alias("cum_o"),
+        F.sum("c_f").over(w_ord).alias("cum_f"),
+        F.sum("c_o").over(w_all).alias("n_o"),
+        F.sum("c_f").over(w_all).alias("n_f"),
+    )
+    return cdf.agg(
+        F.max("n_o").cast("long").alias("n_open"),
+        F.max("n_f").cast("long").alias("n_filled"),
+        F.round(
+            F.max(F.abs(F.col("cum_o") / F.col("n_o") - F.col("cum_f") / F.col("n_f"))), 6
+        ).alias("ks_stat"),
+    )
