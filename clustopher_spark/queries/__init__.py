@@ -36,7 +36,7 @@ _DEMOTED_FROM_WINDOW = {
     "llm_embedding_norms_by_label",  # plain norms; llm_label_centroid_cosine covers the array math harder
     "spatial_geojson_features",  # string-assembly sink; spatial_grid_centroids re-verifies the aggregation under it
     "events_views_within_hour_of_purchase",  # interval-join shape re-verified by events_asof_last_view_before_purchase
-    "llm_pii_redaction",  # regex-redaction machinery re-verified by llm_html_boilerplate_strip's heavier regex chain
+    "stats_moments",  # stddev/variance family re-verified by stats_correlation + stats_ks_price_drift
 }
 
 
