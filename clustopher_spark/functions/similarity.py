@@ -283,3 +283,79 @@ def embedding_cosine_near_dups(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a k-means coarse quantizer,
+    then within each cluster keep ONE representative per group of vectors
+    whose cosine similarity exceeds ``threshold``.
+
+    Output: one row per input vector —
+    ``(id, list_id, keep BOOLEAN, dup_of LONG)`` where ``dup_of`` is the
+    kept representative's id (NULL for kept rows). Deterministic: the
+    within-cluster sweep runs in ascending id order and keeps the first
+    member of each semantic group, so reruns (and the planted-dup test)
+    reproduce identical verdicts.
+
+    100 TB shape — the paper's own tradeoff, mapped to Spark: the
+    quantizer trains on a sample (never the corpus); assignment is one
+    broadcast-matmul map pass (no shuffle); the only shuffle keys on
+    list_id, and the within-cluster pass is a per-group numpy sweep that
+    compares each vector ONLY against its cluster's kept representatives
+    (O(c * kept) per cluster, memory O(kept * dim)). Cross-cluster
+    near-dups are missed by design — that recall/cost tradeoff is the
+    reason SemDeDup scales where all-pairs cosine cannot; raise n_lists
+    to shrink tasks, lower it to raise recall."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_lists, vec_col, sample_fraction, seed
+        )
+    assign_one = ivf_lists_udf(centroids, 1)
+    tagged = corpus.select(
+        F.col(id_col).alias("id").cast("long"),
+        F.col(vec_col).alias("vec"),
+        assign_one(F.col(vec_col))[0].alias("list_id"),
+    )
+    thr = float(threshold)
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        np.maximum(norms, 1e-12, out=norms)
+        mat /= norms
+        ids = pdf["id"].to_numpy(np.int64)
+        kept: list[int] = []
+        dup_of = np.full(len(pdf), -1, dtype=np.int64)
+        for i in range(len(pdf)):
+            if kept:
+                sims = mat[kept] @ mat[i]
+                j = int(np.argmax(sims))
+                if sims[j] >= thr:
+                    dup_of[i] = ids[kept[j]]
+                    continue
+            kept.append(i)
+        out = pd.DataFrame(
+            {
+                "id": ids,
+                "list_id": pdf["list_id"].to_numpy(np.int32),
+                "keep": dup_of < 0,
+                "dup_of": dup_of,
+            }
+        )
+        out["dup_of"] = out["dup_of"].astype("object").where(out["dup_of"] >= 0, None)
+        return out
+
+    return tagged.groupBy("list_id").applyInPandas(
+        sweep, schema="id long, list_id int, keep boolean, dup_of long"
+    )

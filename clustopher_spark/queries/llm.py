@@ -1543,3 +1543,125 @@ def llm_html_boilerplate_strip(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "llm_token_heavy_hitters",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ), counted AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks WHERE token <> '' GROUP BY token
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total FROM counted
+    )
+    SELECT token, n, ROUND(n * 1.0 / total, 6) AS share
+    FROM counted CROSS JOIN tot
+    ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def llm_token_heavy_hitters(spark, sf_dir):
+    """Exact global heavy hitters: the top-20 tokens by corpus frequency
+    with their share of all tokens — the vocabulary-head report a pipeline
+    checks for boilerplate takeover (one token's share spiking means a
+    template is flooding the corpus).
+
+    100 TB shape: explode feeds a hash aggregate with map-side combine, so
+    the one shuffle carries per-partition (token, partial-count) rows —
+    bounded by distinct tokens per partition, not corpus tokens. The final
+    top-20 is TakeOrderedAndProject (per-partition heaps, a 20-row merge —
+    no global sort), and the grand total reuses the same aggregate's
+    exchange (ReuseExchange), not a second scan."""
+    d = table(spark, sf_dir, "documents")
+    counted = (
+        d.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = counted.agg(F.sum("n").cast("long").alias("total"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .select(
+            "token", "n", F.round(F.col("n") / F.col("total"), 6).alias("share")
+        )
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+@register(
+    "llm_corpus_shard_plan",
+    oracle=r"""
+    WITH sharded AS (
+      SELECT doc_id, n_chars,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) BETWEEN '0' AND '9'
+                  THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48
+                  ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87
+             END AS shard_id
+      FROM documents
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM sharded GROUP BY shard_id ORDER BY shard_id
+    """,
+)
+def llm_corpus_shard_plan(spark, sf_dir):
+    """Deterministic training-shard assignment + the shard manifest: each
+    document lands in one of 16 shards by a portable content-independent
+    hash (first md5 hex nibble of the doc id), and the manifest reports per-
+    shard doc/token/char volume — the balance check run before writing
+    training shards, where a skewed shard becomes the long pole of every
+    epoch.
+
+    The hash-sharding (not round-robin) is the property that matters at
+    100 TB: assignment is a pure per-row expression, independent of
+    partitioning and ordering, so retries, backfills, and different cluster
+    sizes reproduce identical shards (the same reason llm_stratified_sample
+    hashes instead of sampling). The manifest is one scan + one 16-key
+    shuffle; the actual shard write is `df.write.partitionBy(shard_id)`
+    over the same expression."""
+    d = table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    shard = (
+        F.when(nib.between("0", "9"), F.ascii(nib) - 48)
+        .otherwise(F.ascii(nib) - 87)
+    )
+    return (
+        d.select(
+            shard.alias("shard_id"),
+            "doc_id",
+            "n_chars",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+@register("llm_semdedup")  # KMeans quantizer inside: not SQL-expressible;
+# rows-only driver check. Semantics pinned by the planted-group unit test
+# (one kept representative per planted near-identical group, noise kept).
+def llm_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup over the embeddings table: per-vector
+    keep/drop verdicts (see functions/similarity.py::semdedup for the
+    algorithm and its 100 TB shape)."""
+    from clustopher_spark.functions.similarity import semdedup
+
+    e = table(spark, sf_dir, "embeddings")
+    return semdedup(e, threshold=0.93, n_lists=8).orderBy("id")

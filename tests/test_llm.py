@@ -526,3 +526,55 @@ def test_binary_file_source_to_image_decode(spark, tmp_path):
     for i in range(5):
         r = decoded[i]
         assert (r.width, r.height, r.format) == (9, 10 + i, "bmp")
+
+
+def _semdedup_fixture(spark, n_noise=60, dim=16, seed=11):
+    """Noise vectors + three planted groups of near-identical vectors.
+
+    Group ids: {200, 201, 202}, {210, 211}, {220, 221, 222, 223} — each
+    member is its group base + tiny jitter, so within-group cosine > 0.99
+    while noise-to-anything stays far below any sane threshold."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_noise):
+        rows.append((i, [float(x) for x in rng.standard_normal(dim)]))
+    groups = {200: 3, 210: 2, 220: 4}
+    for base_id, size in groups.items():
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        for j in range(size):
+            v = base + rng.standard_normal(dim) * 0.005
+            rows.append((base_id + j, [float(x) for x in v]))
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        groups,
+    )
+
+
+def test_semdedup_planted_groups(spark):
+    from clustopher_spark.functions.similarity import semdedup
+
+    e, groups = _semdedup_fixture(spark)
+    out = semdedup(e, threshold=0.95, n_lists=4).toPandas().set_index("id")
+    # every planted group collapses to exactly its min-id representative
+    for base_id, size in groups.items():
+        members = list(range(base_id, base_id + size))
+        kept = [m for m in members if out.loc[m, "keep"]]
+        assert kept == [base_id], f"group {base_id}: kept {kept}"
+        for m in members[1:]:
+            assert out.loc[m, "dup_of"] == base_id
+    # noise vectors all survive (nothing near them)
+    noise = out.loc[[i for i in range(60)]]
+    assert noise["keep"].all()
+    # verdict totality: one row per input, kept rows have null dup_of
+    assert len(out) == 60 + sum(groups.values())
+    assert out[out["keep"]]["dup_of"].isna().all()
+
+
+def test_semdedup_deterministic(spark):
+    from clustopher_spark.functions.similarity import semdedup
+
+    e, _ = _semdedup_fixture(spark)
+    r1 = sorted(map(tuple, semdedup(e, threshold=0.95, n_lists=4).collect()))
+    r2 = sorted(map(tuple, semdedup(e, threshold=0.95, n_lists=4).collect()))
+    assert r1 == r2
