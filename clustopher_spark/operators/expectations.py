@@ -42,3 +42,30 @@ def expectations_audit(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         F.col("n_rows").cast("long").alias("n_rows"),
         F.round(F.col("n_violations") / F.col("n_rows"), 6).alias("violation_rate"),
     )
+
+
+def observed_expectations(df: DataFrame, rules: dict[str, Column]):
+    """Zero-extra-scan expectations: attach the same rule counters as
+    ``expectations_audit`` to ``df`` as observed metrics, so they are
+    computed as a side effect of whatever action the pipeline runs anyway
+    (the training-shard write, the dedup count, ...) — no second pass over
+    100 TB just to know the violation rates.
+
+    Returns ``(observed_df, observation)``: run any ONE action on
+    ``observed_df`` (observed metrics are per-action; reuse requires
+    re-attaching), then read ``observation.get`` —
+    ``{"n_rows": N, "v_<rule>": count, ...}``. ``expectations_audit`` is
+    the standalone-audit form of the same counters (one dedicated scan);
+    this is the riding-along form. Counters are plain sum/count aggregates
+    evaluated inside the action's own tasks (map-side, no extra shuffle)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("expectations")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, pred in rules.items():
+        aggs.append(
+            F.sum(F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1))
+            .cast("long")
+            .alias(f"v_{name}")
+        )
+    return df.observe(obs, *aggs), obs

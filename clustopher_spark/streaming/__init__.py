@@ -4,7 +4,7 @@ from clustopher_spark.streaming.windows import (
     stream_events,
     tumbling_counts_stream,
 )
-from clustopher_spark.streaming.stateful import running_user_totals
+from clustopher_spark.streaming.stateful import running_user_totals, streaming_topk_values
 from clustopher_spark.streaming.joins import (
     dedup_within_watermark,
     views_purchases_interval_join,
@@ -17,6 +17,7 @@ __all__ = [
     "sliding_counts_stream",
     "sessionized_stream",
     "running_user_totals",
+    "streaming_topk_values",
     "views_purchases_interval_join",
     "dedup_within_watermark",
     "foreach_batch_upsert",

@@ -198,3 +198,33 @@ def test_expectations_audit_operator(spark):
     assert out["id_unique_range"].n_violations == 0
     assert all(r.n_rows == 4 for r in out.values())
     assert abs(out["v_positive"].violation_rate - 0.5) < 1e-9
+
+
+def test_observed_expectations_rides_along(spark):
+    """The Observation form must report the same counters as the dedicated
+    audit scan, as a side effect of an unrelated action (here a filter +
+    count — the 'pipeline work' the metrics ride on)."""
+    from clustopher_spark.operators.expectations import (
+        expectations_audit,
+        observed_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "ok"), (2, -5.0, "ok"), (3, None, "bad"), (4, 7.0, None)],
+        "id long, v double, status string",
+    )
+    rules = {
+        "v_positive": F.col("v") > 0,
+        "status_known": F.col("status").isin("ok", "bad"),
+    }
+    observed, obs = observed_expectations(df, rules)
+    # the pipeline's own action — not an audit scan
+    n_kept = observed.filter(F.col("id") <= 3).count()
+    assert n_kept == 3
+    m = obs.get
+    assert m["n_rows"] == 4
+    assert m["v_v_positive"] == 2
+    assert m["v_status_known"] == 1
+    audit = {r.rule: r.n_violations for r in expectations_audit(df, rules).collect()}
+    assert m["v_v_positive"] == audit["v_positive"]
+    assert m["v_status_known"] == audit["status_known"]

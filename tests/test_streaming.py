@@ -4,6 +4,8 @@ as their batch equivalents when draining the same parquet with availableNow.
 
 from __future__ import annotations
 
+import importlib.util
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -328,3 +330,41 @@ def test_incremental_minhash_dedup_index(spark, tmp_path):
     idx = spark.read.parquet(index_path)
     assert idx.count() == 19 * 8
     assert idx.select("id").distinct().count() == 19
+
+
+@pytest.mark.skipif(
+    importlib.util.find_spec("google") is None,
+    reason="transformWithState's state-server protocol needs protobuf, "
+    "absent in this container (operator is environment-gated)",
+)
+def test_transform_with_state_topk_matches_batch(spark, events_stream):
+    """transformWithStateInPandas (typed ListState on RocksDB): an
+    availableNow drain must land on the batch top-3-per-user answer."""
+    from pyspark.sql.window import Window
+
+    from clustopher_spark.streaming.stateful import streaming_topk_values
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        run_available_now(
+            streaming_topk_values(events_stream, k=3), "topk_out", output_mode="update"
+        )
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    stream_rows = {
+        (r.user_id, r.rank): r.value
+        for r in spark.sql("select * from topk_out").collect()
+    }
+    ev = table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    batch = (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "rank", F.round("value", 2).alias("value"))
+    )
+    batch_rows = {(r.user_id, r.rank): r.value for r in batch.collect()}
+    assert len(stream_rows) == len(batch_rows) > 0
+    assert stream_rows == batch_rows
