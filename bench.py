@@ -229,6 +229,10 @@ def main() -> None:
     q = run_available_now(
         tumbling_counts_stream(stream_events(spark, f"{SF_DIR}/events.parquet")),
         "bench_stream_tumbling",
+        # state-partition sizing (a per-query deployment knob, see
+        # run_available_now): one availableNow batch over sf0.1 doesn't
+        # amortize 32 state store instances
+        shuffle_partitions=8,
     )
     dt = time.perf_counter() - t0
     n_out = spark.table("bench_stream_tumbling").count()

@@ -97,16 +97,38 @@ def sessionized_stream(
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = "complete"):
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    shuffle_partitions: int | None = None,
+):
     """Drain everything currently available into an in-memory table and stop
     — the batch-parity harness used by tests (and a template for real sinks:
-    swap format('memory') for format('delta')/kafka/parquet)."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    swap format('memory') for format('delta')/kafka/parquet).
+
+    ``shuffle_partitions`` sizes the stateful shuffle (= number of state
+    store instances) for THIS query — a real streaming deployment decision:
+    a streaming query's state partitioning is locked in at its first
+    checkpoint, and each instance pays per-micro-batch maintenance, so it
+    is sized to steady-state throughput, not to the session's batch
+    default. Results are partition-count-independent (pinned by the
+    batch-parity tests); the session conf is restored after start."""
+    spark = stream_df.sparkSession
+    prev = None
+    if shuffle_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     return q

@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Reference-parity performance batteries.
+
+Replicates the two perf matrices the reference ships (BASELINE.md):
+
+* microbenchmark matrix (`cluster/benchmark_test.go:50-138`):
+  {1k, 10k, 100k} points x zoom {2, 8, 14}; radius 40, minPoints 3,
+  extent 512, seeded rand(42), US bbox (-125,-65)x(25,49); best-of-3.
+* profiler battery (`cmd/profiler/main.go:121-185`):
+  {1k, 10k, 50k, 100k} points x zoom {2, 5, 8, 12, 15}; same options.
+
+The reference publishes the harness but no numbers; this prints the
+markdown tables (and PROFILE.md when --write) so our numbers are the
+committed record. Each cell times the full viewport query over the US
+bbox at that zoom (`get_clusters`: bbox filter -> greedy kernel ->
+aggregate -> unproject), inputs materialized (localCheckpoint) before
+the clock starts — the analog of the reference timing queries against
+an already-loaded dataset.
+
+Run: PYTHONPATH=/root/repo python3 tools/profile_battery.py [--write]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+US = (-125.0, 25.0, -65.0, 49.0)  # west, south, east, north
+
+
+def run_battery(spark, sizes, zooms, repeats=3):
+    from clustopher_spark.operators.cluster import ClusterOptions, get_clusters
+    from clustopher_spark.sources.generators import generate_test_points
+
+    opts = ClusterOptions(radius=40.0, min_points=3, extent=512)
+    w, s, e, n = US
+    cells: dict[tuple[int, int], tuple[float, int]] = {}
+    for size in sizes:
+        pts = (
+            generate_test_points(spark, size, west=w, south=s, east=e, north=n, seed=42)
+            .select("id", "lng", "lat", "value")
+            .localCheckpoint(eager=True)
+        )
+        pts.count()
+        for zoom in zooms:
+            best, rows = None, 0
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                rows = get_clusters(pts, w, s, e, n, zoom, ["value"], opts).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            cells[(size, zoom)] = (best, rows)
+            print(f"# n={size} zoom={zoom}: {best:.3f}s ({rows} clusters)", file=sys.stderr)
+    return cells
+
+
+def table(title, sizes, zooms, cells):
+    lines = [f"### {title}", ""]
+    lines.append("| points \\ zoom | " + " | ".join(f"z{z}" for z in zooms) + " |")
+    lines.append("|---|" + "---|" * len(zooms))
+    for size in sizes:
+        row = [f"| {size:,} |"]
+        for z in zooms:
+            t, rows = cells[(size, z)]
+            row.append(f" {t:.3f}s ({rows:,}) |")
+        lines.append("".join(row))
+    lines.append("")
+    return "\n".join(lines)
+
+
+def main() -> None:
+    from clustopher_spark import get_spark
+
+    spark = get_spark(app_name="clustopher-profile-battery")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the python worker pool so the first cell isn't billed the forks
+    import pyspark.sql.functions as F
+
+    warm = spark.range(0, 1024, 1, 32).withColumn("g", F.col("id") % 32)
+    warm.groupBy("g").applyInPandas(lambda p: p.head(1), schema="id long, g long").count()
+
+    bench_sizes, bench_zooms = [1_000, 10_000, 100_000], [2, 8, 14]
+    prof_sizes, prof_zooms = [1_000, 10_000, 50_000, 100_000], [2, 5, 8, 12, 15]
+    all_sizes = sorted(set(bench_sizes) | set(prof_sizes))
+    all_zooms = sorted(set(bench_zooms) | set(prof_zooms))
+    cells = run_battery(spark, all_sizes, all_zooms)
+
+    out = [
+        "# PROFILE — reference-parity perf batteries (viewport query, best-of-3)",
+        "",
+        "Config mirrors `cluster/benchmark_test.go:50-138` / "
+        "`cmd/profiler/main.go:121-185`: radius 40, minPoints 3, extent 512, "
+        "seed 42, US bbox (-125,-65)x(25,49); `get_clusters` end-to-end on "
+        "local[32] over a checkpointed input. Cell = wall time (clusters).",
+        "",
+        table("Microbenchmark matrix (benchmark_test.go)", bench_sizes, bench_zooms, cells),
+        table("Profiler battery (cmd/profiler)", prof_sizes, prof_zooms, cells),
+    ]
+    text = "\n".join(out)
+    print(text)
+    if "--write" in sys.argv:
+        path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PROFILE.md")
+        with open(path, "w") as f:
+            f.write(text + "\n")
+        print(f"# wrote {path}", file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
