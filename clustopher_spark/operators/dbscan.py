@@ -1,0 +1,123 @@
+"""Distributed DBSCAN (Ester et al. 1996) — density clustering beyond the
+reference's greedy-radius operator (cluster/cluster.go:1266-1360 clusters
+by greedy sweep; DBSCAN's core/border/noise semantics are the standard
+density alternative a spatial analytics engine is expected to offer).
+
+Spark-first decomposition — every step is a relational op, no Python
+kernel at all:
+
+1. ε-grid candidate pairs: bucket points into cells of edge ``eps``,
+   explode the PROBE side to its 3x3 neighbor cells, hash-join on the
+   cell key, filter exact squared distance. Never all-pairs: fan-out is
+   9x one side, candidate count is bounded by per-cell density (the same
+   J2 band-join shape as the greedy kernel's grid).
+2. Core points: neighborhood degree (self included, per the paper's
+   |N_eps(p)| >= minPts) via one groupBy on the pair list.
+3. Clusters: connected components over CORE-CORE edges (the
+   density-reachability graph restricted to cores) using the engine's
+   label-propagation operator — O(cluster diameter) rounds, each one
+   join + groupBy.
+4. Border points: non-core with >= 1 core neighbor, assigned the MIN
+   core-neighbor label (plain DBSCAN leaves border assignment
+   order-dependent; min-label makes it deterministic so the DuckDB
+   oracle can replay it exactly). Everything else is noise.
+
+100 TB shape: two shuffles for candidates (cell key), one for degrees,
+O(diameter) label rounds on the core-edge list (dense clusters are
+shallow graphs), plus two bounded assignment joins. A pathological cell
+(everything in one ε-cell) degrades to that cell's pairs only — cap
+density upstream (sample or pre-aggregate) exactly as you would for any
+self-join on a skewed key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clustopher_spark.functions.dedup import connected_components
+
+
+def dbscan(
+    points: DataFrame,
+    eps: float,
+    min_pts: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Exact DBSCAN over planar coordinates.
+
+    Returns one row per input point: ``(id, label, kind)`` where ``kind``
+    is 'core' / 'border' / 'noise' and ``label`` is the cluster id (the
+    minimum member id of the cluster's core set; NULL for noise).
+    Deterministic under any partitioning: every step is set-algebraic and
+    ties break by min.
+    """
+    eps2 = float(eps) * float(eps)
+    p = points.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    cell = lambda c: F.floor(c / F.lit(float(eps)))  # noqa: E731
+    base = p.select("id", "x", "y", cell(F.col("x")).alias("cx"), cell(F.col("y")).alias("cy"))
+    probe_cells = F.array(
+        *[
+            F.struct(
+                (F.col("cx") + dx).alias("pcx"), (F.col("cy") + dy).alias("pcy")
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probes = base.select(
+        F.col("id").alias("idb"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.explode(probe_cells).alias("pc"),
+    ).select("idb", "xb", "yb", F.col("pc.pcx").alias("cx"), F.col("pc.pcy").alias("cy"))
+    # ordered candidate pairs (a, b) incl. the self pair — |N_eps| counts self
+    cand = (
+        base.join(probes, ["cx", "cy"])
+        .filter(
+            (F.col("x") - F.col("xb")) * (F.col("x") - F.col("xb"))
+            + (F.col("y") - F.col("yb")) * (F.col("y") - F.col("yb"))
+            <= F.lit(eps2)
+        )
+        .select("id", "idb")
+    )
+    cand = cand.localCheckpoint(eager=True)  # consumed 4x below
+    deg = cand.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    core = deg.filter(F.col("n") >= min_pts).select("id")
+    core_edges = (
+        cand.filter(F.col("id") != F.col("idb"))
+        .join(core, "id", "left_semi")
+        .join(core.select(F.col("id").alias("idb")), "idb", "left_semi")
+    )
+    core_labels = connected_components(
+        core_edges, vertices=core, id_a="id", id_b="idb"
+    ).withColumnRenamed("group_id", "label")
+    border = (
+        cand.filter(F.col("id") != F.col("idb"))
+        .join(core, "id", "left_anti")
+        .join(
+            core_labels.select(F.col("id").alias("idb"), "label"), "idb"
+        )
+        .groupBy("id")
+        .agg(F.min("label").alias("label"))
+    )
+    out = (
+        p.select("id")
+        .join(core_labels.select("id", F.col("label").alias("core_label")), "id", "left")
+        .join(border.select("id", F.col("label").alias("border_label")), "id", "left")
+        .select(
+            "id",
+            F.coalesce("core_label", "border_label").alias("label"),
+            F.when(F.col("core_label").isNotNull(), "core")
+            .when(F.col("border_label").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("kind"),
+        )
+    )
+    return out

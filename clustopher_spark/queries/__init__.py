@@ -42,6 +42,7 @@ _DEMOTED_FROM_WINDOW = {
     # oracle-verified at sf0.001 and sf0.01 by test_oracle_parity)
     "llm_token_heavy_hitters",
     "llm_corpus_shard_plan",
+    "spatial_dbscan",
 }
 
 

@@ -639,3 +639,99 @@ def spatial_quadkey_rollup(spark, sf_dir):
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out.orderBy("zoom", "quadkey")
+
+
+# Planted-density derivation for the DBSCAN oracle: 80% of points scatter
+# (+-120) around one of 500 Weyl-spread sites on a 60000 x 24000 integer
+# plane, 20% are uniform background — all exact integer arithmetic, so
+# DuckDB reproduces every coordinate bit-for-bit and the parity check is
+# strict. (The plain orders-derived lattice has no density structure:
+# consecutive orderkeys land eps-close and everything chains into one
+# component, which is not a DBSCAN test.)
+DBSCAN_PTS_SQL = """
+    SELECT o_orderkey AS id,
+           CASE WHEN o_orderkey % 10 < 8
+                THEN ((o_orderkey % 500) * 1201) % 59000 + 500 + (o_orderkey * 29587) % 241 - 120
+                ELSE (o_orderkey * 31469) % 60000 END AS ix,
+           CASE WHEN o_orderkey % 10 < 8
+                THEN ((o_orderkey % 500) * 761) % 23000 + 500 + (o_orderkey * 9973) % 241 - 120
+                ELSE (o_orderkey * 17393) % 24000 END AS iy
+    FROM orders
+"""
+
+_DBSCAN_EPS, _DBSCAN_MINPTS = 300, 4
+
+
+def dbscan_points_df(spark, sf_dir):
+    """Spark side of the planted-density derivation (same integer exprs)."""
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    clustered = k % 10 < 8
+    ix = F.when(
+        clustered, ((k % 500) * 1201) % 59000 + 500 + (k * 29587) % 241 - 120
+    ).otherwise((k * 31469) % 60000)
+    iy = F.when(
+        clustered, ((k % 500) * 761) % 23000 + 500 + (k * 9973) % 241 - 120
+    ).otherwise((k * 17393) % 24000)
+    return o.select(k.alias("id"), ix.alias("ix"), iy.alias("iy"))
+
+
+@register(
+    "spatial_dbscan",
+    oracle=f"""
+    WITH pts AS ({DBSCAN_PTS_SQL}),
+    cand AS (
+      SELECT a.id AS ida, b.id AS idb
+      FROM pts a JOIN pts b
+        ON b.ix // {_DBSCAN_EPS} BETWEEN a.ix // {_DBSCAN_EPS} - 1 AND a.ix // {_DBSCAN_EPS} + 1
+       AND b.iy // {_DBSCAN_EPS} BETWEEN a.iy // {_DBSCAN_EPS} - 1 AND a.iy // {_DBSCAN_EPS} + 1
+      WHERE (a.ix-b.ix)*(a.ix-b.ix) + (a.iy-b.iy)*(a.iy-b.iy) <= {_DBSCAN_EPS * _DBSCAN_EPS}
+    ),
+    deg AS (SELECT ida AS id, COUNT(*) AS n FROM cand GROUP BY ida),
+    core AS (SELECT id FROM deg WHERE n >= {_DBSCAN_MINPTS}),
+    ce AS (
+      SELECT c.ida, c.idb FROM cand c
+      JOIN core x ON c.ida = x.id JOIN core y ON c.idb = y.id
+      WHERE c.ida <> c.idb
+    ),
+    reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT ida, idb FROM ce
+        UNION
+        SELECT r.src, e.idb FROM r JOIN ce e ON r.dst = e.ida
+      ) SELECT * FROM r
+    ),
+    lab AS (
+      SELECT c.id, LEAST(c.id, COALESCE(MIN(r.dst), c.id)) AS label
+      FROM core c LEFT JOIN reach r ON r.src = c.id GROUP BY c.id
+    ),
+    border AS (
+      SELECT c.ida AS id, MIN(l.label) AS label
+      FROM cand c JOIN lab l ON c.idb = l.id
+      WHERE c.ida <> c.idb AND c.ida NOT IN (SELECT id FROM core)
+      GROUP BY c.ida
+    )
+    SELECT p.id,
+           CAST(COALESCE(l.label, b.label) AS BIGINT) AS label,
+           CASE WHEN l.id IS NOT NULL THEN 'core'
+                WHEN b.id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS kind
+    FROM pts p
+    LEFT JOIN lab l ON p.id = l.id
+    LEFT JOIN border b ON p.id = b.id
+    ORDER BY p.id
+    """,
+)
+def spatial_dbscan(spark, sf_dir):
+    """Exact distributed DBSCAN (operators/dbscan.py) over planted-density
+    points, checked against a DuckDB implementation built from the same
+    definition (grid-bounded candidate pairs, recursive-CTE closure for
+    the core components, min-label border assignment). Every point gets a
+    (label, kind) verdict; strict value parity."""
+    from clustopher_spark.operators.dbscan import dbscan
+
+    pts = dbscan_points_df(spark, sf_dir)
+    return (
+        dbscan(pts, eps=_DBSCAN_EPS, min_pts=_DBSCAN_MINPTS, x_col="ix", y_col="iy")
+        .orderBy("id")
+    )

@@ -165,3 +165,29 @@ def test_sum_metric_maps_heterogeneous_keys(spark):
     got = {r.cluster_id: dict(r.metrics) for r in sum_metric_maps(df).collect()}
     assert got[1] == {"sales": 300.0, "units": 2.0}
     assert got[2] == {"elevation": 5.0}
+
+
+def test_dbscan_literal_blobs(spark):
+    """DBSCAN verdicts on a hand-computed layout: two dense blobs (core),
+    one reachable-but-sparse point (border), two isolated points (noise).
+    eps=10, min_pts=3 (|N_eps| includes self, per the paper)."""
+    from clustopher_spark.operators.dbscan import dbscan
+
+    rows = [
+        # blob A: unit square scaled by 5 — all pairwise <= 7.08 <= eps
+        (1, 0.0, 0.0), (2, 5.0, 0.0), (3, 0.0, 5.0), (4, 5.0, 5.0),
+        # blob B: 3-point cluster at (100, 100)
+        (10, 100.0, 100.0), (11, 105.0, 100.0), (12, 100.0, 105.0),
+        # border: within eps of (5,0) only -> 2 neighbors incl self < 3
+        (20, 14.0, 0.0),
+        # noise
+        (30, 200.0, 200.0), (31, 300.0, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = {r.id: (r.label, r.kind) for r in dbscan(df, eps=10.0, min_pts=3).collect()}
+    assert out[1] == (1, "core") and out[2] == (1, "core")
+    assert out[3] == (1, "core") and out[4] == (1, "core")
+    assert out[10] == (10, "core") and out[11] == (10, "core") and out[12] == (10, "core")
+    assert out[20] == (1, "border")
+    assert out[30] == (None, "noise") and out[31] == (None, "noise")
+    assert len(out) == 10
