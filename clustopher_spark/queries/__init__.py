@@ -43,6 +43,7 @@ _DEMOTED_FROM_WINDOW = {
     "llm_token_heavy_hitters",
     "llm_corpus_shard_plan",
     "spatial_dbscan",
+    "llm_feature_hashing",
 }
 
 

@@ -1665,3 +1665,58 @@ def llm_semdedup(spark, sf_dir):
 
     e = table(spark, sf_dir, "embeddings")
     return semdedup(e, threshold=0.93, n_lists=8).orderBy("id")
+
+
+@register(
+    "llm_feature_hashing",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(token), 1, 15))::BIGINT % 64 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE token <> '' GROUP BY doc_id, bucket
+    ), nrm AS (
+      SELECT doc_id, sqrt(SUM(tf * tf)) AS nv FROM tf GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.bucket, t.tf, ROUND(t.tf / n.nv, 4) AS weight
+    FROM tf t JOIN nrm n USING (doc_id)
+    ORDER BY t.doc_id, t.bucket
+    """,
+)
+def llm_feature_hashing(spark, sf_dir):
+    """Text featurization by the hashing trick (Weinberger et al. 2009):
+    token -> 64-dim bucket via the portable 60-bit md5 hash, term counts
+    L2-normalized per document — the embed-without-a-model step that turns
+    the text surface into input for the vector surface (ANN, SemDeDup,
+    cosine near-dups), emitted in sparse (doc, bucket, weight) form.
+
+    100 TB shape: fixed output dimensionality regardless of vocabulary
+    (the trick's point — no vocabulary table to build, broadcast, or keep
+    consistent across backfills), one hash aggregate on (doc_id, bucket)
+    with map-side combine, then a doc_id window over the already-reduced
+    sparse rows (<= 64 per doc). Hash is partitioning-independent, so
+    features reproduce exactly under retries and resharding."""
+    from clustopher_spark.functions.dedup import portable_hash60
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = (
+        toks.select("doc_id", (portable_hash60(F.col("token")) % 64).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    w = Window.partitionBy("doc_id")
+    return (
+        tf.withColumn("nv", F.sqrt(F.sum(F.col("tf") * F.col("tf")).over(w)))
+        .select(
+            "doc_id", "bucket", "tf",
+            F.round(F.col("tf") / F.col("nv"), 4).alias("weight"),
+        )
+        .orderBy("doc_id", "bucket")
+    )
