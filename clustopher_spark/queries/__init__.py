@@ -44,6 +44,7 @@ _DEMOTED_FROM_WINDOW = {
     "llm_corpus_shard_plan",
     "spatial_dbscan",
     "llm_feature_hashing",
+    "stats_price_histogram",
 }
 
 

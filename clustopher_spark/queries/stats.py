@@ -313,3 +313,58 @@ def stats_ks_price_drift(spark, sf_dir):
             F.max(F.abs(F.col("cum_o") / F.col("n_o") - F.col("cum_f") / F.col("n_f"))), 6
         ).alias("ks_stat"),
     )
+
+
+@register(
+    "stats_price_histogram",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    ), binned AS (
+      SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20.0)) AS BIGINT), 19) AS bucket,
+             o_totalprice, lo, hi
+      FROM orders CROSS JOIN bounds
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(lo + bucket * (hi - lo) / 20.0), 4) AS bucket_lo,
+           ROUND(MIN(lo + (bucket + 1) * (hi - lo) / 20.0), 4) AS bucket_hi
+    FROM binned GROUP BY bucket ORDER BY bucket
+    """,
+)
+def stats_price_histogram(spark, sf_dir):
+    """Exact 20-bucket equi-width histogram of order totals (the exact
+    counterpart of Spark's approximate ``histogram_numeric``, whose
+    NumericHistogram sketch DuckDB cannot replay — exact binning is the
+    oracle-able form). Two scans expressed as one aggregate + broadcast:
+    the 1-row min/max bounds cross-join into the binning expression, so
+    the bucket math is a map stage and the histogram is one 20-key
+    aggregate with map-side combine — at 100 TB the second scan is the
+    only real cost, and a bounds-from-statistics shortcut (parquet
+    footers) can replace the first."""
+    o = table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(20.0)
+    binned = o.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("long"),
+            F.lit(19),
+        ).alias("bucket"),
+        "lo",
+        "hi",
+    )
+    return (
+        binned.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.min(F.col("lo") + F.col("bucket") * (F.col("hi") - F.col("lo")) / F.lit(20.0)), 4
+            ).alias("bucket_lo"),
+            F.round(
+                F.min(F.col("lo") + (F.col("bucket") + 1) * (F.col("hi") - F.col("lo")) / F.lit(20.0)), 4
+            ).alias("bucket_hi"),
+        )
+        .orderBy("bucket")
+    )
