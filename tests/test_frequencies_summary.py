@@ -273,3 +273,37 @@ def test_fused_pass_matches_level_at_a_time(spark):
         materialize_zoom_levels(df, ["value"], opts, local_tail_threshold=0, fuse=False)
     )
     assert fused == unfused
+
+
+def test_fused_update_equals_level_at_a_time(spark):
+    """The one-shuffle fused incremental pass must agree with the
+    level-at-a-time reference implementation (fuse=False) exactly — same
+    canon as the rebuild-equivalence test."""
+    from clustopher_spark.operators.zoom import (
+        materialize_zoom_levels,
+        update_zoom_levels,
+    )
+    from clustopher_spark.sources.generators import generate_test_points
+
+    opts = ClusterOptions(radius=100.0, min_points=2, max_zoom=8)
+    old = generate_test_points(spark, 6000, seed=31).select("id", "lng", "lat", "value")
+    new = (
+        generate_test_points(spark, 300, seed=32)
+        .select("id", "lng", "lat", "value")
+        .withColumn("id", F.col("id") + 1_000_000)
+    )
+    levels_old = materialize_zoom_levels(old, ["value"], opts)
+    fused = update_zoom_levels(levels_old, old, new, ["value"], opts, fuse=True)
+    ref = update_zoom_levels(levels_old, old, new, ["value"], opts, fuse=False)
+
+    def canon(df):
+        return sorted(
+            (
+                r.zoom, r.cluster_id, round(r.lng, 9), round(r.lat, 9),
+                r.point_count, r.num_members, bool(r.is_cluster), round(r.sum_value, 6),
+            )
+            for r in df.collect()
+        )
+
+    a, b = canon(fused), canon(ref)
+    assert len(a) == len(b) and a == b
