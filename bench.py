@@ -192,6 +192,31 @@ def main() -> None:
             f" ({n_pyr} pyramid rows, zooms 0-16)",
             file=sys.stderr,
         )
+
+        # incremental maintenance: append a 10k batch to the 1M pyramid via
+        # the fused update (one shuffle + one Python boundary; exact-equal
+        # to a full rebuild by test). Round-over-round visibility for the
+        # path a streaming ingest exercises continuously.
+        from clustopher_spark.operators.zoom import update_zoom_levels
+
+        batch_1m = (
+            generate_test_points(spark, 10_000, seed=99)
+            .select("id", "lng", "lat", "value")
+            .withColumn("id", F.col("id") + 2_000_000)
+            .localCheckpoint(eager=True)
+        )
+        batch_1m.count()
+        base_levels = eng_1m._zoom_levels.localCheckpoint(eager=True)
+        base_levels.count()
+        t0 = time.perf_counter()
+        upd = update_zoom_levels(base_levels, pts_1m, batch_1m, ["value"], opts_1m)
+        n_upd = upd.count()
+        timings["incremental_update_1m_plus_10k"] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# incremental_update_1m_plus_10k: {timings['incremental_update_1m_plus_10k']}s"
+            f" ({n_upd} pyramid rows)",
+            file=sys.stderr,
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

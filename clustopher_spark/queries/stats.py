@@ -368,3 +368,29 @@ def stats_price_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@register("stats_hll_mergeable_rollup")  # rows-only: DataSketches HLL binary
+# images are engine-specific (DuckDB's approx_count_distinct uses a
+# different HLL); the merge-law and accuracy tests pin semantics instead.
+def stats_hll_mergeable_rollup(spark, sf_dir):
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, built
+    into Spark): per-day user sketches rolled up into per-event-type
+    totals by SKETCH UNION — the cross-batch pattern a 100 TB pipeline
+    needs, where yesterday's partials must merge with today's without
+    rescanning either (exact COUNT(DISTINCT) cannot merge; a distinct
+    count per batch double-counts). Daily partials are tiny fixed-size
+    binaries (~KB at lgk=12), so the rollup shuffle carries sketches,
+    not user ids."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("approx_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -228,3 +228,33 @@ def test_observed_expectations_rides_along(spark):
     audit = {r.rule: r.n_violations for r in expectations_audit(df, rules).collect()}
     assert m["v_v_positive"] == audit["v_positive"]
     assert m["v_status_known"] == audit["status_known"]
+
+
+def test_hll_mergeable_rollup(spark, tables):
+    """The sketch-union law: union of per-day sketches must estimate the
+    same cardinality as one sketch over the whole table (exact same
+    DataSketches state, not just close), and land within 5% of truth."""
+    import os
+
+    from clustopher_spark.queries import QUERIES
+
+    sf_dir = os.environ.get("CLUSTOPHER_TEST_SF_DIR", "/root/testdata/sf0.001")
+    out = {r.event_type: r for r in QUERIES["stats_hll_mergeable_rollup"](spark, sf_dir).collect()}
+    ev = tables["events"]
+    whole = {
+        r.event_type: (r.approx, r.exact)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).cast("long").alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    }
+    assert set(out) == set(whole) and len(out) > 0
+    for et, r in out.items():
+        approx_whole, exact = whole[et]
+        # merge-of-parts == sketch-of-whole (HLL union is lossless for
+        # same-lgk sketches)
+        assert r.approx_users == approx_whole, (et, r.approx_users, approx_whole)
+        assert abs(r.approx_users - exact) <= max(1, 0.05 * exact), (et, r.approx_users, exact)
+        assert r.n_days > 1
