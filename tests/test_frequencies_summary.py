@@ -307,3 +307,45 @@ def test_fused_update_equals_level_at_a_time(spark):
 
     a, b = canon(fused), canon(ref)
     assert len(a) == len(b) and a == b
+
+
+def test_fused_update_empty_and_disjoint_batches(spark):
+    """Edges of the fused incremental pass: an EMPTY batch must reproduce
+    the old pyramid exactly (pure passthrough + deterministic tail), and a
+    spatially DISJOINT batch must leave every old-region row untouched
+    while adding the new region's clusters."""
+    from clustopher_spark.operators.zoom import (
+        materialize_zoom_levels,
+        update_zoom_levels,
+    )
+    from clustopher_spark.sources.generators import generate_test_points
+
+    opts = ClusterOptions(radius=100.0, min_points=2, max_zoom=6)
+    old = generate_test_points(
+        spark, 2000, west=-125, south=25, east=-65, north=49, seed=41
+    ).select("id", "lng", "lat", "value")
+    levels_old = materialize_zoom_levels(old, ["value"], opts).localCheckpoint(True)
+
+    def canon(df):
+        return sorted(
+            (r.zoom, r.cluster_id, round(r.lng, 9), round(r.lat, 9),
+             r.point_count, r.num_members, bool(r.is_cluster), round(r.sum_value, 6))
+            for r in df.collect()
+        )
+
+    empty = spark.createDataFrame([], "id long, lng double, lat double, value double")
+    upd_empty = update_zoom_levels(levels_old, old, empty, ["value"], opts)
+    assert canon(upd_empty) == canon(levels_old)
+
+    far = (
+        generate_test_points(spark, 300, west=100, south=-40, east=120, north=-20, seed=42)
+        .select("id", "lng", "lat", "value")
+        .withColumn("id", F.col("id") + 5_000_000)
+    )
+    upd_far = update_zoom_levels(levels_old, old, far, ["value"], opts)
+    full = materialize_zoom_levels(old.unionByName(far), ["value"], opts)
+    assert canon(upd_far) == canon(full)
+    # old-region rows byte-identical (no recluster happened there)
+    old_region = set(canon(levels_old))
+    kept = set(canon(upd_far))
+    assert old_region <= kept
