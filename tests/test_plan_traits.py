@@ -95,3 +95,44 @@ def test_quality_expectations_no_row_shuffle(spark):
 def test_quantization_stays_jvm_side(spark):
     p = plan_of("llm_embedding_quantization", spark)
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_heavy_hitters_reuses_exchange_and_take_ordered(spark):
+    """One scan feeds both the per-token counts and the grand total (the
+    total must come from a ReusedExchange, not a second scan), and the
+    top-20 must be TakeOrderedAndProject (per-partition heaps), never a
+    global sort."""
+    df = QUERIES["llm_token_heavy_hitters"](spark, SF_DIR)
+    df.collect()  # AQE: reuse decision lands in the final adaptive plan
+    p = df._jdf.queryExecution().executedPlan().toString()
+    final = p.split("== Initial Plan ==")[0]  # AQE prints initial plan too
+    assert "ReusedExchange" in final
+    assert "TakeOrderedAndProject" in final
+    assert final.count("FileScan parquet") == 1
+
+
+def test_shard_plan_is_single_scan_small_shuffle(spark):
+    p = plan_of("llm_corpus_shard_plan", spark)
+    assert n_nodes(p, "Scan parquet") == 1
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_histogram_bounds_are_broadcast(spark):
+    """The min/max bounds row must broadcast into the binning expression —
+    a shuffled or nested-loop bounds join would serialize the second scan."""
+    p = plan_of("stats_price_histogram", spark)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_dbscan_no_python_boundary(spark):
+    """DBSCAN is pure relational ops by design — a Python boundary creeping
+    in would put the candidate-pair hot path on the slow lane."""
+    from clustopher_spark.operators.dbscan import dbscan
+    from clustopher_spark.queries.spatial import dbscan_points_df
+
+    p = fmt(dbscan(dbscan_points_df(spark, SF_DIR), eps=300, min_pts=4,
+                   x_col="ix", y_col="iy"))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "MapInPandas" not in p and "FlatMapGroupsInPandas" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
