@@ -493,18 +493,18 @@ def fused_update_pass(
         prev_new = None  # previous level's FULL new rows, output form
         for z in chain_z:
             lz = lvl_p[lvl_p["zoom"] == z]
-            dirty = set(cell_codes(dirty_lng, dirty_lat, z).tolist())
+            # sorted-unique dirty codes: membership checks are vectorized
+            # np.isin (C-side binary search), never a Python loop — the
+            # passthrough side is the bulk of the partition and dominates
+            # kernel time otherwise
+            dirty = np.unique(cell_codes(dirty_lng, dirty_lat, z))
             lz_codes = cell_codes(lz["lng"].to_numpy(), lz["lat"].to_numpy(), z)
-            lz_dirty_mask = np.fromiter(
-                (c in dirty for c in lz_codes.tolist()), dtype=bool, count=len(lz)
-            ) if len(lz) else np.zeros(0, dtype=bool)
+            lz_dirty_mask = np.isin(lz_codes, dirty)
             if prev_new is None:
                 pcodes = cell_codes(
                     pts_old_p["lng"].to_numpy(), pts_old_p["lat"].to_numpy(), z
                 )
-                aff_mask = np.fromiter(
-                    (c in dirty for c in pcodes.tolist()), dtype=bool, count=len(pts_old_p)
-                ) if len(pts_old_p) else np.zeros(0, dtype=bool)
+                aff_mask = np.isin(pcodes, dirty)
                 recluster_in = pd.concat(
                     [pts_old_p[aff_mask][points_cols], pts_new_p[points_cols]],
                     ignore_index=True,
@@ -512,9 +512,7 @@ def fused_update_pass(
             else:
                 pl = to_points(prev_new)
                 plcodes = cell_codes(pl["lng"].to_numpy(), pl["lat"].to_numpy(), z)
-                pl_mask = np.fromiter(
-                    (c in dirty for c in plcodes.tolist()), dtype=bool, count=len(pl)
-                ) if len(pl) else np.zeros(0, dtype=bool)
+                pl_mask = np.isin(plcodes, dirty)
                 recluster_in = pl[pl_mask].reset_index(drop=True)
             if len(recluster_in):
                 new_out = _cluster_level_local(recluster_in, z, mcols, o)
