@@ -362,6 +362,7 @@ def fused_update_pass(
     opts: ClusterOptions = ClusterOptions(),
     parallelism: int | None = None,
     local_tail_threshold: int = 100_000,
+    points_deleted: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental pyramid maintenance in ONE shuffle + ONE Python boundary
     (the fused-build treatment applied to `update_zoom_levels`: measured
@@ -436,6 +437,18 @@ def fused_update_pass(
     from clustopher_spark.plans.projection import project_cols
 
     unioned = pts_old_in.unionByName(pts_new_in).unionByName(lvl_in)
+    if points_deleted is not None:
+        # deletions ride the same shuffle: a deleted point's (lng, lat)
+        # lands in the partition holding its old copy, marks its cells
+        # dirty at every level, and its id is excluded from the deepest
+        # recluster input — the "right to be forgotten" path a training
+        # corpus needs without rebuilding the pyramid
+        del_in = as_input(
+            points_deleted.withColumn("num_points", F.lit(0).cast("long")),
+            "pd", F.lit(None), "id", "num_points", F.lit(0), F.lit(False),
+            [(m, F.lit(0.0)) for m in metric_cols],
+        )
+        unioned = unioned.unionByName(del_in)
     px, py = project_cols(F.col("lng"), F.col("lat"), z_cut, opts.extent)
     size = opts.supercell_size
     binned = unioned.withColumn("scx", F.floor(px / F.lit(size))).withColumn(
@@ -467,6 +480,12 @@ def fused_update_pass(
         is_p = pdf["kind"] != "lvl"
         pts_old_p = pdf[(pdf["kind"] == "po")]
         pts_new_p = pdf[(pdf["kind"] == "pn")]
+        pts_del_p = pdf[(pdf["kind"] == "pd")]
+        if len(pts_del_p):
+            del_ids = pts_del_p["id"].to_numpy(np.int64)
+            pts_old_p = pts_old_p[
+                ~np.isin(pts_old_p["id"].to_numpy(np.int64), del_ids)
+            ]
         lvl_p = pdf[~is_p]
         points_cols = ["id", "lng", "lat", "num_points", *mcols]
 
@@ -488,8 +507,12 @@ def fused_update_pass(
                       "num_members", "is_cluster", *[f"sum_{m}" for m in mcols]]]
 
         out_frames = []
-        dirty_lng = pts_new_p["lng"].to_numpy()
-        dirty_lat = pts_new_p["lat"].to_numpy()
+        dirty_lng = np.concatenate(
+            [pts_new_p["lng"].to_numpy(), pts_del_p["lng"].to_numpy()]
+        )
+        dirty_lat = np.concatenate(
+            [pts_new_p["lat"].to_numpy(), pts_del_p["lat"].to_numpy()]
+        )
         prev_new = None  # previous level's FULL new rows, output form
         for z in chain_z:
             lz = lvl_p[lvl_p["zoom"] == z]
@@ -576,6 +599,7 @@ def update_zoom_levels(
     metric_cols: list[str] | None = None,
     opts: ClusterOptions = ClusterOptions(),
     fuse: bool = True,
+    points_deleted: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental pyramid maintenance: append ``points_new`` and recluster
     ONLY the supercells they perturb, per zoom. Returns a zoom_levels table
@@ -602,8 +626,15 @@ def update_zoom_levels(
     implementation the fused path is equivalence-tested against.
     """
     metric_cols = metric_cols or []
+    if points_deleted is not None and not fuse:
+        raise ValueError(
+            "deletions are supported on the fused path only (fuse=True)"
+        )
     if fuse:
-        return fused_update_pass(levels_old, points_old, points_new, metric_cols, opts)
+        return fused_update_pass(
+            levels_old, points_old, points_new, metric_cols, opts,
+            points_deleted=points_deleted,
+        )
     if "num_points" not in points_old.columns:
         points_old = points_old.withColumn("num_points", F.lit(1).cast("long"))
     if "num_points" not in points_new.columns:

@@ -349,3 +349,41 @@ def test_fused_update_empty_and_disjoint_batches(spark):
     old_region = set(canon(levels_old))
     kept = set(canon(upd_far))
     assert old_region <= kept
+
+
+def test_fused_update_with_deletions_equals_rebuild(spark):
+    """Append + delete in one fused pass must equal a rebuild over
+    (old MINUS deleted) UNION new — the right-to-be-forgotten path."""
+    from clustopher_spark.operators.zoom import (
+        materialize_zoom_levels,
+        update_zoom_levels,
+    )
+    from clustopher_spark.sources.generators import generate_test_points
+
+    opts = ClusterOptions(radius=100.0, min_points=2, max_zoom=7)
+    old = generate_test_points(spark, 5000, seed=51).select("id", "lng", "lat", "value")
+    new = (
+        generate_test_points(spark, 200, seed=52)
+        .select("id", "lng", "lat", "value")
+        .withColumn("id", F.col("id") + 1_000_000)
+    )
+    deleted = old.filter(F.col("id") % 17 == 3)  # ~300 scattered points
+    levels_old = materialize_zoom_levels(old, ["value"], opts).localCheckpoint(True)
+    upd = update_zoom_levels(
+        levels_old, old, new, ["value"], opts, points_deleted=deleted
+    )
+    survivors = old.join(deleted.select("id"), "id", "left_anti")
+    full = materialize_zoom_levels(survivors.unionByName(new), ["value"], opts)
+
+    def canon(df):
+        return sorted(
+            (r.zoom, r.cluster_id, round(r.lng, 9), round(r.lat, 9),
+             r.point_count, r.num_members, bool(r.is_cluster), round(r.sum_value, 6))
+            for r in df.collect()
+        )
+
+    a, b = canon(upd), canon(full)
+    assert len(a) == len(b) and a == b
+    # deleted ids can no longer appear as singleton cluster ids
+    del_ids = {r.id for r in deleted.select("id").collect()}
+    assert not (del_ids & {c for (_, c, *_r) in a})
