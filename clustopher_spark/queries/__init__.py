@@ -45,6 +45,7 @@ _DEMOTED_FROM_WINDOW = {
     "spatial_dbscan",
     "llm_feature_hashing",
     "stats_price_histogram",
+    "stats_psi_price_drift",
 }
 
 

@@ -394,3 +394,71 @@ def stats_hll_mergeable_rollup(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stats_psi_price_drift",
+    oracle="""
+    WITH pop AS (
+      SELECT o_totalprice AS v, o_orderstatus AS st
+      FROM orders WHERE o_orderstatus IN ('O', 'F')
+    ), bounds AS (
+      SELECT MIN(v) AS lo, MAX(v) AS hi FROM pop
+    ), binned AS (
+      SELECT LEAST(CAST(FLOOR((v - lo) / ((hi - lo) / 10.0)) AS BIGINT), 9) AS bucket, st
+      FROM pop CROSS JOIN bounds
+    ), counts AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+             CAST(SUM(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f
+      FROM binned GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(SUM(n_o) AS BIGINT) AS t_o, CAST(SUM(n_f) AS BIGINT) AS t_f FROM counts
+    ), shares AS (
+      SELECT bucket,
+             (n_o + 0.5) / (t_o + 5.0) AS p,
+             (n_f + 0.5) / (t_f + 5.0) AS q
+      FROM counts CROSS JOIN tot
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           ROUND(SUM((p - q) * ln(p / q)), 6) AS psi
+    FROM shares
+    """,
+)
+def stats_psi_price_drift(spark, sf_dir):
+    """Population Stability Index between open vs filled order prices over
+    10 equi-width bins (smoothed +0.5/bin so empty bins stay finite) — the
+    drift metric model-monitoring pipelines report alongside the KS
+    statistic (`stats_ks_price_drift`: exact but needs an ordered pass;
+    PSI is a pure binned aggregate). One scan + a broadcast bounds row +
+    a 10-key aggregate with map-side combine — at 100 TB the cheapest
+    drift gate in the registry."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("O", "F")
+    )
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(10.0)
+    binned = o.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("long"),
+            F.lit(9),
+        ).alias("bucket"),
+        "o_orderstatus",
+    )
+    counts = binned.groupBy("bucket").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).cast("long").alias("n_o"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).cast("long").alias("n_f"),
+    )
+    tot = counts.agg(
+        F.sum("n_o").cast("long").alias("t_o"), F.sum("n_f").cast("long").alias("t_f")
+    )
+    shares = counts.crossJoin(F.broadcast(tot)).select(
+        ((F.col("n_o") + 0.5) / (F.col("t_o") + 5.0)).alias("p"),
+        ((F.col("n_f") + 0.5) / (F.col("t_f") + 5.0)).alias("q"),
+    )
+    return shares.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6).alias("psi"),
+    )
