@@ -396,13 +396,22 @@ def fused_update_pass(
         points_new = points_new.withColumn("num_points", F.lit(1).cast("long"))
     zooms = list(range(opts.max_zoom, opts.min_zoom - 1, -1))
     default_par = spark.sparkContext.defaultParallelism
-    n_total = points_old.count() + points_new.count()
+    n_batch = points_new.count()
+    n_total = points_old.count() + n_batch
     parts = parallelism or min(
         max(default_par, -(-n_total // 150_000)), 4 * default_par
     )
     z_cut = _fuse_cut(opts, parts)
     chain = [z for z in zooms if z >= z_cut]
     if len(chain) < 2:
+        if points_deleted is not None:
+            # the level-at-a-time fallback has no deletion path; silently
+            # forwarding without the deletions would return a pyramid that
+            # still contains the deleted points (the exact opposite of the
+            # right-to-be-forgotten contract)
+            raise ValueError(
+                "deletions are supported on the fused path only (fuse=True)"
+            )
         return update_zoom_levels(
             levels_old, points_old, points_new, metric_cols, opts, fuse=False
         )
@@ -420,8 +429,102 @@ def fused_update_pass(
             *[m.alias(name) for name, m in m_cols],
         )
 
+    # ---- dirty-cell pruning: only rows the batch can perturb ride the
+    # shuffle + Python boundary; everything else is a broadcast anti-join
+    # passthrough straight into the output union. ----
+    # dirty(z) — the cells the kernel can alter at level z — is exactly
+    # the set of cells at z containing a batch (or deleted) point: a new
+    # cluster is a convex combination of members inside ONE dirty cell, a
+    # displaced row sits in a dirty cell, and cells nest across zooms, so
+    # dirtiness propagates coarse-ward strictly along each batch point's
+    # own cell path. Hence:
+    #   * an old point is kernel input iff its cell at chain[0] (the
+    #     finest chained zoom) is dirty — it feeds that level's recluster;
+    #   * a level-z row is kernel input iff its cell at max(z-1, z_cut)
+    #     is dirty — it is displaced at z or feeds the recluster at z-1;
+    #   * every other level row is byte-identical in the result.
+    # At 100 TB this is the difference between "incremental" and "rebuild":
+    # the shuffle carries O(batch)-sized data, the corpus is read once
+    # through a broadcast hash anti-join (no exchange), and with the
+    # levels table parquet-partitioned the scan itself prunes.
+    # The cell-code set is built entirely JVM-side from the batch frame —
+    # no Python boundary, no driver collect — and checkpointed once (it is
+    # batch-sized) so its three broadcast-join consumers reuse one
+    # materialization. Every row's cell is projected ONCE, at z_top; the
+    # coarser codes derive by exact integer halving (cells nest:
+    # cx(z-k) = floor(cx(z_top) / 2^k), the floor-of-floor identity —
+    # float division by a power of two is exact, so this is bit-equal to
+    # reprojecting at each zoom but costs one trig evaluation per row and
+    # no per-zoom CASE). The only cross-system comparison is against the
+    # kernel's numpy codes, where JVM sin/log may differ by 1 ulp: the x
+    # coordinate is exact (pure +,/,* IEEE ops on identical inputs), so
+    # the set is dilated one cell in y ONLY. Over-inclusion is harmless
+    # twice over: a fed-but-clean row passes through inside the kernel via
+    # the same vectorized mask, and is never fed to the greedy recluster.
+    from clustopher_spark.plans.projection import project_cols
+
+    z_top = chain[0]
+    size = opts.supercell_size
+    # a maintenance batch is small by contract — beyond this the dirty
+    # set stops being broadcastable and the unpruned pass (correct, just
+    # not incremental) is the honest plan
+    prune = n_batch <= 2_000_000
+
+    tpx, tpy = project_cols(F.col("lng"), F.col("lat"), z_top, opts.extent)
+    cx_top = F.floor(tpx / F.lit(size)).cast("long")
+    cy_top = F.floor(tpy / F.lit(size)).cast("long")
+
+    lvl_all = levels_old.filter(F.col("zoom") >= z_cut)
+    if prune:
+        batch_pos = points_new.select("lng", "lat")
+        if points_deleted is not None:
+            batch_pos = batch_pos.unionByName(points_deleted.select("lng", "lat"))
+        test_zooms = list(range(z_cut, z_top + 1))
+        bcells = batch_pos.select(cx_top.alias("cx"), cy_top.alias("cy")).select(
+            F.explode(F.array(*[F.lit(z) for z in test_zooms])).alias("tz"),
+            "cx", "cy",
+        )
+        bp2 = F.pow(F.lit(2.0), (F.lit(z_top) - F.col("tz")).cast("double"))
+        bcode = F.shiftleft(F.floor(F.col("cx") / bp2).cast("long"), 32) + F.floor(
+            F.col("cy") / bp2
+        ).cast("long")
+        dirty_df = (
+            bcells.select(
+                "tz",
+                F.explode(
+                    F.array(bcode - F.lit(1), bcode, bcode + F.lit(1))
+                ).alias("code"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+        tz_col = F.greatest(F.col("zoom") - F.lit(1), F.lit(z_cut)).cast("int")
+        lp2 = F.pow(F.lit(2.0), (F.lit(z_top) - tz_col).cast("double"))
+        lcode = F.shiftleft(F.floor(cx_top / lp2).cast("long"), 32) + F.floor(
+            cy_top / lp2
+        ).cast("long")
+        lvl_tagged = lvl_all.withColumn("tz", tz_col).withColumn("code", lcode)
+        lvl_fed = lvl_tagged.join(
+            F.broadcast(dirty_df), ["tz", "code"], "left_semi"
+        ).drop("tz", "code")
+        lvl_passthrough = lvl_tagged.join(
+            F.broadcast(dirty_df), ["tz", "code"], "left_anti"
+        ).drop("tz", "code")
+
+        pcode = F.shiftleft(cx_top, 32) + cy_top
+        pts_old_fed = (
+            points_old.withColumn("tz", F.lit(z_top)).withColumn("code", pcode)
+            .join(F.broadcast(dirty_df), ["tz", "code"], "left_semi")
+            .drop("tz", "code")
+        )
+    else:
+        lvl_fed = lvl_all
+        lvl_passthrough = None
+        pts_old_fed = points_old
+
     pts_old_in = as_input(
-        points_old, "po", F.lit(None), "id", "num_points",
+        pts_old_fed, "po", F.lit(None), "id", "num_points",
         F.lit(1), F.lit(False), [(m, F.col(m).cast("double")) for m in metric_cols],
     )
     pts_new_in = as_input(
@@ -429,13 +532,11 @@ def fused_update_pass(
         F.lit(1), F.lit(False), [(m, F.col(m).cast("double")) for m in metric_cols],
     )
     lvl_in = as_input(
-        levels_old.filter(F.col("zoom") >= z_cut),
+        lvl_fed,
         "lvl", F.col("zoom"), "cluster_id", "point_count",
         F.col("num_members"), F.col("is_cluster"),
         [(m, F.col(f"sum_{m}").cast("double")) for m in metric_cols],
     )
-    from clustopher_spark.plans.projection import project_cols
-
     unioned = pts_old_in.unionByName(pts_new_in).unionByName(lvl_in)
     if points_deleted is not None:
         # deletions ride the same shuffle: a deleted point's (lng, lat)
@@ -548,8 +649,8 @@ def fused_update_pass(
                         *[(f"sum_{m}", "float64") for m in mcols],
                     )}
                 )
-            untouched = to_output(lz[~lz_dirty_mask]) if len(lz) else to_output(lz)
-            displaced = lz[lz_dirty_mask] if len(lz) else lz
+            untouched = to_output(lz[~lz_dirty_mask])
+            displaced = lz[lz_dirty_mask]
             full_new = pd.concat([untouched, new_out], ignore_index=True)
             out_frames.append(full_new.assign(zoom=z))
             dirty_lng = np.concatenate(
@@ -570,7 +671,23 @@ def fused_update_pass(
     )
     levels: list[DataFrame] = [fused]
     lowest = fused.filter(F.col("zoom") == z_cut)
-    n_rows = lowest.count()
+    if lvl_passthrough is not None:
+        # untouched level rows join the result Spark-side, values
+        # preserved bit-for-bit; the z_cut slice also completes the input
+        # of the coarse-tail rebuild below
+        levels.append(lvl_passthrough.select(*out_cols))
+        lowest = lowest.unionByName(
+            lvl_passthrough.filter(F.col("zoom") == z_cut).select(*out_cols)
+        )
+        # local-vs-distributed tail decision only needs a bound, not the
+        # exact count: each appended point adds at most one z_cut row and
+        # merges/deletes only shrink the level, so old-count + batch is a
+        # safe upper bound and skips re-running the anti-join here
+        n_rows = (
+            levels_old.filter(F.col("zoom") == z_cut).count() + n_batch
+        )
+    else:
+        n_rows = lowest.count()
     current = lowest.select(
         F.col("cluster_id").alias("id"),
         "lng",
