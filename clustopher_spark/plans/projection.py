@@ -49,31 +49,6 @@ def project_cols(
     return px, py
 
 
-def project_cols_zoom(
-    lng: Column,
-    lat: Column,
-    zoom_col: Column,
-    zooms: list[int],
-    extent: int = DEFAULT_EXTENT,
-) -> tuple[Column, Column]:
-    """:func:`project_cols` with a per-row integer zoom column whose values
-    are statically known (``zooms``). The zoom-dependent scale is a literal
-    CASE over those values — never ``pow()`` — so the x coordinate rounds
-    bit-identically to :func:`project_cols` / :func:`project_np` at the
-    same zoom (multiplication by an exact power-of-two scale)."""
-    scale = F.lit(_world_size(zooms[0], extent))
-    for z in zooms[1:]:
-        scale = F.when(zoom_col == F.lit(z), F.lit(_world_size(z, extent))).otherwise(scale)
-    px = (lng + F.lit(180.0)) / F.lit(360.0) * scale
-    clamped = F.least(F.greatest(lat, F.lit(-MAX_LATITUDE)), F.lit(MAX_LATITUDE))
-    siny = F.sin(F.radians(clamped))
-    py = (
-        F.lit(0.5)
-        - F.lit(0.25) * F.log((F.lit(1.0) + siny) / (F.lit(1.0) - siny)) / F.lit(math.pi)
-    ) * scale
-    return px, py
-
-
 def unproject_cols(
     px: Column, py: Column, zoom: int, extent: int = DEFAULT_EXTENT
 ) -> tuple[Column, Column]:
