@@ -120,8 +120,7 @@ def main() -> None:
         # serve-time viewport query (analog of "<50 ms viewport"): bbox
         # filter over the materialized table, held cached exactly as the
         # serving layer holds it (serving.py ClusterService._load caches).
-        eng._zoom_levels = eng._zoom_levels.cache()
-        eng._zoom_levels.count()
+        eng.cache_zoom_frames()  # pre-split per-zoom cached frames
         t0 = time.perf_counter()
         served = eng.get_clusters(-110, 30, -90, 45, 6)
         n_served = served.count()

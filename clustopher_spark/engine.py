@@ -59,6 +59,11 @@ class Clustopher:
         self.opts = opts
         self._zoom_levels: DataFrame | None = None
         self._serve_cache: dict = {}
+        self._zoom_frames: dict[int, DataFrame] = {}
+        # request-scoped kernel caches, oldest-first; bounded by
+        # _track_request_cache so a serving loop can't grow executor storage
+        self._request_caches: list[DataFrame] = []
+        self.request_cache_window = 8
 
     # --- ingest-time materialization (replaces per-query recompute) ---
 
@@ -76,11 +81,65 @@ class Clustopher:
 
     def get_clusters(self, west, south, east, north, zoom: int) -> DataFrame:
         zoom = min(zoom, self.opts.max_zoom)
+        frame = self._zoom_frames.get(zoom)
+        if frame is not None:
+            # pre-split cached level: the query is a bbox filter over ONE
+            # zoom's cached rows — no zoom-filter scan of the whole pyramid
+            return frame.filter(
+                (F.col("lng") >= west) & (F.col("lng") <= east)
+                & (F.col("lat") >= south) & (F.col("lat") <= north)
+            )
         if self._zoom_levels is not None:
             return query_zoom_levels(self._zoom_levels, west, south, east, north, zoom)
         return get_clusters(
             self.points, west, south, east, north, zoom, self.metric_cols, self.opts
         )
+
+    def cache_zoom_frames(self) -> dict[int, int]:
+        """Split the materialized pyramid into one cached DataFrame per zoom
+        so a cold viewport query scans only its own level (round-2 verdict:
+        the union-table form paid a full-pyramid zoom-filter scan per
+        query). Engine-owned, long-lived caches — release with
+        :meth:`release_caches`. Returns {zoom: row_count}."""
+        if self._zoom_levels is None:
+            raise ValueError("materialize() first")
+        counts: dict[int, int] = {}
+        zooms = [
+            r["zoom"]
+            for r in self._zoom_levels.select("zoom").distinct().collect()
+        ]
+        for z in sorted(zooms):
+            # coalesce(1): a single cached partition per zoom makes every
+            # viewport query a one-task job (~tens of ms of scheduling
+            # instead of one task per source partition). Levels served
+            # this way are bounded by occupied r-cells (see
+            # build_serve_cache), so one partition stays tens of MB.
+            frame = (
+                self._zoom_levels.filter(F.col("zoom") == z).coalesce(1).cache()
+            )
+            counts[z] = frame.count()  # materialize now: serve path stays cold-start-free
+            self._zoom_frames[z] = frame
+        return counts
+
+    def release_caches(self) -> None:
+        """Unpersist every engine-owned cache (per-zoom frames and pending
+        request-scoped kernel caches); drop the driver-side serve cache."""
+        for frame in self._zoom_frames.values():
+            frame.unpersist()
+        self._zoom_frames.clear()
+        self._serve_cache.clear()
+        for frame in self._request_caches:
+            frame.unpersist()
+        self._request_caches.clear()
+
+    def _track_request_cache(self, df: DataFrame) -> None:
+        """Register a request-scoped cached frame; evict (unpersist) the
+        oldest once more than ``request_cache_window`` are pending. Eviction
+        is correctness-safe — cache() keeps lineage, so a straggler holding
+        an evicted frame recomputes instead of failing."""
+        self._request_caches.append(df)
+        while len(self._request_caches) > self.request_cache_window:
+            self._request_caches.pop(0).unpersist()
 
     # --- serving-tier hot path -------------------------------------------------
 
@@ -149,9 +208,17 @@ class Clustopher:
         pts = visible
         if "num_points" not in pts.columns:
             pts = pts.withColumn("num_points", F.lit(1).cast("long"))
+        # cache() + bounded explicit eviction, NOT GC-based cleanup: cached
+        # plans live in the session's CacheManager until unpersisted, so a
+        # long-lived serving process would otherwise accumulate one pinned
+        # kernel output per request (round-2 verdict). _track_request_cache
+        # unpersists the oldest entries once the window overflows —
+        # deterministic, and safe because cache() keeps lineage (a caller
+        # still holding an evicted frame just recomputes).
         assigned = assign_clusters(
             pts, zoom, self.opts, passthrough_cols=self.metric_cols
         ).cache()
+        self._track_request_cache(assigned)
         clusters = aggregate_assignment(assigned, zoom, self.metric_cols, self.opts)
         return visible, assigned, clusters
 
@@ -175,6 +242,7 @@ class Clustopher:
         zoom = min(zoom, self.opts.max_zoom)
         visible, assigned, clusters = self._assigned_once(west, south, east, north, zoom)
         clusters = clusters.cache()
+        self._track_request_cache(clusters)
         counts = cluster_counts(clusters)
         stats = metric_stats(clusters, self.metric_cols) if self.metric_cols else None
         dist = None

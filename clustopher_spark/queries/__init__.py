@@ -26,59 +26,88 @@ import clustopher_spark.queries.events  # noqa: F401
 import clustopher_spark.queries.stats  # noqa: F401
 
 
-_DEMOTED_FROM_WINDOW = {
-    "stats_linear_regression",   # regr_* gallery
-    "llm_text_normalize",        # trivial trim/collapse/lower
-    "llm_lang_quality_histogram",  # subsumed by llm_quality_rules + llm_lang_id
-    "spatial_haversine_distance",  # same trig exercised harder by spatial_knn_query
-    "events_sliding_1h_30m",  # same window machinery as events_tumbling_hourly
-    "llm_text_stats",  # its token/punct/stopword signals are re-verified by llm_quality_rules
-    "llm_embedding_norms_by_label",  # plain norms; llm_label_centroid_cosine covers the array math harder
-    "spatial_geojson_features",  # string-assembly sink; spatial_grid_centroids re-verifies the aggregation under it
-    "events_views_within_hour_of_purchase",  # interval-join shape re-verified by events_asof_last_view_before_purchase
-    "stats_moments",  # stddev/variance family re-verified by stats_correlation + stats_ks_price_drift
-    # round-2 additions registered AFTER the window was frozen at 50: keep
-    # the driver-checked set stable round-over-round (both remain locally
-    # oracle-verified at sf0.001 and sf0.01 by test_oracle_parity)
+# Round-3 window: rounds 1+2 drove 99 of 130 oracles through the driver's
+# DuckDB gate (CORRECTNESS_r01 + r02, all green). This round's 50 slots =
+# the 31 oracles NEVER driver-checked in any round + 19 flagship anchors
+# (the kernel-invariant oracle plus the strongest oracle per family, kept
+# in-window every round so a regression in the core surface is always
+# driver-visible). tools/check_window_rotation.py enforces that the union
+# of all rounds' windows covers every registered oracle.
+_FLAGSHIP_ANCHORS = [
+    "spatial_cluster_invariants",   # greedy kernel conservation laws
+    "spatial_grid_centroids",       # A2 weighted-centroid algebra
+    "spatial_knn_query",            # great-circle kNN (C5/F2)
+    "spatial_viewport_filter",      # P5 pushed-filter viewport
+    "llm_fingerprint_dedup",        # exact dedup
+    "llm_minhash_candidates",       # MinHash+LSH band join
+    "llm_simhash_near_pairs",       # SimHash pigeonhole join
+    "llm_neardup_groups",           # connected components vs recursive CTE
+    "llm_embedding_near_dups",      # embedding cosine near-dup
+    "llm_knn_cosine",               # brute-force ANN baseline
+    "llm_pipeline_end_to_end",      # composite pipeline
+    "llm_incremental_ingest_dedup", # batch-vs-history anti-join
+    "events_tumbling_hourly",       # streaming batch twin
+    "events_session_windows",       # session windows
+    "events_asof_last_view_before_purchase",  # as-of join vs DuckDB ASOF
+    "events_json_props",            # F5 JSON
+    "stats_percentiles_price",      # W2 percentiles
+    "stats_correlation",            # moments/corr
+    "window_gaps_islands",          # round-1 FAIL; stays pinned
+]
+_NEVER_CHECKED_R12 = [
+    "spatial_dbscan",
+    "spatial_haversine_distance",
+    "spatial_geojson_features",
     "llm_token_heavy_hitters",
     "llm_corpus_shard_plan",
-    "spatial_dbscan",
     "llm_feature_hashing",
+    "llm_text_stats",
+    "llm_text_normalize",
+    "llm_lang_quality_histogram",
+    "llm_embedding_norms_by_label",
+    "events_sliding_1h_30m",
+    "events_views_within_hour_of_purchase",
+    "stats_moments",
     "stats_price_histogram",
     "stats_psi_price_drift",
-}
+    "stats_linear_regression",
+    "merge_upsert_orders",
+    "recursive_cte_zoom_scales",
+    "sql_text_lateral_subquery",
+    "sql_text_exists_subquery",
+    "sql_text_scalar_subquery",
+    "sql_text_in_subquery_with_cte",
+    "join_brand_cooccurrence",
+    "join_fuzzy_name_levenshtein",
+    "agg_grouping_sets",
+    "unpivot_lineitem_measures",
+    "window_count_distinct",
+    "map_functions_gallery",
+    "string_function_gallery",
+    "bitwise_function_gallery",
+    "datetime_function_gallery",
+]
+_R3_WINDOW = set(_FLAGSHIP_ANCHORS) | set(_NEVER_CHECKED_R12)
+assert len(_R3_WINDOW) == 50, len(_R3_WINDOW)
 
 
 def _window_priority(name: str) -> int:
     """Registry order decides which oracles the driver's CORRECTNESS gate
-    checks (first 50 oracle-backed entries).  Round 1 registered the
-    relational surface first, so every spatial/llm/events/stats oracle —
-    the engine's actual raison d'être — fell outside the checked window.
+    checks (first 50 oracle-backed entries).
 
     Tiering (oracle-backed only; rows-only queries go last so they never
     displace an oracle from the window):
-      0. spatial_* / llm_* / events_* / stats_*  (~32 oracles)
-      1. window_gaps_islands  (round-1 FAIL; its fix must be re-checked)
-      2. TPC-H q* analogs  (fills the window to 50)
-      3. remaining relational/gallery oracles
-      4. rows-only queries
+      0. the round-3 window (_R3_WINDOW): never-driver-checked oracles
+         plus the flagship anchors
+      1. every other oracle (all driver-green in round 1 or 2 and still
+         locally oracle-verified by test_oracle_parity)
+      2. rows-only queries
     """
     if name not in ORACLES:
-        return 4
-    if name in _DEMOTED_FROM_WINDOW:
-        # demoted from tier 0 in round 2: the flagship families grew past
-        # 50 oracles, and keeping these lower-information gallery queries
-        # in tier 0 would push stronger oracles (and the
-        # window_gaps_islands re-check, a round-1 FAIL) out of the
-        # driver's 50-query window. All remain locally oracle-verified.
         return 2
-    if name.startswith(("spatial_", "llm_", "events_", "stats_")):
+    if name in _R3_WINDOW:
         return 0
-    if name == "window_gaps_islands":
-        return 1
-    if name[0] == "q" and name[1].isdigit():
-        return 2
-    return 3
+    return 1
 
 
 _order = sorted(range(len(QUERIES)), key=lambda i: (_window_priority(list(QUERIES)[i]), i))

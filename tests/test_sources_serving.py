@@ -355,3 +355,42 @@ def test_vacuum_removes_old_snapshots_keeps_latest(spark, tmp_path):
     assert [h["version"] for h in cat.history("ds")] == [1, 2, 3, 4]
     assert cat.history("ds")[0]["data_removed"] is True
     assert cat.vacuum("ds", keep_last=2) == []
+
+
+def test_serving_cache_lifecycle(spark):
+    """Round-2 verdict item 3: per-request kernel caches must not
+    accumulate in executor storage across a serving loop. The metadata
+    paths cache the kernel assignment per request; the engine evicts
+    (unpersists) beyond a bounded window, so N requests pin at most
+    ``request_cache_window`` frames — deterministically, with no reliance
+    on GC timing."""
+    from clustopher_spark.engine import Clustopher
+    from clustopher_spark.operators.cluster import ClusterOptions
+    from clustopher_spark.sources.generators import generate_test_points
+
+    pts = generate_test_points(spark, 2_000, seed=5).localCheckpoint(eager=True)
+    pts.count()
+    eng = Clustopher(
+        pts, ["value"], meta_cols=["category"],
+        opts=ClusterOptions(radius=80.0, min_points=2, max_zoom=8),
+    )
+    eng.request_cache_window = 4
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    baseline = n_persistent()
+    for _ in range(6):
+        out = eng.get_clusters_with_metadata(-120, 10, -60, 60, 5)
+        out.count()
+        counts, stats, dist = eng.get_metadata_summary(-120, 10, -60, 60, 5)
+        counts.count()
+    # 6 iterations x 3 kernel caches each = 18 created; the window holds 4
+    after = n_persistent()
+    assert after <= baseline + eng.request_cache_window, (
+        f"serving loop leaked pinned RDDs: baseline={baseline} after={after}"
+    )
+    # an evicted-but-still-held frame must recompute, not fail
+    assert out.count() > 0
+    eng.release_caches()
+    assert n_persistent() <= baseline
