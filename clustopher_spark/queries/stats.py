@@ -321,7 +321,7 @@ def stats_ks_price_drift(spark, sf_dir):
     WITH bounds AS (
       SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
     ), binned AS (
-      SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20.0)) AS BIGINT), 19) AS bucket,
+      SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / GREATEST((hi - lo) / 20.0, 1e-12)) AS BIGINT), 19) AS bucket,
              o_totalprice, lo, hi
       FROM orders CROSS JOIN bounds
     )
@@ -346,7 +346,11 @@ def stats_price_histogram(spark, sf_dir):
     bounds = o.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
-    width = (F.col("hi") - F.col("lo")) / F.lit(20.0)
+    # degenerate-input guard (all prices equal): a zero width would make
+    # Spark emit NaN (0/0) where DuckDB division-by-zero yields NULL and
+    # the two sides diverge; the epsilon floors everything into bucket 0
+    # identically on both engines
+    width = F.greatest((F.col("hi") - F.col("lo")) / F.lit(20.0), F.lit(1e-12))
     binned = o.crossJoin(F.broadcast(bounds)).select(
         F.least(
             F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("long"),
@@ -405,7 +409,7 @@ def stats_hll_mergeable_rollup(spark, sf_dir):
     ), bounds AS (
       SELECT MIN(v) AS lo, MAX(v) AS hi FROM pop
     ), binned AS (
-      SELECT LEAST(CAST(FLOOR((v - lo) / ((hi - lo) / 10.0)) AS BIGINT), 9) AS bucket, st
+      SELECT LEAST(CAST(FLOOR((v - lo) / GREATEST((hi - lo) / 10.0, 1e-12)) AS BIGINT), 9) AS bucket, st
       FROM pop CROSS JOIN bounds
     ), counts AS (
       SELECT bucket,
@@ -439,7 +443,8 @@ def stats_psi_price_drift(spark, sf_dir):
     bounds = o.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
-    width = (F.col("hi") - F.col("lo")) / F.lit(10.0)
+    # same degenerate-input guard as stats_price_histogram
+    width = F.greatest((F.col("hi") - F.col("lo")) / F.lit(10.0), F.lit(1e-12))
     binned = o.crossJoin(F.broadcast(bounds)).select(
         F.least(
             F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("long"),

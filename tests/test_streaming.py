@@ -332,8 +332,19 @@ def test_incremental_minhash_dedup_index(spark, tmp_path):
     assert idx.select("id").distinct().count() == 19
 
 
+def _has_protobuf() -> bool:
+    # find_spec("google.protobuf") itself raises when the google namespace
+    # package is entirely absent; checking the parent alone is wrong the
+    # other way (any google-* distro creates the namespace without
+    # protobuf)
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
 @pytest.mark.skipif(
-    importlib.util.find_spec("google") is None,
+    not _has_protobuf(),
     reason="transformWithState's state-server protocol needs protobuf, "
     "absent in this container (operator is environment-gated)",
 )
