@@ -24,6 +24,10 @@ os.environ["PYTHONPATH"] = REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH",
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# the 10M-point pyramid entry holds ~67M checkpointed rows; headroom keeps
+# it in memory instead of spilling (overridable like everything else)
+os.environ.setdefault("CLUSTOPHER_DRIVER_MEM", "24g")
+
 
 def _sf_label(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
@@ -214,6 +218,80 @@ def main() -> None:
         print(
             f"# incremental_update_1m_plus_10k: {timings['incremental_update_1m_plus_10k']}s"
             f" ({n_upd} pyramid rows)",
+            file=sys.stderr,
+        )
+
+        # the same update with a LOCALIZED batch (one metro-sized bbox) —
+        # the realistic continuous-ingest shape. The worldwide-uniform
+        # batch above is the adversarial case (it genuinely dirties most
+        # coarse supercells, so ~20% of the corpus must recluster under
+        # exact greedy semantics); a localized batch prunes to near
+        # nothing and shows the dirty-supercell pruning payoff directly.
+        batch_city = (
+            generate_test_points(spark, 10_000, west=-74.5, south=40.2,
+                                 east=-73.5, north=41.2, seed=101)
+            .select("id", "lng", "lat", "value")
+            .withColumn("id", F.col("id") + 3_000_000)
+            .localCheckpoint(eager=True)
+        )
+        batch_city.count()
+        t0 = time.perf_counter()
+        upd_city = update_zoom_levels(
+            base_levels, pts_1m, batch_city, ["value"], opts_1m
+        )
+        n_city = upd_city.count()
+        timings["incremental_update_1m_city_10k"] = round(
+            time.perf_counter() - t0, 3
+        )
+        print(
+            f"# incremental_update_1m_city_10k: "
+            f"{timings['incremental_update_1m_city_10k']}s ({n_city} pyramid rows)",
+            file=sys.stderr,
+        )
+
+        # DBSCAN at sf0.1 (round-2 verdict: the label-propagation plan had
+        # only been timed at sf0.001/0.01). Rounds reported so the
+        # O(diameter) claim stays visible.
+        from clustopher_spark.operators.dbscan import dbscan
+        from clustopher_spark.queries.spatial import (
+            _DBSCAN_EPS,
+            _DBSCAN_MINPTS,
+            dbscan_points_df,
+        )
+
+        dpts = dbscan_points_df(spark, SF_DIR).localCheckpoint(eager=True)
+        n_dpts = dpts.count()
+        cc_stats: dict = {}
+        t0 = time.perf_counter()
+        n_db = dbscan(
+            dpts, eps=_DBSCAN_EPS, min_pts=_DBSCAN_MINPTS,
+            x_col="ix", y_col="iy", cc_stats=cc_stats,
+        ).count()
+        timings["spatial_dbscan_sf"] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# spatial_dbscan_sf: {timings['spatial_dbscan_sf']}s"
+            f" ({n_db} of {n_dpts} pts labeled,"
+            f" {cc_stats.get('rounds', 0)} label-propagation rounds)",
+            file=sys.stderr,
+        )
+
+        # the 10M-point full pyramid (round-2 verdict: the README/SCALE
+        # 10M claims were not committed bench entries, so regressions were
+        # invisible). Same config as pyramid_build_1m_points.
+        pts_10m = (
+            generate_test_points(spark, 10_000_000, seed=11)
+            .select("id", "lng", "lat", "value")
+            .localCheckpoint(eager=True)
+        )
+        pts_10m.count()
+        eng_10m = Clustopher(pts_10m, ["value"], opts=opts_1m)
+        t0 = time.perf_counter()
+        eng_10m.materialize()
+        n_pyr10 = eng_10m._zoom_levels.count()
+        timings["pyramid_build_10m"] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# pyramid_build_10m: {timings['pyramid_build_10m']}s"
+            f" ({n_pyr10} pyramid rows, zooms 0-16)",
             file=sys.stderr,
         )
     finally:

@@ -45,6 +45,7 @@ def dbscan(
     id_col: str = "id",
     x_col: str = "x",
     y_col: str = "y",
+    cc_stats: dict | None = None,
 ) -> DataFrame:
     """Exact DBSCAN over planar coordinates.
 
@@ -96,7 +97,7 @@ def dbscan(
         .join(core.select(F.col("id").alias("idb")), "idb", "left_semi")
     )
     core_labels = connected_components(
-        core_edges, vertices=core, id_a="id", id_b="idb"
+        core_edges, vertices=core, id_a="id", id_b="idb", stats=cc_stats
     ).withColumnRenamed("group_id", "label")
     border = (
         cand.filter(F.col("id") != F.col("idb"))

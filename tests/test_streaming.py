@@ -379,3 +379,63 @@ def test_transform_with_state_topk_matches_batch(spark, events_stream):
     batch_rows = {(r.user_id, r.rank): r.value for r in batch.collect()}
     assert len(stream_rows) == len(batch_rows) > 0
     assert stream_rows == batch_rows
+
+
+def test_incremental_hll_rollup_matches_batch(spark, tmp_path):
+    """Multi-batch streamed HLL partials must union to exactly the batch
+    answer (sketch algebra is associative), and re-folding a batch must
+    not change the store (idempotent replay)."""
+    from clustopher_spark.streaming.sketches import (
+        _batch_partials,
+        distinct_users_by_event_type,
+        incremental_hll_rollup,
+    )
+
+    ev = table(spark, SF_DIR, "events")
+    # split the events into 3 parquet files so availableNow sees 3 batches
+    src = str(tmp_path / "ev_src")
+    ev.repartition(3).write.parquet(src)
+    store = str(tmp_path / "hll_store")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    incremental_hll_rollup(stream, store)
+    got = {
+        r.event_type: (r.n_days, r.approx_users)
+        for r in distinct_users_by_event_type(spark, store).collect()
+    }
+    want = {
+        r.event_type: (r.n_days, r.approx_users)
+        for r in ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("approx_users"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    # idempotent replay: folding an already-folded batch changes nothing
+    before = sorted(got.items())
+    batch0 = spark.read.parquet(src)
+    fresh = _batch_partials(batch0).localCheckpoint(eager=True)
+    days = [r["day"] for r in fresh.select("day").distinct().collect()]
+    old = spark.read.parquet(store).filter(F.col("day").isin(days))
+    merged = (
+        fresh.unionByName(old).groupBy("day", "event_type")
+        .agg(F.hll_union_agg("sk").alias("sk")).localCheckpoint(eager=True)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("day").parquet(store)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    after = sorted(
+        (r.event_type, (r.n_days, r.approx_users))
+        for r in distinct_users_by_event_type(spark, store).collect()
+    )
+    assert after == before
