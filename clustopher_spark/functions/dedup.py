@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 # 2^31-1: keeps a*h+b within int64 under ANSI overflow checking
@@ -324,6 +325,32 @@ def simhash_near_pairs(
     )
 
 
+def _unionfind_min_roots(a, b):
+    """Vectorized min-root union-find over two id arrays (driver tail).
+
+    Compacts ids to dense indices (``np.unique`` sorts, so index order ==
+    value order and the min index is the min id), then alternates
+    edge-relaxation (push the min endpoint label across every edge) with
+    pointer jumping (``parent = parent[parent]``) until fixpoint — each
+    pass is O(E) numpy, and the jump makes chains converge in O(log
+    diameter) passes. Returns (ids, roots) as numpy arrays.
+    """
+    import numpy as np
+
+    uniq, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a) :]
+    parent = np.arange(len(uniq))
+    while True:
+        prev = parent.copy()
+        m = np.minimum(parent[ia], parent[ib])
+        np.minimum.at(parent, ia, m)
+        np.minimum.at(parent, ib, m)
+        parent = np.minimum(parent, parent[parent])
+        if np.array_equal(parent, prev):
+            break
+    return uniq, uniq[parent]
+
+
 def connected_components(
     pairs: DataFrame,
     vertices: DataFrame | None = None,
@@ -331,66 +358,144 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 25,
     stats: dict | None = None,
+    driver_edge_limit: int = 2_000_000,
 ) -> DataFrame:
     """Group near-duplicate pairs into components: (id, group_id) with
     group_id = the minimum member id — the canonical-document selection
     step after any pairwise dedup (keep ``id == group_id``, drop the rest).
 
-    Distributed label propagation: every vertex starts as its own label;
-    each round takes the min label over the 1-hop neighborhood; converges
-    in O(component diameter) rounds (dup groups are near-cliques, so 2-3
-    rounds in practice — ``max_iter`` only bounds adversarial chains).
-    Each round is one join + one groupBy on the edge list;
-    ``localCheckpoint`` truncates the iterative lineage exactly like the
-    zoom pyramid. Convergence is detected by label-change count == 0.
+    Two-phase star CC (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14) with a bounded driver finisher:
+
+    * While the edge list is larger than ``driver_edge_limit``, alternate
+      **large-star** (every vertex u points each LARGER neighbor v at
+      m(u) = min of u's closed neighborhood) and **small-star** (every
+      vertex u points its SMALLER neighbors and itself at the minimum of
+      those) — each a groupBy + self-join edge rewrite that preserves
+      connectivity, emits only (larger, smaller) edges, and provably
+      converges to per-component stars around the component minimum in
+      O(log^2 n) rounds. Unlike fixed-edge min-label propagation (O(
+      diameter) rounds over the FULL edge list every round), the edge
+      set here collapses geometrically — dup-group cliques flatten in
+      one round, long cell-chains (the DBSCAN contraction shape) halve
+      per round.
+    * Once the edge list fits under ``driver_edge_limit`` it is pulled
+      to the driver and finished exactly with a vectorized min-root
+      union-find (the same bounded driver-tail pattern as the zoom
+      pyramid's <=100k-row numpy tail; 2M edges = ~32 MB via Arrow).
+      Star rounds never drop a non-isolated vertex from the edge list,
+      so the finisher sees every vertex that still needs a label.
+
+    Every loop-carried checkpoint goes through ``truncate_lineage`` (not
+    a bare ``localCheckpoint``): checkpoints inherit the origin plan's
+    multiplicative join-size estimate, and carrying that through an
+    iterative multi-join round makes the driver's BigInteger stats
+    arithmetic the bottleneck by round ~8 (see plans/lineage.py).
 
     ``vertices``: optional (id) DataFrame of ALL ids (isolated ids come
     out as their own group); defaults to ids present in ``pairs``.
+    ``stats`` (out): distributed ``rounds`` run and ``driver_edges``
+    handled by the union-find finisher.
     """
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    from clustopher_spark.plans.lineage import truncate_lineage
+
+    # canonical undirected edges (hi, lo); star rounds keep this invariant
+    e = truncate_lineage(
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("a"),
+            F.least(F.col(id_a), F.col(id_b)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     if vertices is None:
-        vertices = edges.select(F.col("src").alias("id")).distinct()
-    labels = vertices.select("id", F.col("id").alias("label")).localCheckpoint(True)
-    # Broadcast the label table through every round when it fits: the
-    # label side is |V| rows of two longs, so up to millions of vertices
-    # it broadcasts in tens of MB and each round's neighborhood join stops
-    # shuffling the (much larger) edge list — the SortMergeJoin-per-round
-    # plan the round-2 verdict flagged. Above the threshold the rounds
-    # fall back to shuffle joins, which is the correct 100 TB plan anyway
-    # (both sides huge, co-partitioned by the shuffle after round 1).
-    n_vertices = labels.count()
-    small_labels = n_vertices <= 2_000_000
-    hint = F.broadcast if small_labels else (lambda df: df)
+        vertices = (
+            e.select(F.col("a").alias("id"))
+            .unionAll(e.select(F.col("b").alias("id")))
+            .distinct()
+        )
+    labels = vertices.select("id", F.col("id").alias("label"))
+    spark = labels.sparkSession
+    id_type = labels.schema["label"].dataType
+    if stats is not None:
+        stats.setdefault("rounds", 0)
+        stats.setdefault("driver_edges", 0)
+    prev_n = -1
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(hint(labels), edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(hint(neighbor_min), labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
-                    "label"
-                ),
+        n_e = e.count()
+        if n_e == 0:
+            return labels.select("id", F.col("label").alias("group_id"))
+        if n_e <= driver_edge_limit:
+            break
+        # converged distributively (star form reached while still above
+        # the driver limit): second element of every edge is the
+        # component min, so the edge list IS the label map
+        if n_e == prev_n and e.exceptAll(prev_e).count() == 0:
+            star = e.select(F.col("a").alias("v"), F.col("b").alias("root"))
+            labels = labels.join(star, labels.label == star.v, "left").select(
+                "id", F.coalesce("root", "label").alias("label")
             )
-            .localCheckpoint(eager=True)
+            return labels.select("id", F.col("label").alias("group_id"))
+        prev_n, prev_e = n_e, e
+        # joins broadcast the per-vertex min table when the graph is small
+        # enough; above that they fall back to shuffle joins — the correct
+        # huge-graph plan (both sides co-partitioned on the vertex key)
+        hint = F.broadcast if n_e <= 8_000_000 else (lambda df: df)
+        # large-star: u -> edges (v, m(u)) for neighbors v > u,
+        # m(u) = min(closed neighborhood of u)
+        adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(hint(labels.alias("o")), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+        m = adj.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
         )
-        labels = new_labels
+        e = truncate_lineage(
+            adj.filter(F.col("v") > F.col("u"))
+            .join(hint(m), "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # small-star: u -> edges (v, m) for smaller neighbors v plus
+        # (u, m), m = min of u's smaller neighbors
+        adj2 = e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        m2 = adj2.groupBy("u").agg(F.min("v").alias("m"))
+        e = truncate_lineage(
+            adj2.join(hint(m2), "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionAll(
+                m2.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.greatest(F.col("a"), F.col("b")).alias("a"),
+                F.least(F.col("a"), F.col("b")).alias("b"),
+            )
+            .distinct()
+        )
         if stats is not None:
             stats["rounds"] = stats.get("rounds", 0) + 1
-        if changed == 0:
-            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not contract under "
+            f"{driver_edge_limit} edges in {max_iter} rounds — raise "
+            f"max_iter or driver_edge_limit"
+        )
+    # driver finisher: exact union-find over the shrunken edge list
+    import pandas as pd
+
+    pdf = e.toPandas()  # bounded by driver_edge_limit rows
+    ids, roots = _unionfind_min_roots(pdf["a"].to_numpy(), pdf["b"].to_numpy())
+    moved = ids != roots
+    mapping = spark.createDataFrame(
+        pd.DataFrame({"v": ids[moved], "root": roots[moved]}),
+        schema=T.StructType(
+            [T.StructField("v", id_type), T.StructField("root", id_type)]
+        ),
+    )
+    labels = labels.join(
+        F.broadcast(mapping), labels.label == mapping.v, "left"
+    ).select("id", F.coalesce("root", "label").alias("label"))
+    if stats is not None:
+        stats["driver_edges"] = int(len(pdf))
     return labels.select("id", F.col("label").alias("group_id"))

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from clustopher_spark.functions.dedup import connected_components
+from clustopher_spark.plans.lineage import truncate_lineage
 
 
 def dbscan(
@@ -63,6 +64,14 @@ def dbscan(
     )
     cell = lambda c: F.floor(c / F.lit(float(eps)))  # noqa: E731
     base = p.select("id", "x", "y", cell(F.col("x")).alias("cx"), cell(F.col("y")).alias("cy"))
+    # Pin the join parallelism on the cell key BEFORE the 3x3 fan-out:
+    # the map-side input is small (ids + coords), so AQE would coalesce
+    # the exchange to one or two partitions and the join OUTPUT — which
+    # explodes quadratically inside dense cells — would run single-task
+    # (measured: minutes instead of seconds at 150k points). An explicit
+    # key repartition is honored by AQE and co-partitions both sides.
+    parts = p.sparkSession.sparkContext.defaultParallelism
+    base = base.repartition(parts, "cx", "cy").localCheckpoint(eager=True)
     probe_cells = F.array(
         *[
             F.struct(
@@ -78,6 +87,7 @@ def dbscan(
         F.col("y").alias("yb"),
         F.explode(probe_cells).alias("pc"),
     ).select("idb", "xb", "yb", F.col("pc.pcx").alias("cx"), F.col("pc.pcy").alias("cy"))
+    probes = probes.repartition(parts, "cx", "cy")
     # ordered candidate pairs (a, b) incl. the self pair — |N_eps| counts self
     cand = (
         base.join(probes, ["cx", "cy"])
@@ -88,17 +98,52 @@ def dbscan(
         )
         .select("id", "idb")
     )
-    cand = cand.localCheckpoint(eager=True)  # consumed 4x below
+    cand = truncate_lineage(cand)  # consumed 4x below
     deg = cand.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     core = deg.filter(F.col("n") >= min_pts).select("id")
-    core_edges = (
-        cand.filter(F.col("id") != F.col("idb"))
-        .join(core, "id", "left_semi")
-        .join(core.select(F.col("id").alias("idb")), "idb", "left_semi")
+
+    # --- cell-contracted connected components -------------------------------
+    # Dense data makes the core-core edge list quadratic in blob size (a
+    # blob whose diameter <= eps is a clique), and label propagation then
+    # re-joins millions of edges per round. Contract first: in a grid of
+    # edge eps/sqrt(2) any two points in the SAME cell are <= eps apart,
+    # so same-cell cores form a clique — one super-vertex, no edges
+    # materialized. Cross-cell clique edges collapse to ONE edge per
+    # (cellA, cellB) pair via distinct. Components of the contracted graph
+    # are exactly the components of the full core-core graph (contraction
+    # merges only cliques; an edge survives iff a qualifying pair exists),
+    # and the label (min core id per component) is unchanged. This turns
+    # the O(edges x rounds) propagation into rounds over cell-pair counts.
+    import math
+
+    s = float(eps) / math.sqrt(2.0)
+    cell_code = (
+        F.floor(F.col("x") / F.lit(s)).cast("long") * F.lit(1 << 32)
+        + F.floor(F.col("y") / F.lit(s)).cast("long")
     )
-    core_labels = connected_components(
-        core_edges, vertices=core, id_a="id", id_b="idb", stats=cc_stats
-    ).withColumnRenamed("group_id", "label")
+    core_cells = truncate_lineage(
+        base.join(core, "id", "left_semi").select("id", cell_code.alias("cell"))
+    )
+    cell_edges = (
+        cand.filter(F.col("id") != F.col("idb"))
+        .join(core_cells, "id")
+        .join(
+            core_cells.select(
+                F.col("id").alias("idb"), F.col("cell").alias("cell_b")
+            ),
+            "idb",
+        )
+        .filter(F.col("cell") != F.col("cell_b"))
+        .select(F.col("cell").alias("ca"), F.col("cell_b").alias("cb"))
+        .distinct()
+    )
+    cells = core_cells.select(F.col("cell").alias("id")).distinct()
+    comp = connected_components(
+        cell_edges, vertices=cells, id_a="ca", id_b="cb", stats=cc_stats
+    ).withColumnRenamed("id", "cell")
+    labeled_cores = core_cells.join(comp, "cell")
+    comp_label = labeled_cores.groupBy("group_id").agg(F.min("id").alias("label"))
+    core_labels = labeled_cores.join(comp_label, "group_id").select("id", "label")
     border = (
         cand.filter(F.col("id") != F.col("idb"))
         .join(core, "id", "left_anti")

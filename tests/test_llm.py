@@ -266,6 +266,67 @@ def test_connected_components_random_graphs(spark):
         assert got == canonical, f"n={n} edges={edges}"
 
 
+def test_connected_components_distributed_rounds(spark):
+    """Force the distributed contraction prefix (driver_edge_limit=0 bars
+    the union-find finisher except via contraction to nothing): a
+    400-vertex chain plus two cliques must still produce exact min-id
+    components, with the edge list shrinking geometrically per round
+    (pointer jump), not O(diameter) rounds."""
+    from clustopher_spark.functions.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(400)]
+    cliques = [(1000 + a, 1000 + b) for a in range(8) for b in range(a + 1, 8)]
+    cliques += [(2000 + a, 2000 + b) for a in range(5) for b in range(a + 1, 5)]
+    pairs = spark.createDataFrame(chain + cliques, "id_a long, id_b long")
+    stats: dict = {}
+    got = {
+        r.id: r.group_id
+        for r in connected_components(
+            pairs, stats=stats, driver_edge_limit=0, max_iter=25
+        ).collect()
+    }
+    want = {i: 0 for i in range(401)}
+    want.update({1000 + i: 1000 for i in range(8)})
+    want.update({2000 + i: 2000 for i in range(5)})
+    assert got == want
+    # geometric contraction: a 400-edge chain under plain min-propagation
+    # needs ~400 rounds; the jump+contract loop must stay well under that
+    assert 0 < stats["rounds"] <= 25
+
+
+def test_truncate_lineage_resets_stats(spark):
+    """Loop-carried checkpoints must not inherit multiplicative join-size
+    estimates: after 4 rounds of a 3-join loop, the plain localCheckpoint
+    estimate has hundreds of digits while truncate_lineage keeps it flat
+    (the BigInteger arithmetic on those digits was the driver-side hang
+    the round-3 DBSCAN profile caught via jstack)."""
+    from pyspark.sql import functions as F
+
+    from clustopher_spark.plans.lineage import truncate_lineage
+
+    def digits(df):
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        return len(str(stats.sizeInBytes()))
+
+    edges = spark.range(0, 100).selectExpr("id as src", "id+1 as dst")
+    lab = spark.range(0, 101).selectExpr("id", "id as label")
+    base_digits = None
+    for _ in range(4):
+        nm = (
+            edges.join(lab, edges.dst == lab.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        nxt = lab.join(nm, lab.id == nm.src, "left").select(
+            "id", F.coalesce("nmin", F.col("label")).alias("label")
+        )
+        lab = truncate_lineage(nxt)
+        if base_digits is None:
+            base_digits = digits(lab)
+    assert digits(lab) <= base_digits + 2
+    assert lab.count() == 101
+
+
 def test_stratified_sample_rebalances(spark):
     from clustopher_spark.queries import QUERIES
 
