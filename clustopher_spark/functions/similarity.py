@@ -255,6 +255,245 @@ def ann_ivf_topk(
     )
 
 
+def _lloyd_kmeans(x: np.ndarray, k: int, seed: int, iters: int = 15) -> np.ndarray:
+    """Plain Lloyd k-means on a driver-resident sample (seeded, argmin
+    ties broken by lowest index — deterministic). Used for the per-subspace
+    PQ codebooks, which train on a BOUNDED sample exactly like FAISS: the
+    codebook is (k, dsub) floats, quality saturates at ~100k samples, and
+    the result broadcasts to every executor."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(x))
+    centers = x[rng.choice(len(x), size=k, replace=False)].astype(np.float64)
+    for _ in range(iters):
+        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                centers[j] = members.mean(axis=0)
+    return centers
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    coarse_centroids: np.ndarray,
+    m_subvectors: int = 8,
+    n_codes: int = 256,
+    vec_col: str = "embedding",
+    sample_rows: int = 100_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train product-quantization codebooks on IVF residuals.
+
+    Draws a bounded sample of the corpus to the driver (``sample_rows``
+    rows x dim floats — ~25 MB at 100k x 64, independent of corpus size),
+    subtracts each vector's nearest coarse centroid (residual encoding,
+    the FAISS IVF-PQ formulation — residuals are far more compressible
+    than raw vectors), unit-normalizes first so PQ L2 tables rank like
+    cosine, splits the dim into ``m_subvectors`` blocks and k-means each
+    block independently. Returns (M, n_codes, dsub) float64 — e.g.
+    8 x 256 x 8 = ~128 KB, broadcastable anywhere.
+    """
+    pdf = (
+        corpus.select(_as_double(F.col(vec_col)).alias("v"))
+        .limit(sample_rows)
+        .toPandas()
+    )
+    mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    np.maximum(norms, 1e-12, out=norms)
+    mat /= norms
+    cn = coarse_centroids / np.maximum(
+        np.linalg.norm(coarse_centroids, axis=1, keepdims=True), 1e-12
+    )
+    assign = np.argmax(mat @ cn.T, axis=1)
+    resid = mat - cn[assign]
+    dim = mat.shape[1]
+    if dim % m_subvectors:
+        raise ValueError(f"dim {dim} not divisible by m_subvectors {m_subvectors}")
+    dsub = dim // m_subvectors
+    books = [
+        _lloyd_kmeans(
+            resid[:, m * dsub : (m + 1) * dsub], n_codes, seed + m
+        )
+        for m in range(m_subvectors)
+    ]
+    n_k = min(n_codes, min(len(b) for b in books))
+    return np.stack([b[:n_k] for b in books])
+
+
+def pq_encode_udf(codebooks: np.ndarray, coarse_centroids: np.ndarray):
+    """Arrow-batched PQ encoder: (vector, list_id) -> array<int> of M
+    codebook indices over the unit-normalized IVF residual. One
+    (batch x n_codes) matmul-free distance pass per subspace per batch;
+    output is M small ints per vector (1-4 bytes each on the wire vs
+    dim x 4 float bytes — the 8-32x shrink that lets a 100 TB vector
+    corpus fit a candidate scan)."""
+    books = np.ascontiguousarray(codebooks)
+    cn = coarse_centroids / np.maximum(
+        np.linalg.norm(coarse_centroids, axis=1, keepdims=True), 1e-12
+    )
+    m_sub, _, dsub = books.shape
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series, list_ids: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        np.maximum(norms, 1e-12, out=norms)
+        mat /= norms
+        resid = mat - cn[list_ids.to_numpy()]
+        codes = np.empty((len(mat), m_sub), dtype=np.int32)
+        for m in range(m_sub):
+            sub = resid[:, m * dsub : (m + 1) * dsub]
+            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin drops ||x||^2
+            d = -2.0 * (sub @ books[m].T) + (books[m] ** 2).sum(axis=1)
+            codes[:, m] = np.argmin(d, axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return encode
+
+
+def ann_ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m_subvectors: int = 8,
+    n_codes: int = 256,
+    refine: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jegou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011; the FAISS IVFPQ index) — the
+    100 TB vector-search shape:
+
+    1. coarse quantizer files every corpus vector under its nearest of
+       ``n_lists`` centroids (broadcast matmul, map-only);
+    2. each vector's unit-normalized residual is product-quantized to
+       ``m_subvectors`` one-byte-ish codes — the candidate scan then
+       moves M ints per vector instead of dim floats (8x64-dim: 32x
+       fewer bytes shuffled and scanned);
+    3. queries probe their ``n_probe`` nearest lists carrying a
+       per-(query, list) ADC lookup table (M x n_codes partial squared
+       distances, ~8 KB — query-side only, never the corpus);
+    4. asymmetric-distance scoring is a per-batch numpy gather+sum over
+       the codes; the best ``k x refine`` candidates per query are
+       re-ranked EXACTLY by joining back to the full vectors by id (a
+       k x refine-row join, independent of corpus size).
+
+    Unit-normalization makes PQ's L2 tables rank identically to cosine
+    (||a-b||^2 = 2 - 2 cos for unit vectors), so the output contract
+    matches the other ANN entries: (query_id, neighbor_id, cos_sim,
+    rank), deterministic tie-break.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_lists, vec_col, sample_fraction, seed
+        )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, centroids, m_subvectors, n_codes, vec_col, seed=seed
+        )
+    m_sub, n_k, dsub = codebooks.shape
+    assign_one = ivf_lists_udf(centroids, 1)
+    assign_probe = ivf_lists_udf(centroids, n_probe)
+    encode = pq_encode_udf(codebooks, centroids)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        assign_one(F.col(vec_col))[0].alias("list_id"),
+        F.col(vec_col).alias("c_vec"),
+    ).select(
+        "neighbor_id",
+        "list_id",
+        encode(F.col("c_vec"), F.col("list_id")).alias("codes"),
+    )
+
+    books = np.ascontiguousarray(codebooks)
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    @pandas_udf("array<double>")
+    def adc_table(vecs: pd.Series, list_ids: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        np.maximum(norms, 1e-12, out=norms)
+        mat /= norms
+        resid = mat - cn[list_ids.to_numpy()]
+        out = np.empty((len(mat), m_sub * n_k), dtype=np.float64)
+        for m in range(m_sub):
+            sub = resid[:, m * dsub : (m + 1) * dsub]
+            d = (
+                (sub**2).sum(axis=1, keepdims=True)
+                - 2.0 * (sub @ books[m].T)
+                + (books[m] ** 2).sum(axis=1)
+            )
+            out[:, m * n_k : (m + 1) * n_k] = d
+        return pd.Series([row.tolist() for row in out])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(assign_probe(F.col(vec_col))).alias("list_id"),
+    ).select(
+        "query_id",
+        "list_id",
+        adc_table(F.col("q_vec"), F.col("list_id")).alias("lut"),
+    )
+
+    @pandas_udf("double")
+    def adc_score(luts: pd.Series, codes: pd.Series) -> pd.Series:
+        lut = np.stack(luts.to_numpy())
+        cds = np.stack(codes.to_numpy()).astype(np.int64)
+        offs = np.arange(m_sub, dtype=np.int64) * n_k
+        idx = cds + offs
+        return pd.Series(np.take_along_axis(lut, idx, axis=1).sum(axis=1))
+
+    cand = (
+        c.join(F.broadcast(q), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            adc_score(F.col("lut"), F.col("codes")).alias("approx_dist"),
+        )
+    )
+    w0 = Window.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
+    shortlist = (
+        cand.withColumn("arank", F.row_number().over(w0))
+        .filter(F.col("arank") <= k * refine)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank over the shortlist only (k*refine rows per query)
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = (
+        shortlist.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def embedding_cosine_near_dups(
     df: DataFrame,
     threshold: float = 0.95,

@@ -339,6 +339,22 @@ def llm_ann_ivf(spark, sf_dir):
     )
 
 
+@register("llm_ann_ivfpq_topk")  # IVF-PQ (Jegou et al. 2011): coarse lists +
+# product-quantized residual codes + ADC shortlist + exact re-rank.
+# rows-only (two KMeans trainings are not SQL-expressible); recall vs
+# brute force and the code-compression contract are pinned in
+# tests/test_llm.py
+def llm_ann_ivfpq(spark, sf_dir):
+    from clustopher_spark.functions.similarity import ann_ivf_pq_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return ann_ivf_pq_topk(
+        e, q, k=5, n_lists=16, n_probe=8, m_subvectors=8, n_codes=64,
+        refine=8,
+    ).orderBy("query_id", "rank")
+
+
 @register(
     "llm_embedding_norms_by_label",
     oracle="""

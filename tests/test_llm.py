@@ -211,6 +211,63 @@ def test_ann_ivf_deterministic(spark):
     assert r1 == r2
 
 
+def test_ann_ivfpq_recall_and_codes(spark):
+    """IVF-PQ: exact re-rank over the ADC shortlist must reach recall at
+    least as good as plain IVF's bound on the same data, the planted
+    near-dup must surface, and the PQ codes must honor the compression
+    contract (M small-int codes per vector, all < n_codes)."""
+    from clustopher_spark.functions.similarity import (
+        ann_ivf_pq_topk,
+        ivf_lists_udf,
+        pq_encode_udf,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    e = _embeddings(spark)
+    q = e.filter(F.col("vec_id") < 10)
+    brute = cosine_topk_bruteforce(e, q, k=5, vec_col="embedding")
+    ann = ann_ivf_pq_topk(
+        e, q, k=5, n_lists=8, n_probe=3, m_subvectors=4, n_codes=32,
+        refine=4, vec_col="embedding",
+    )
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in ann.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.6, f"IVF-PQ recall {recall}"
+    assert (0, 1) in a
+
+    cents = train_ivf_centroids(e, 8, "embedding")
+    books = train_pq_codebooks(e, cents, m_subvectors=4, n_codes=32,
+                               vec_col="embedding")
+    assert books.shape[0] == 4 and books.shape[2] == 4  # M x n_k x dsub
+    enc = pq_encode_udf(books, cents)
+    assign = ivf_lists_udf(cents, 1)
+    codes = (
+        e.select(
+            "vec_id",
+            assign(F.col("embedding"))[0].alias("list_id"),
+            F.col("embedding"),
+        )
+        .select("vec_id", enc(F.col("embedding"), F.col("list_id")).alias("c"))
+        .collect()
+    )
+    n_k = books.shape[1]
+    assert all(len(r.c) == 4 and all(0 <= x < n_k for x in r.c) for r in codes)
+
+
+def test_ann_ivfpq_deterministic(spark):
+    from clustopher_spark.functions.similarity import ann_ivf_pq_topk
+
+    e = _embeddings(spark)
+    q = e.filter(F.col("vec_id") < 3)
+    kw = dict(k=3, n_lists=8, n_probe=2, m_subvectors=4, n_codes=32,
+              vec_col="embedding")
+    r1 = ann_ivf_pq_topk(e, q, **kw).collect()
+    r2 = ann_ivf_pq_topk(e, q, **kw).collect()
+    assert r1 == r2
+
+
 def test_connected_components_chain(spark):
     """a-b, b-c, d-e: two components with min-id canonicals; isolated f."""
     from clustopher_spark.functions.dedup import connected_components
