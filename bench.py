@@ -121,13 +121,15 @@ def main() -> None:
             file=sys.stderr,
         )
 
-        # serve-time viewport query (analog of "<50 ms viewport"): bbox
-        # filter over the materialized table, held cached exactly as the
-        # serving layer holds it (serving.py ClusterService._load caches).
+        # serve-time viewport query (analog of "<50 ms viewport"): the
+        # actual serving surface (pandas rows out, as the HTTP layer ships
+        # them) over the pre-split cached frames — bbox filter on ONE
+        # cached partition, AQE off for the single-stage action.
         eng.cache_zoom_frames()  # pre-split per-zoom cached frames
+        eng.get_clusters_local(-179, -80, 179, 80, 5)  # warm the code path
         t0 = time.perf_counter()
-        served = eng.get_clusters(-110, 30, -90, 45, 6)
-        n_served = served.count()
+        served_pdf = eng.get_clusters_local(-110, 30, -90, 45, 6)
+        n_served = len(served_pdf)
         timings["serve_viewport_query"] = round(time.perf_counter() - t0, 3)
         print(
             f"# serve_viewport_query: {timings['serve_viewport_query']}s ({n_served} rows)",
