@@ -323,6 +323,51 @@ def test_connected_components_random_graphs(spark):
         assert got == canonical, f"n={n} edges={edges}"
 
 
+def test_connected_components_random_graphs_distributed(spark):
+    """The star-contraction prefix (not just the driver finisher) must be
+    exact: random graphs with driver_edge_limit=0 — so only distributed
+    convergence to star form can terminate — vs a union-find reference."""
+    import numpy as np
+    from clustopher_spark.functions.dedup import connected_components
+
+    rng = np.random.default_rng(7)
+    for _ in range(4):
+        n = int(rng.integers(10, 40))
+        m = int(rng.integers(5, n * 2))
+        edges = list(
+            {
+                (int(a), int(b))
+                for a, b in rng.integers(0, n, size=(m, 2))
+                if a != b
+            }
+        )
+        if not edges:
+            continue
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {v: find(v) for v in range(n)}
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        got = {
+            r.id: r.group_id
+            for r in connected_components(
+                pairs, vertices=verts, driver_edge_limit=0, max_iter=30
+            ).collect()
+        }
+        assert got == want, f"n={n} edges={edges}"
+
+
 def test_connected_components_distributed_rounds(spark):
     """Force the distributed contraction prefix (driver_edge_limit=0 bars
     the union-find finisher except via contraction to nothing): a
