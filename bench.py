@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "llm_doc_chunking",
     "llm_embedding_quantization",
     "events_anomaly_zscore",
+    # round-3 addition
+    "llm_ann_ivfpq_topk",
 ]
 
 
@@ -173,6 +175,40 @@ def main() -> None:
             file=sys.stderr,
         )
 
+        # DBSCAN at sf0.1 (round-2 verdict: the label-propagation plan had
+        # only been timed at sf0.001/0.01). Runs BEFORE the pyramid
+        # entries: its 49M-pair candidate materialization deserves a
+        # storage-quiet JVM, and the entry is new in round 3 so there is
+        # no ordering to preserve. Rounds + driver-finisher edge count
+        # reported so the contraction claim stays visible.
+        from clustopher_spark.operators.dbscan import dbscan
+        from clustopher_spark.queries.spatial import (
+            _DBSCAN_EPS,
+            _DBSCAN_MINPTS,
+            dbscan_points_df,
+        )
+
+        dpts = dbscan_points_df(spark, SF_DIR).localCheckpoint(eager=True)
+        n_dpts = dpts.count()
+        cc_stats: dict = {}
+        t0 = time.perf_counter()
+        n_db = dbscan(
+            dpts, eps=_DBSCAN_EPS, min_pts=_DBSCAN_MINPTS,
+            x_col="ix", y_col="iy", cc_stats=cc_stats,
+        ).count()
+        timings["spatial_dbscan_sf"] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# spatial_dbscan_sf: {timings['spatial_dbscan_sf']}s"
+            f" ({n_db} of {n_dpts} pts labeled, {cc_stats.get('rounds', 0)}"
+            f" star rounds, {cc_stats.get('driver_edges', 0)} finisher edges)",
+            file=sys.stderr,
+        )
+        del dpts
+        import gc
+
+        gc.collect()
+        spark._jvm.System.gc()
+
         # the baseline-comparable 1M-point pyramid build (BASELINE.md
         # "~30 s / 1M points"): full 17-level pyramid, zooms 0-16, same
         # config as the README's 27.4 s measurement (radius 100,
@@ -251,31 +287,10 @@ def main() -> None:
             file=sys.stderr,
         )
 
-        # DBSCAN at sf0.1 (round-2 verdict: the label-propagation plan had
-        # only been timed at sf0.001/0.01). Rounds reported so the
-        # O(diameter) claim stays visible.
-        from clustopher_spark.operators.dbscan import dbscan
-        from clustopher_spark.queries.spatial import (
-            _DBSCAN_EPS,
-            _DBSCAN_MINPTS,
-            dbscan_points_df,
-        )
-
-        dpts = dbscan_points_df(spark, SF_DIR).localCheckpoint(eager=True)
-        n_dpts = dpts.count()
-        cc_stats: dict = {}
-        t0 = time.perf_counter()
-        n_db = dbscan(
-            dpts, eps=_DBSCAN_EPS, min_pts=_DBSCAN_MINPTS,
-            x_col="ix", y_col="iy", cc_stats=cc_stats,
-        ).count()
-        timings["spatial_dbscan_sf"] = round(time.perf_counter() - t0, 3)
-        print(
-            f"# spatial_dbscan_sf: {timings['spatial_dbscan_sf']}s"
-            f" ({n_db} of {n_dpts} pts labeled,"
-            f" {cc_stats.get('rounds', 0)} label-propagation rounds)",
-            file=sys.stderr,
-        )
+        # release the 1M pyramid and update outputs before the 10M build
+        del upd, upd_city, base_levels, batch_1m, batch_city, eng_1m, pts_1m
+        gc.collect()
+        spark._jvm.System.gc()
 
         # the 10M-point full pyramid (round-2 verdict: the README/SCALE
         # 10M claims were not committed bench entries, so regressions were
@@ -296,6 +311,12 @@ def main() -> None:
             f" ({n_pyr10} pyramid rows, zooms 0-16)",
             file=sys.stderr,
         )
+        # release the 10M pyramid (~67M checkpointed rows) before the
+        # remaining entries: holding it through them adds GC/storage
+        # pressure that distorts their timings several-fold
+        del eng_10m, pts_10m
+        gc.collect()
+        spark._jvm.System.gc()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -64,7 +64,7 @@ def dbscan(
     )
     cell = lambda c: F.floor(c / F.lit(float(eps)))  # noqa: E731
     base = p.select("id", "x", "y", cell(F.col("x")).alias("cx"), cell(F.col("y")).alias("cy"))
-    # Pin the join parallelism on the cell key BEFORE the 3x3 fan-out:
+    # Pin the join parallelism on the cell key BEFORE the probe fan-out:
     # the map-side input is small (ids + coords), so AQE would coalesce
     # the exchange to one or two partitions and the join OUTPUT — which
     # explodes quadratically inside dense cells — would run single-task
@@ -72,25 +72,43 @@ def dbscan(
     # key repartition is honored by AQE and co-partitions both sides.
     parts = p.sparkSession.sparkContext.defaultParallelism
     base = base.repartition(parts, "cx", "cy").localCheckpoint(eager=True)
+    # Forward-only probing: instead of exploding every point to its full
+    # 3x3 neighborhood and materializing ORDERED pairs (every pair twice
+    # plus the self pair), each point probes only the same cell and the 4
+    # "forward" neighbors (E, NE, N, NW). Every unordered cell pair has
+    # exactly one forward direction, and same-cell pairs are ordered by
+    # id — so each qualifying UNORDERED pair is generated exactly once.
+    # Halves the dominant shuffle, join output, and checkpoint footprint
+    # (49M -> 24.5M rows at sf0.1) with identical semantics: degree
+    # counts stack both endpoints (+1 for self), border assignment
+    # stacks both orientations.
     probe_cells = F.array(
         *[
             F.struct(
                 (F.col("cx") + dx).alias("pcx"), (F.col("cy") + dy).alias("pcy")
             )
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
+            for dx, dy in ((0, 0), (1, 0), (1, 1), (0, 1), (-1, 1))
         ]
     )
     probes = base.select(
         F.col("id").alias("idb"),
         F.col("x").alias("xb"),
         F.col("y").alias("yb"),
+        F.col("cx").alias("ocx"),
+        F.col("cy").alias("ocy"),
         F.explode(probe_cells).alias("pc"),
-    ).select("idb", "xb", "yb", F.col("pc.pcx").alias("cx"), F.col("pc.pcy").alias("cy"))
+    ).select(
+        "idb", "xb", "yb", "ocx", "ocy",
+        F.col("pc.pcx").alias("cx"), F.col("pc.pcy").alias("cy"),
+    )
     probes = probes.repartition(parts, "cx", "cy")
-    # ordered candidate pairs (a, b) incl. the self pair — |N_eps| counts self
+    # unordered candidate pairs, each exactly once, self-pairs excluded
     cand = (
         base.join(probes, ["cx", "cy"])
+        .filter(
+            ((F.col("ocx") != F.col("cx")) | (F.col("ocy") != F.col("cy")))
+            | (F.col("idb") > F.col("id"))
+        )
         .filter(
             (F.col("x") - F.col("xb")) * (F.col("x") - F.col("xb"))
             + (F.col("y") - F.col("yb")) * (F.col("y") - F.col("yb"))
@@ -98,9 +116,15 @@ def dbscan(
         )
         .select("id", "idb")
     )
-    cand = truncate_lineage(cand)  # consumed 4x below
-    deg = cand.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    cand = truncate_lineage(cand)  # consumed 3x below
+    # |N_eps(p)| >= min_pts, self included (the paper counts p itself):
+    # stack both endpoints of each unordered pair, +1 for self
+    ends = cand.select("id").unionAll(cand.select(F.col("idb").alias("id")))
+    deg = ends.groupBy("id").agg((F.count(F.lit(1)) + F.lit(1)).alias("n"))
+    singletons = p.select("id").join(ends.distinct(), "id", "left_anti")
     core = deg.filter(F.col("n") >= min_pts).select("id")
+    if min_pts <= 1:
+        core = core.unionAll(singletons)
 
     # --- cell-contracted connected components -------------------------------
     # Dense data makes the core-core edge list quadratic in blob size (a
@@ -125,8 +149,7 @@ def dbscan(
         base.join(core, "id", "left_semi").select("id", cell_code.alias("cell"))
     )
     cell_edges = (
-        cand.filter(F.col("id") != F.col("idb"))
-        .join(core_cells, "id")
+        cand.join(core_cells, "id")
         .join(
             core_cells.select(
                 F.col("id").alias("idb"), F.col("cell").alias("cell_b")
@@ -144,9 +167,13 @@ def dbscan(
     labeled_cores = core_cells.join(comp, "cell")
     comp_label = labeled_cores.groupBy("group_id").agg(F.min("id").alias("label"))
     core_labels = labeled_cores.join(comp_label, "group_id").select("id", "label")
+    # border: non-core with >= 1 core neighbor, min core-neighbor label;
+    # pairs are unordered, so stack both orientations before the lookup
+    stacked = cand.unionAll(
+        cand.select(F.col("idb").alias("id"), F.col("id").alias("idb"))
+    )
     border = (
-        cand.filter(F.col("id") != F.col("idb"))
-        .join(core, "id", "left_anti")
+        stacked.join(core, "id", "left_anti")
         .join(
             core_labels.select(F.col("id").alias("idb"), "label"), "idb"
         )

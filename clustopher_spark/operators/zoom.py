@@ -544,15 +544,19 @@ def fused_update_pass(
             .drop("tz", "code")
             .localCheckpoint(eager=True)
         )
-        if lvl_fed.count() <= 4_000_000:  # (zoom, cluster_id) keys, ~12 B/row
+        # localized batches have tiny fed sets — broadcast the keys and
+        # skip the second projection scan. Past ~500k keys (an adversarial
+        # batch that dirtied much of the pyramid) building+shipping the
+        # broadcast hash relation costs more than the trig scan it saves
+        # (measured at 1.7M keys), so fall back to the dirty-cell
+        # anti-join.
+        if lvl_fed.count() <= 500_000:
             lvl_passthrough = lvl_all.join(
                 F.broadcast(lvl_fed.select("zoom", "cluster_id")),
                 ["zoom", "cluster_id"],
                 "left_anti",
             )
-        else:  # adversarial batch dirtied much of the pyramid: fall back to
-            # the dirty-cell anti-join (second projection scan, no broadcast
-            # of a huge key set)
+        else:
             lvl_passthrough = lvl_tagged.join(
                 F.broadcast(dirty_df), ["tz", "code"], "left_anti"
             ).drop("tz", "code")
