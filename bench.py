@@ -191,12 +191,16 @@ def main() -> None:
         dpts = dbscan_points_df(spark, SF_DIR).localCheckpoint(eager=True)
         n_dpts = dpts.count()
         cc_stats: dict = {}
-        t0 = time.perf_counter()
-        n_db = dbscan(
-            dpts, eps=_DBSCAN_EPS, min_pts=_DBSCAN_MINPTS,
-            x_col="ix", y_col="iy", cc_stats=cc_stats,
-        ).count()
-        timings["spatial_dbscan_sf"] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):  # best-of-2: this VM shows rare 5-10x stalls
+            t0 = time.perf_counter()
+            n_db = dbscan(
+                dpts, eps=_DBSCAN_EPS, min_pts=_DBSCAN_MINPTS,
+                x_col="ix", y_col="iy", cc_stats=cc_stats,
+            ).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings["spatial_dbscan_sf"] = round(best, 3)
         print(
             f"# spatial_dbscan_sf: {timings['spatial_dbscan_sf']}s"
             f" ({n_db} of {n_dpts} pts labeled, {cc_stats.get('rounds', 0)}"
@@ -224,10 +228,18 @@ def main() -> None:
         pts_1m.count()
         opts_1m = ClusterOptions(radius=100.0, min_points=2, max_zoom=16)
         eng_1m = Clustopher(pts_1m, ["value"], opts=opts_1m)
-        t0 = time.perf_counter()
-        eng_1m.materialize()
-        n_pyr = eng_1m._zoom_levels.count()
-        timings["pyramid_build_1m_points"] = round(time.perf_counter() - t0, 3)
+        best = None
+        for i in range(2):  # best-of-2 (rare multi-x VM stalls)
+            t0 = time.perf_counter()
+            eng_1m.materialize()
+            n_pyr = eng_1m._zoom_levels.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+            if i == 0:  # release rep-0's pyramid checkpoints
+                eng_1m._zoom_levels = None
+                gc.collect()
+                spark._jvm.System.gc()
+        timings["pyramid_build_1m_points"] = round(best, 3)
         print(
             f"# pyramid_build_1m_points: {timings['pyramid_build_1m_points']}s"
             f" ({n_pyr} pyramid rows, zooms 0-16)",
@@ -249,10 +261,21 @@ def main() -> None:
         batch_1m.count()
         base_levels = eng_1m._zoom_levels.localCheckpoint(eager=True)
         base_levels.count()
-        t0 = time.perf_counter()
-        upd = update_zoom_levels(base_levels, pts_1m, batch_1m, ["value"], opts_1m)
-        n_upd = upd.count()
-        timings["incremental_update_1m_plus_10k"] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):  # best-of-2 (rare multi-x VM stalls)
+            t0 = time.perf_counter()
+            upd = update_zoom_levels(
+                base_levels, pts_1m, batch_1m, ["value"], opts_1m
+            )
+            n_upd = upd.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+            # each run checkpoints an 8.4M-row output; release it before
+            # the next rep or storage pressure distorts later entries
+            del upd
+            gc.collect()
+            spark._jvm.System.gc()
+        timings["incremental_update_1m_plus_10k"] = round(best, 3)
         print(
             f"# incremental_update_1m_plus_10k: {timings['incremental_update_1m_plus_10k']}s"
             f" ({n_upd} pyramid rows)",
@@ -273,22 +296,27 @@ def main() -> None:
             .localCheckpoint(eager=True)
         )
         batch_city.count()
-        t0 = time.perf_counter()
-        upd_city = update_zoom_levels(
-            base_levels, pts_1m, batch_city, ["value"], opts_1m
-        )
-        n_city = upd_city.count()
-        timings["incremental_update_1m_city_10k"] = round(
-            time.perf_counter() - t0, 3
-        )
+        best = None
+        for _ in range(2):  # best-of-2 (rare multi-x VM stalls)
+            t0 = time.perf_counter()
+            upd_city = update_zoom_levels(
+                base_levels, pts_1m, batch_city, ["value"], opts_1m
+            )
+            n_city = upd_city.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+            del upd_city
+            gc.collect()
+            spark._jvm.System.gc()
+        timings["incremental_update_1m_city_10k"] = round(best, 3)
         print(
             f"# incremental_update_1m_city_10k: "
             f"{timings['incremental_update_1m_city_10k']}s ({n_city} pyramid rows)",
             file=sys.stderr,
         )
 
-        # release the 1M pyramid and update outputs before the 10M build
-        del upd, upd_city, base_levels, batch_1m, batch_city, eng_1m, pts_1m
+        # release the 1M pyramid and update inputs before the 10M build
+        del base_levels, batch_1m, batch_city, eng_1m, pts_1m
         gc.collect()
         spark._jvm.System.gc()
 
