@@ -51,7 +51,9 @@ _FLAGSHIP_ANCHORS = [
     "events_asof_last_view_before_purchase",  # as-of join vs DuckDB ASOF
     "events_json_props",            # F5 JSON
     "stats_percentiles_price",      # W2 percentiles
-    "stats_correlation",            # moments/corr
+    # stats_correlation rotated out (driver-green r2) to seat the new
+    # round-3 winnowing substring-dedup oracle in this round's window
+    "llm_substring_dedup",          # winnowing duplicated-span detection
     "window_gaps_islands",          # round-1 FAIL; stays pinned
 ]
 _NEVER_CHECKED_R12 = [

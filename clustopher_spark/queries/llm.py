@@ -14,6 +14,7 @@ from clustopher_spark.functions.dedup import (
     exact_dedup,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
+    portable_hash60,
     simhash,
     simhash_near_pairs,
 )
@@ -1735,4 +1736,111 @@ def llm_feature_hashing(spark, sf_dir):
             F.round(F.col("tf") / F.col("nv"), 4).alias("weight"),
         )
         .orderBy("doc_id", "bucket")
+    )
+
+
+@register(
+    "llm_substring_dedup",
+    oracle=r"""
+    WITH positions AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - 19)) AS i
+      FROM documents WHERE length(text) >= 27
+    ), grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             ('0x' || substr(md5(substr(text, CAST(i AS INT), 20)), 1, 15))::BIGINT AS h
+      FROM positions
+    ), winnowed AS (
+      SELECT doc_id, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_pos
+      FROM grams
+    ), fps AS (
+      SELECT DISTINCT doc_id, fp
+      FROM winnowed WHERE pos + 7 <= n_pos
+    ), shared AS (
+      SELECT doc_id, fp,
+             COUNT(*) OVER (PARTITION BY fp) AS n_docs_with_fp
+      FROM fps
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(SUM(CASE WHEN n_docs_with_fp >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           ROUND(SUM(CASE WHEN n_docs_with_fp >= 2 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS shared_frac
+    FROM shared
+    GROUP BY doc_id
+    HAVING SUM(CASE WHEN n_docs_with_fp >= 2 THEN 1 ELSE 0 END) > 0
+    ORDER BY doc_id
+    """,
+)
+def llm_substring_dedup(spark, sf_dir):
+    """Cross-document duplicated-span detection by winnowing (Schleimer et
+    al., SIGMOD 2003) — the alignment-robust fingerprinting behind exact
+    substring dedup of training corpora (cf. Lee et al. 2022, which uses
+    suffix arrays; winnowing is the shuffle-friendly distributed analog).
+
+    Every 20-char gram is hashed (stride 1); each window of 8 consecutive
+    gram hashes keeps its minimum as a fingerprint. The winnowing guarantee:
+    any substring of length >= w + k - 1 = 27 chars shared verbatim between
+    two documents produces at least one identical fingerprint in both,
+    REGARDLESS of where the span sits in each document (content-defined
+    selection, unlike strided shingles which only match when spans align
+    mod stride). Output: per-document fingerprint counts and the shared
+    fraction — the signal a span-level dedup/filter stage thresholds on.
+
+    100 TB shape: gram explosion is a pure map stage (~1 row per input
+    char, 8-byte hash + two small ints, no shuffle); the winnow min is a
+    doc_id-partitioned running window (1 shuffle on doc_id); the DISTINCT
+    fingerprint set reuses that partitioning (HashPartitioning(doc_id)
+    satisfies the (doc_id, fp) clustering — no extra exchange); corpus-wide
+    fingerprint df is 1 shuffle on the 60-bit fp (uniform key, no skew);
+    the final per-doc rollup is 1 shuffle back on doc_id. Density is
+    2/(w+1) ~ 22% of positions kept, so the joined state is ~5x smaller
+    than the gram stream. No all-pairs comparison anywhere.
+    """
+    d = table(spark, sf_dir, "documents")
+    k, w = 20, 8
+    # docs shorter than the guarantee threshold can't yield a complete
+    # winnow window (and would make sequence() see stop < start)
+    d = d.filter(F.length("text") >= k + w - 1)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - F.lit(k - 1), F.lit(1))
+        ).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        portable_hash60(F.expr(f"substring(text, pos, {k})")).alias("h"),
+    )
+    dw = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    cw = Window.partitionBy("doc_id")
+    fps = (
+        grams.select(
+            "doc_id", "pos",
+            F.min("h").over(dw).alias("fp"),
+            F.count(F.lit(1)).over(cw).alias("n_pos"),
+        )
+        .filter(F.col("pos") + (w - 1) <= F.col("n_pos"))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    shared = fps.select(
+        "doc_id", "fp",
+        F.count(F.lit(1)).over(Window.partitionBy("fp")).alias("n_docs_with_fp"),
+    )
+    dup = F.sum(F.when(F.col("n_docs_with_fp") >= 2, 1).otherwise(0))
+    return (
+        shared.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+            dup.cast("long").alias("n_shared"),
+            F.round(dup / F.count(F.lit(1)).cast("double"), 4).alias("shared_frac"),
+        )
+        .filter(F.col("n_shared") > 0)
+        .orderBy("doc_id")
     )

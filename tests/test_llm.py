@@ -741,3 +741,32 @@ def test_semdedup_deterministic(spark):
     r1 = sorted(map(tuple, semdedup(e, threshold=0.95, n_lists=4).collect()))
     r2 = sorted(map(tuple, semdedup(e, threshold=0.95, n_lists=4).collect()))
     assert r1 == r2
+
+
+def test_winnowing_detects_unaligned_shared_span(spark, tmp_path):
+    """The winnowing guarantee (Schleimer et al. 2003): a verbatim span of
+    length >= w + k - 1 = 27 chars shared between two documents yields at
+    least one common fingerprint REGARDLESS of the span's offset in each
+    document — the property strided shingles lack. Also pins the negative:
+    documents with no shared 27-char span produce no shared fingerprints."""
+    import random
+
+    from clustopher_spark.queries.llm import llm_substring_dedup
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    rand = lambda n: "".join(rng.choice(alpha) for _ in range(n))  # noqa: E731
+    span = "the quick brown fox jumps over the lazy dog tonight"  # 51 chars
+    rows = [
+        # span at offset 13 in doc 0, offset 37 in doc 1 (unaligned mod any stride)
+        (0, rand(13) + span + rand(40), "en", "web", 0),
+        (1, rand(37) + span + rand(18), "en", "web", 0),
+        # doc 2: no shared content with anything
+        (2, rand(120), "en", "web", 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r.doc_id: r for r in llm_substring_dedup(spark, str(tmp_path)).collect()}
+    assert 0 in out and 1 in out, "both span-sharing docs must be flagged"
+    assert out[0].n_shared >= 1 and out[1].n_shared >= 1
+    assert 2 not in out, "doc without shared spans must not be flagged"
