@@ -439,3 +439,65 @@ def test_incremental_hll_rollup_matches_batch(spark, tmp_path):
         for r in distinct_users_by_event_type(spark, store).collect()
     )
     assert after == before
+
+
+def test_incremental_heavy_hitters_misra_gries(spark, tmp_path):
+    """Multi-batch Misra-Gries summary: <= k rows of state, the tracked
+    error respects the mergeable-summaries bound err <= N/(k+1), every key
+    with true count > err is retained with cnt <= true <= cnt + err, the
+    planted heavy keys rank top-3, and a re-drain over the same checkpoint
+    folds nothing twice."""
+    import random
+
+    from clustopher_spark.streaming.heavy_hitters import (
+        _read_state,
+        heavy_hitters_topn,
+        incremental_heavy_hitters,
+    )
+
+    rng = random.Random(13)
+    rows = (
+        [(1000,)] * 300 + [(1001,)] * 200 + [(1002,)] * 150
+        + [(uid,) for uid in range(200) for _ in range(rng.randint(2, 5))]
+    )
+    rng.shuffle(rows)
+    true = {}
+    for (u,) in rows:
+        true[u] = true.get(u, 0) + 1
+    src = str(tmp_path / "hh_src")
+    df = spark.createDataFrame(rows, "user_id long")
+    df.repartition(3).write.parquet(src)
+    store = str(tmp_path / "hh_store")
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    k = 16
+    incremental_heavy_hitters(stream, store, key_col="user_id", k=k)
+
+    summary, n_total, err, last_batch = _read_state(spark, store)
+    state = {r.key: r.cnt for r in summary.collect()}
+    assert n_total == len(rows) and last_batch == 2
+    assert len(state) <= k
+    assert 0 < err <= n_total // (k + 1)
+    for uid, cnt in true.items():
+        if cnt > err:
+            assert uid in state, f"guaranteed key {uid} (true {cnt}) missing"
+    for uid, cnt in state.items():
+        assert cnt <= true[uid] <= cnt + err
+    top = heavy_hitters_topn(spark, store, n=3).collect()
+    assert [r.key for r in top] == [1000, 1001, 1002]
+    for r in top:
+        assert r.count_lower <= true[r.key] <= r.count_upper
+
+    # re-drain with the same checkpoint: no new files -> nothing refolded
+    stream2 = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    incremental_heavy_hitters(stream2, store, key_col="user_id", k=k)
+    summary2, n_total2, err2, _ = _read_state(spark, store)
+    assert n_total2 == n_total and err2 == err
+    assert {r.key: r.cnt for r in summary2.collect()} == state
