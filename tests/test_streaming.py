@@ -501,3 +501,61 @@ def test_incremental_heavy_hitters_misra_gries(spark, tmp_path):
     summary2, n_total2, err2, _ = _read_state(spark, store)
     assert n_total2 == n_total and err2 == err
     assert {r.key: r.cnt for r in summary2.collect()} == state
+
+
+def test_incremental_quantile_partials_bounded_error(spark, tmp_path):
+    """Per-day histogram partials: multi-batch drain, then served
+    quantiles must sit within one bin width above the exact percentile
+    (the mergeable-histogram guarantee), day-range filtering must answer
+    from partials only, and a re-drain over the same checkpoint folds
+    nothing twice."""
+    import datetime
+
+    from clustopher_spark.streaming.quantiles import (
+        incremental_quantile_partials,
+        quantiles_from_partials,
+    )
+
+    ev = table(spark, SF_DIR, "events")
+    src = str(tmp_path / "q_src")
+    ev.repartition(3).write.parquet(src)
+    store = str(tmp_path / "q_store")
+    lo, hi, bins = 0.0, 400.0, 200
+    width = (hi - lo) / bins
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    incremental_quantile_partials(stream, store, lo=lo, hi=hi, bins=bins)
+
+    # state is bounded by days x bins, not by events
+    part = spark.read.parquet(store)
+    n_days = part.select("day").distinct().count()
+    assert part.count() <= n_days * bins
+    assert part.agg(F.sum("cnt")).collect()[0][0] == ev.count()
+
+    qs = [0.1, 0.5, 0.9, 0.99]
+    got = quantiles_from_partials(spark, store, qs, lo=lo, hi=hi, bins=bins)
+    exact = ev.approxQuantile("value", qs, 0.0)  # relativeError=0 -> exact
+    for q, g, e in zip(qs, got, exact):
+        assert e <= g <= e + width, (q, g, e)
+
+    # day-range serve: first week only, vs the exact filtered percentile
+    wk_end = datetime.date(2024, 1, 7)
+    got_wk = quantiles_from_partials(
+        spark, store, [0.5], lo=lo, hi=hi, bins=bins, day_max=wk_end
+    )[0]
+    exact_wk = ev.filter(F.to_date("ts") <= F.lit(wk_end)).approxQuantile(
+        "value", [0.5], 0.0
+    )[0]
+    assert exact_wk <= got_wk <= exact_wk + width
+
+    # re-drain with the same checkpoint: nothing refolded
+    stream2 = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    incremental_quantile_partials(stream2, store, lo=lo, hi=hi, bins=bins)
+    assert spark.read.parquet(store).agg(F.sum("cnt")).collect()[0][0] == ev.count()
