@@ -499,3 +499,91 @@ def connected_components(
     if stats is not None:
         stats["driver_edges"] = int(len(pdf))
     return labels.select("id", F.col("label").alias("group_id"))
+
+
+# --- substring-level (winnowing) ---------------------------------------------
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    w: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    hash every k-char gram (stride 1), keep the minimum hash of each
+    window of w consecutive gram hashes. Returns DISTINCT (id_col, fp).
+
+    Guarantee: any substring of length >= w + k - 1 chars shared verbatim
+    by two documents yields at least one common fingerprint in both,
+    regardless of the span's offset in either document — the property
+    strided shingles lack at any stride > 1. Density 2/(w+1).
+
+    Plan shape: gram explosion is a pure map stage; the winnow min is a
+    running window after ONE shuffle on id_col; the DISTINCT reuses that
+    partitioning (no extra exchange).
+    """
+    d = df.filter(F.length(text_col) >= k + w - 1)
+    grams = d.select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(1), F.length(text_col) - F.lit(k - 1), F.lit(1))
+        ).alias("pos"),
+        text_col,
+    ).select(
+        id_col,
+        F.col("pos").cast("long").alias("pos"),
+        portable_hash60(F.expr(f"substring({text_col}, pos, {k})")).alias("h"),
+    )
+    dw = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    cw = Window.partitionBy(id_col)
+    return (
+        grams.select(
+            id_col, "pos",
+            F.min("h").over(dw).alias("fp"),
+            F.count(F.lit(1)).over(cw).alias("n_pos"),
+        )
+        .filter(F.col("pos") + (w - 1) <= F.col("n_pos"))
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+def substring_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    w: int = 8,
+    min_common: int = 2,
+    max_fp_df: int = 64,
+) -> DataFrame:
+    """Candidate pairs of documents sharing >= ``min_common`` winnowing
+    fingerprints — i.e. sharing that many (not necessarily contiguous)
+    verbatim spans of >= w + k - 1 chars. Returns (id_a, id_b,
+    n_common_fps) with id_a < id_b; feed to ``connected_components`` to
+    group boilerplate/template families.
+
+    Scale: the join is an inverted-index equi-join on the fingerprint,
+    never all-pairs. A fingerprint held by m docs emits m^2 pairs, so
+    fingerprints with document frequency > ``max_fp_df`` are dropped —
+    ubiquitous boilerplate is not a near-dup signal; the cap is a stated
+    recall trade (same pattern as ngram_jaccard_pairs' hot-shingle cap).
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    capped = (
+        fps.withColumn(
+            "fp_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .filter(F.col("fp_df") <= max_fp_df)
+        .select(id_col, "fp")
+    )
+    a = capped.select(F.col(id_col).alias("id_a"), "fp")
+    b = capped.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common_fps"))
+        .filter(F.col("n_common_fps") >= min_common)
+    )

@@ -1801,34 +1801,10 @@ def llm_substring_dedup(spark, sf_dir):
     2/(w+1) ~ 22% of positions kept, so the joined state is ~5x smaller
     than the gram stream. No all-pairs comparison anywhere.
     """
+    from clustopher_spark.functions.dedup import winnow_fingerprints
+
     d = table(spark, sf_dir, "documents")
-    k, w = 20, 8
-    # docs shorter than the guarantee threshold can't yield a complete
-    # winnow window (and would make sequence() see stop < start)
-    d = d.filter(F.length("text") >= k + w - 1)
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.length("text") - F.lit(k - 1), F.lit(1))
-        ).alias("pos"),
-        "text",
-    ).select(
-        "doc_id",
-        F.col("pos").cast("long").alias("pos"),
-        portable_hash60(F.expr(f"substring(text, pos, {k})")).alias("h"),
-    )
-    dw = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    cw = Window.partitionBy("doc_id")
-    fps = (
-        grams.select(
-            "doc_id", "pos",
-            F.min("h").over(dw).alias("fp"),
-            F.count(F.lit(1)).over(cw).alias("n_pos"),
-        )
-        .filter(F.col("pos") + (w - 1) <= F.col("n_pos"))
-        .select("doc_id", "fp")
-        .distinct()
-    )
+    fps = winnow_fingerprints(d, k=20, w=8)
     shared = fps.select(
         "doc_id", "fp",
         F.count(F.lit(1)).over(Window.partitionBy("fp")).alias("n_docs_with_fp"),

@@ -770,3 +770,49 @@ def test_winnowing_detects_unaligned_shared_span(spark, tmp_path):
     assert 0 in out and 1 in out, "both span-sharing docs must be flagged"
     assert out[0].n_shared >= 1 and out[1].n_shared >= 1
     assert 2 not in out, "doc without shared spans must not be flagged"
+
+
+def test_substring_neardup_pairs_and_groups(spark):
+    """Winnow-fingerprint pairs + connected components group documents
+    sharing verbatim spans: two planted template families must come out
+    as two groups, noise docs unpaired, and the hot-fingerprint df cap
+    must drop a boilerplate span shared by every document."""
+    import random
+
+    from clustopher_spark.functions.dedup import (
+        connected_components,
+        substring_neardup_pairs,
+    )
+
+    rng = random.Random(23)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    rand = lambda n: "".join(rng.choice(alpha) for _ in range(n))  # noqa: E731
+    fam_a = "all your base are belong to us said the ancient cabinet"
+    fam_b = "colorless green ideas sleep furiously under the harvest moon"
+    rows = [
+        (0, rand(11) + fam_a + rand(30)),
+        (1, rand(29) + fam_a + rand(12)),
+        (2, rand(5) + fam_a + rand(55)),
+        (10, rand(17) + fam_b + rand(25)),
+        (11, rand(33) + fam_b + rand(9)),
+        (20, rand(150)),  # noise
+        (21, rand(150)),  # noise
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = substring_neardup_pairs(df, min_common=1)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(0, 1), (0, 2), (1, 2), (10, 11)}
+    groups = connected_components(pairs, id_a="id_a", id_b="id_b")
+    by_group = {}
+    for r in groups.collect():
+        by_group.setdefault(r.group_id, set()).add(r.id)
+    assert sorted(by_group.values(), key=min) == [{0, 1, 2}, {10, 11}]
+
+    # boilerplate cap: a span in EVERY doc (df 7 > cap 3) must not pair
+    boiler = "this message was generated automatically do not reply"
+    rows2 = [(i, t[:20] + boiler + t[20:]) for i, t in rows]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    pairs2 = substring_neardup_pairs(df2, min_common=1, max_fp_df=3)
+    got2 = {(r.id_a, r.id_b) for r in pairs2.collect()}
+    assert (20, 21) not in got2, "boilerplate-only pair must be capped away"
+    assert {(0, 1), (0, 2), (1, 2), (10, 11)} <= got2
