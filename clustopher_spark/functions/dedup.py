@@ -1,8 +1,9 @@
-"""Deduplication operators for training-data pipelines, at four fidelity
-levels (exact -> n-gram Jaccard -> MinHash+LSH -> SimHash). Designed for
-the 100 TB regime: every candidate-generation step is a hash-bucket
-equi-join (shuffle on a small key), never an O(n^2) comparison; exact
-pairwise similarity is only computed within buckets.
+"""Deduplication operators for training-data pipelines, at five fidelity
+levels (exact -> n-gram Jaccard -> MinHash+LSH -> SimHash -> winnowing
+substring spans). Designed for the 100 TB regime: every
+candidate-generation step is a hash-bucket equi-join (shuffle on a small
+key), never an O(n^2) comparison; exact pairwise similarity is only
+computed within buckets.
 """
 
 from __future__ import annotations
