@@ -559,3 +559,62 @@ def test_incremental_quantile_partials_bounded_error(spark, tmp_path):
     )
     incremental_quantile_partials(stream2, store, lo=lo, hi=hi, bins=bins)
     assert spark.read.parquet(store).agg(F.sum("cnt")).collect()[0][0] == ev.count()
+
+
+def test_incremental_bottomk_sample_deterministic_merge(spark, tmp_path):
+    """Bottom-k hash-priority sample: the multi-batch streamed store must
+    EXACTLY equal the batch-computed bottom-k (the sample is a function
+    of the distinct key set), refolding the same data through a second
+    drain must change nothing (min-k union is idempotent — no batch-id
+    bookkeeping), and the k-th-priority distinct-count estimate must
+    land near the true cardinality."""
+    from clustopher_spark.streaming.samples import (
+        distinct_count_estimate,
+        incremental_bottomk_sample,
+        sample_keys,
+    )
+
+    ev = table(spark, SF_DIR, "events")
+    src = str(tmp_path / "bk_src")
+    ev.repartition(3).write.parquet(src)
+    store = str(tmp_path / "bk_store")
+    k = 8  # sf0.001 events has 15 distinct users; k must be below that
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    incremental_bottomk_sample(stream, store, key_col="user_id", k=k)
+
+    got = [(r.key, r.priority) for r in sample_keys(spark, store).collect()]
+    want = [
+        (r.key, r.priority)
+        for r in ev.select(
+            F.col("user_id").cast("long").alias("key"),
+            F.xxhash64(F.col("user_id").cast("long")).alias("priority"),
+        )
+        .distinct()
+        .orderBy("priority")
+        .limit(k)
+        .collect()
+    ]
+    assert got == want and len(got) == k
+
+    # idempotent refold: a second drain over a COPY of the same data
+    # (fresh checkpoint, same store) re-offers identical priorities
+    src2 = str(tmp_path / "bk_src2")
+    ev.repartition(2).write.parquet(src2)
+    # drain into the SAME store via a different checkpoint: still equal
+    stream3 = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src2)
+    )
+    incremental_bottomk_sample(stream3, store, key_col="user_id", k=k,
+                               query_name="bk_refold",
+                               checkpoint_path=store + "_refold_checkpoint")
+    assert [(r.key, r.priority) for r in sample_keys(spark, store).collect()] == want
+
+    true_d = ev.select("user_id").distinct().count()
+    est = distinct_count_estimate(spark, store, k)
+    assert abs(est - true_d) / true_d < 0.5, (est, true_d)
