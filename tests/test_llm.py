@@ -816,3 +816,32 @@ def test_substring_neardup_pairs_and_groups(spark):
     got2 = {(r.id_a, r.id_b) for r in pairs2.collect()}
     assert (20, 21) not in got2, "boilerplate-only pair must be capped away"
     assert {(0, 1), (0, 2), (1, 2), (10, 11)} <= got2
+
+
+def test_winnowing_guarantee_sweep_random_offsets(spark):
+    """Batched sweep of the winnowing guarantee: 12 document pairs, each
+    sharing one distinct 27-char span (the exact w + k - 1 threshold) at
+    seeded-random offsets in each member, all in one DataFrame / one
+    Spark job. Every planted pair must be detected; no cross-family pair
+    may appear (distinct span content per family, random filler)."""
+    import random
+
+    from clustopher_spark.functions.dedup import substring_neardup_pairs
+
+    rng = random.Random(41)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    rand = lambda n: "".join(rng.choice(alpha) for _ in range(n))  # noqa: E731
+    rows, want = [], set()
+    for fam in range(12):
+        span = rand(27)  # exactly the w + k - 1 guarantee threshold
+        a_id, b_id = 100 * fam, 100 * fam + 1
+        rows.append((a_id, rand(rng.randint(0, 60)) + span + rand(rng.randint(0, 60))))
+        rows.append((b_id, rand(rng.randint(0, 60)) + span + rand(rng.randint(0, 60))))
+        want.add((a_id, b_id))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in substring_neardup_pairs(df, min_common=1).collect()
+    }
+    assert want <= got, f"missed planted pairs: {want - got}"
+    assert got == want, f"spurious pairs: {got - want}"

@@ -136,3 +136,17 @@ def test_dbscan_no_python_boundary(spark):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "MapInPandas" not in p and "FlatMapGroupsInPandas" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_winnowing_substring_dedup_shuffle_shape(spark):
+    p = plan_of("llm_substring_dedup", spark)
+    # gram explosion must be a map stage feeding ONE doc_id exchange that
+    # both winnow windows AND the fingerprint-distinct aggregate reuse;
+    # then one fp exchange, one rollup exchange, one presentation sort:
+    # 4 exchanges total, no Python boundary, no join (window-based df)
+    assert n_nodes(p, "Exchange") == 4, p
+    assert "rangepartitioning" in p      # the presentation sort
+    assert "Generate" in p               # explode stays JVM-side
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "Join" not in p
+    assert n_nodes(p, "Scan parquet") == 1
