@@ -510,6 +510,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 20,
     w: int = 8,
+    segment_chars: int = 1 << 16,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
     hash every k-char gram (stride 1), keep the minimum hash of each
@@ -522,19 +523,45 @@ def winnow_fingerprints(
 
     Plan shape: gram explosion is a pure map stage; the winnow min is a
     running window after ONE shuffle on id_col; the DISTINCT reuses that
-    partitioning (no extra exchange).
+    partitioning (no extra exchange). Position generation is two-level
+    (segment index, then in-segment offset) because a single
+    ``sequence(1, len)`` materializes a len-element array per document
+    before exploding — an 80 MB spike for a 10 MB document; segmenting
+    bounds the in-flight array at ``segment_chars`` longs per row while
+    emitting the identical (pos, gram) stream.
     """
     d = df.filter(F.length(text_col) >= k + w - 1)
-    grams = d.select(
-        id_col,
-        F.explode(
-            F.sequence(F.lit(1), F.length(text_col) - F.lit(k - 1), F.lit(1))
-        ).alias("pos"),
-        text_col,
-    ).select(
-        id_col,
-        F.col("pos").cast("long").alias("pos"),
-        portable_hash60(F.expr(f"substring({text_col}, pos, {k})")).alias("h"),
+    n_pos = (F.length(text_col) - F.lit(k - 1)).cast("long")  # grams: 1..n_pos
+    seg = F.lit(int(segment_chars)).cast("long")
+    grams = (
+        d.select(
+            id_col,
+            text_col,
+            n_pos.alias("n_pos"),
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.floor((n_pos - F.lit(1)) / seg).cast("long"),
+                )
+            ).alias("seg_idx"),
+        )
+        .select(
+            id_col,
+            text_col,
+            F.explode(
+                F.sequence(
+                    F.col("seg_idx") * seg + 1,
+                    F.least((F.col("seg_idx") + 1) * seg, F.col("n_pos")),
+                )
+            ).alias("pos"),
+        )
+        .select(
+            id_col,
+            "pos",
+            portable_hash60(
+                F.expr(f"substring({text_col}, CAST(pos AS INT), {k})")
+            ).alias("h"),
+        )
     )
     dw = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
     cw = Window.partitionBy(id_col)

@@ -845,3 +845,23 @@ def test_winnowing_guarantee_sweep_random_offsets(spark):
     }
     assert want <= got, f"missed planted pairs: {want - got}"
     assert got == want, f"spurious pairs: {got - want}"
+
+
+def test_winnow_fingerprints_segmented_generation_identical(spark):
+    """The two-level (segment, offset) position generation — which bounds
+    the in-flight sequence array for multi-MB documents — must emit the
+    exact same fingerprint set as near-unsegmented generation, including
+    when segments cut through winnow windows (segment_chars far below
+    the document length)."""
+    from clustopher_spark.functions.dedup import winnow_fingerprints
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = {
+        (r.doc_id, r.fp)
+        for r in winnow_fingerprints(d, segment_chars=1 << 20).collect()
+    }
+    tiny_seg = {
+        (r.doc_id, r.fp)
+        for r in winnow_fingerprints(d, segment_chars=37).collect()
+    }
+    assert base == tiny_seg and len(base) > 0
