@@ -26,6 +26,12 @@ Replay safety: unlike HLL-union (idempotent over sets), MG merge would
 double-count a replayed batch, so the meta row records the last folded
 ``batch_id`` and a replay of batch_id <= last_batch is skipped — the
 same exactly-once trick as the foreachBatch upsert sink (sinks.py).
+Caveat: the summary write and the meta write are two parquet commits,
+so a crash BETWEEN them leaves a window where one batch can refold on
+restart; a transactional table format (Delta/Iceberg) committing both
+in one snapshot closes it — same upgrade path as sinks.py. The
+bottom-k sample store (samples.py) avoids the window entirely by being
+idempotent by construction.
 
 Scale shape: state is <= k rows regardless of history length; the
 (k+1)-th-largest lookup is a distributed sort-limit over at most

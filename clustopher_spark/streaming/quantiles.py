@@ -17,7 +17,11 @@ the store's identity and must not change between drains.
 
 Replay safety: summed counts are NOT idempotent under checkpoint replay,
 so the meta row records the last folded batch_id and replays are
-skipped (same trick as heavy_hitters.py / the upsert sink).
+skipped (same trick as heavy_hitters.py / the upsert sink — including
+its caveat: the partials write and the meta write are two parquet
+commits, and a crash between them can refold one batch on restart; a
+transactional table format committing both in one snapshot closes the
+window).
 
 Scale shape: state is |days| x B rows of (day, bin, cnt); each batch
 folds via one hash aggregate on (day, bin) with map-side combine and a
