@@ -49,7 +49,9 @@ _FLAGSHIP_ANCHORS = [
     "events_tumbling_hourly",       # streaming batch twin
     "events_session_windows",       # session windows
     "events_asof_last_view_before_purchase",  # as-of join vs DuckDB ASOF
-    "events_json_props",            # F5 JSON
+    # events_json_props rotated out (driver-green r2) to seat the
+    # span-based grouping oracle (winnow pairs + star CC vs recursive CTE)
+    "llm_substring_neardup_groups",
     "stats_percentiles_price",      # W2 percentiles
     # stats_correlation rotated out (driver-green r2) to seat the new
     # round-3 winnowing substring-dedup oracle in this round's window

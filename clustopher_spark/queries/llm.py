@@ -1820,3 +1820,76 @@ def llm_substring_dedup(spark, sf_dir):
         .filter(F.col("n_shared") > 0)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "llm_substring_neardup_groups",
+    oracle=r"""
+    WITH positions AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - 19)) AS i
+      FROM documents WHERE length(text) >= 27
+    ), grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             ('0x' || substr(md5(substr(text, CAST(i AS INT), 20)), 1, 15))::BIGINT AS h
+      FROM positions
+    ), winnowed AS (
+      SELECT doc_id, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_pos
+      FROM grams
+    ), fps AS (
+      SELECT DISTINCT doc_id, fp
+      FROM winnowed WHERE pos + 7 <= n_pos
+    ), capped AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS fp_df FROM fps
+      ) WHERE fp_df <= 64
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= 2
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+      ) SELECT * FROM r
+    )
+    SELECT v.doc_id, LEAST(v.doc_id, COALESCE(MIN(r.dst), v.doc_id)) AS group_id
+    FROM (SELECT DISTINCT src AS doc_id FROM edges) v
+    LEFT JOIN reach r ON r.src = v.doc_id
+    GROUP BY v.doc_id ORDER BY v.doc_id
+    """,
+)
+def llm_substring_neardup_groups(spark, sf_dir):
+    """Template/boilerplate families: documents sharing >= 2 winnowing
+    fingerprints (i.e. >= 2 verbatim 27-char spans, any alignment) paired
+    by the inverted-index fingerprint join and grouped by two-phase star
+    connected components — the span-level sibling of `llm_neardup_groups`
+    (token-Jaccard). Oracle: the same winnowing pipeline in SQL with a
+    recursive-CTE reachability closure labeling each doc by its
+    component's minimum id.
+
+    100 TB shape: inherits winnow_fingerprints' bounded map stage and the
+    hot-fingerprint df cap (no m^2 blowup on corpus boilerplate);
+    components converge in O(log^2 n) star rounds on edge lists that
+    shrink geometrically (see functions/dedup.py::connected_components).
+    """
+    from clustopher_spark.functions.dedup import (
+        connected_components,
+        substring_neardup_pairs,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    pairs = substring_neardup_pairs(d, min_common=2, max_fp_df=64)
+    return (
+        connected_components(pairs, id_a="id_a", id_b="id_b")
+        .select(F.col("id").alias("doc_id"), "group_id")
+        .orderBy("doc_id")
+    )
