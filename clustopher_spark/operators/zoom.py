@@ -123,6 +123,15 @@ def _chain_levels_local(
     return pd.concat(frames, ignore_index=True)
 
 
+# Maintenance batches up to this size have their dirty-cell code set
+# derived driver-side from one bounded collect (cells + bbox in a single
+# tiny job, shipped back as a local-relation broadcast); larger batches
+# build it JVM-side. 200k rows x 32 B ≈ 6 MB on the driver — the same
+# bounded-parameter envelope as the other justified collects in this
+# package. Module-level so tests can force the JVM path.
+_DRIVER_DIRTY_LIMIT = 200_000
+
+
 def _fuse_cut(opts: ClusterOptions, parts: int) -> int:
     """Coarsest zoom whose supercell grid still offers >= 4x ``parts``
     cells — the fused pass partitions on that grid, so this keeps the
@@ -447,11 +456,8 @@ def fused_update_pass(
     # the shuffle carries O(batch)-sized data, the corpus is read once
     # through a broadcast hash anti-join (no exchange), and with the
     # levels table parquet-partitioned the scan itself prunes.
-    # The cell-code set is built entirely JVM-side from the batch frame —
-    # no Python boundary, no driver collect — and checkpointed once (it is
-    # batch-sized) so its three broadcast-join consumers reuse one
-    # materialization. Every row's cell is projected ONCE, at z_top; the
-    # coarser codes derive by exact integer halving (cells nest:
+    # Every row's cell is projected ONCE, at z_top; the coarser codes
+    # derive by exact integer halving (cells nest:
     # cx(z-k) = floor(cx(z_top) / 2^k), the floor-of-floor identity —
     # float division by a power of two is exact, so this is bit-equal to
     # reprojecting at each zoom but costs one trig evaluation per row and
@@ -480,24 +486,79 @@ def fused_update_pass(
         if points_deleted is not None:
             batch_pos = batch_pos.unionByName(points_deleted.select("lng", "lat"))
         test_zooms = list(range(z_cut, z_top + 1))
-        bcells = batch_pos.select(cx_top.alias("cx"), cy_top.alias("cy")).select(
-            F.explode(F.array(*[F.lit(z) for z in test_zooms])).alias("tz"),
-            "cx", "cy",
-        )
-        bp2 = F.pow(F.lit(2.0), (F.lit(z_top) - F.col("tz")).cast("double"))
-        bcode = F.shiftleft(F.floor(F.col("cx") / bp2).cast("long"), 32) + F.floor(
-            F.col("cy") / bp2
-        ).cast("long")
-        dirty_df = (
-            bcells.select(
-                "tz",
-                F.explode(
-                    F.array(bcode - F.lit(1), bcode, bcode + F.lit(1))
-                ).alias("code"),
+        dirty_df = None
+        ext = None
+        if n_batch <= _DRIVER_DIRTY_LIMIT:
+            # Common case (maintenance batches are small): ONE tiny job —
+            # collect the JVM-projected top-level cell coords (so the
+            # floor/trig is bit-identical to the scan side below) and
+            # derive the per-zoom dilated code set in numpy on the driver,
+            # shipping it back as a LOCAL relation. Replaces two Spark
+            # jobs (a 3x-exploded distinct + checkpoint, and a min/max agg
+            # for the bbox) with one bounded collect; the local relation
+            # broadcasts without ever touching an executor. limit()+len
+            # doubles as the size gate when deletions inflate the frame
+            # past n_batch (no separate count job).
+            bp = (
+                batch_pos.select(
+                    cx_top.alias("cx"), cy_top.alias("cy"),
+                    tpx.alias("px"), tpy.alias("py"),
+                )
+                .limit(_DRIVER_DIRTY_LIMIT + 1)
+                .toPandas()
             )
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+            if len(bp) <= _DRIVER_DIRTY_LIMIT:
+                if len(bp):
+                    bcx = bp["cx"].to_numpy(np.int64)
+                    bcy = bp["cy"].to_numpy(np.int64)
+                    frames = []
+                    for tz in test_zooms:
+                        k = z_top - tz
+                        code = ((bcx >> k) << 32) + (bcy >> k)
+                        codes = np.unique(
+                            np.concatenate([code - 1, code, code + 1])
+                        )
+                        frames.append(
+                            pd.DataFrame({"tz": np.int32(tz), "code": codes})
+                        )
+                    dirty_df = spark.createDataFrame(
+                        pd.concat(frames, ignore_index=True),
+                        schema="tz int, code long",
+                    )
+                    ext = (
+                        float(bp["px"].min()), float(bp["px"].max()),
+                        float(bp["py"].min()), float(bp["py"].max()),
+                    )
+                else:
+                    dirty_df = spark.createDataFrame([], "tz int, code long")
+                    ext = (None, None, None, None)
+        if dirty_df is None:
+            # huge batch: build the code set JVM-side (no driver transfer),
+            # checkpointed once so both broadcast-join consumers reuse one
+            # materialization
+            bcells = batch_pos.select(
+                cx_top.alias("cx"), cy_top.alias("cy")
+            ).select(
+                F.explode(F.array(*[F.lit(z) for z in test_zooms])).alias("tz"),
+                "cx", "cy",
+            )
+            bp2 = F.pow(F.lit(2.0), (F.lit(z_top) - F.col("tz")).cast("double"))
+            bcode = F.shiftleft(
+                F.floor(F.col("cx") / bp2).cast("long"), 32
+            ) + F.floor(F.col("cy") / bp2).cast("long")
+            dirty_df = (
+                bcells.select(
+                    "tz",
+                    F.explode(
+                        F.array(bcode - F.lit(1), bcode, bcode + F.lit(1))
+                    ).alias("code"),
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            ext = batch_pos.select(tpx.alias("px"), tpy.alias("py")).agg(
+                F.min("px"), F.max("px"), F.min("py"), F.max("py")
+            ).first()
 
         # bbox pre-prune ahead of the projection scan: every fed row sits
         # in a dirty cell, dirty cells contain batch points, and the
@@ -506,25 +567,37 @@ def fused_update_pass(
         # (+dilation). For a localized batch this turns the 8.4M-row trig
         # scan into cheap double compares on all but the bbox slice; for a
         # worldwide batch the filter selects everything and costs nothing.
-        ext = batch_pos.select(tpx.alias("px"), tpy.alias("py")).agg(
-            F.min("px"), F.max("px"), F.min("py"), F.max("py")
-        ).first()
         if ext[0] is None:  # empty batch: nothing can be dirty
             bbox = F.lit(False)
         else:
             margin = 2.0 * size * (2 ** (z_top - z_cut))
-            blngs, blats = unproject_np(
-                np.array([ext[0] - margin, ext[1] + margin]),
-                np.array([ext[2] - margin, ext[3] + margin]),
-                z_top,
-                opts.extent,
-            )
-            bbox = (
-                (F.col("lng") >= float(min(blngs)))
-                & (F.col("lng") <= float(max(blngs)))
-                & (F.col("lat") >= float(min(blats)))
-                & (F.col("lat") <= float(max(blats)))
-            )
+            world_px = float(2**z_top * opts.extent)
+            if (
+                ext[0] - margin <= 0.0
+                and ext[1] + margin >= world_px
+                and ext[2] - margin <= 0.0
+                and ext[3] + margin >= world_px
+            ):
+                # worldwide batch: the expanded bounds cover the whole
+                # projected plane, so the predicate is a constant —
+                # letting Catalyst fold it drops the filter from the fed
+                # scan AND prunes the (empty) outside-bbox passthrough
+                # branch below to nothing instead of an 8.4M-row no-op
+                # scan per evaluation
+                bbox = F.lit(True)
+            else:
+                blngs, blats = unproject_np(
+                    np.array([ext[0] - margin, ext[1] + margin]),
+                    np.array([ext[2] - margin, ext[3] + margin]),
+                    z_top,
+                    opts.extent,
+                )
+                bbox = (
+                    (F.col("lng") >= float(min(blngs)))
+                    & (F.col("lng") <= float(max(blngs)))
+                    & (F.col("lat") >= float(min(blats)))
+                    & (F.col("lat") <= float(max(blats)))
+                )
 
         tz_col = F.greatest(F.col("zoom") - F.lit(1), F.lit(z_cut)).cast("int")
         lp2 = F.pow(F.lit(2.0), (F.lit(z_top) - tz_col).cast("double"))
@@ -534,32 +607,21 @@ def fused_update_pass(
         lvl_tagged = lvl_all.filter(bbox).withColumn("tz", tz_col).withColumn(
             "code", lcode
         )
-        # one projection scan total: the fed set is tiny (O(dirty cells)),
-        # so materialize it and derive the passthrough as a broadcast
-        # anti-join on the (zoom, cluster_id) key — the second scan then
-        # skips the per-row trig projection entirely (measured ~40% of the
-        # levels-scan cost at 8.4M rows)
-        lvl_fed = (
-            lvl_tagged.join(F.broadcast(dirty_df), ["tz", "code"], "left_semi")
-            .drop("tz", "code")
-            .localCheckpoint(eager=True)
-        )
-        # localized batches have tiny fed sets — broadcast the keys and
-        # skip the second projection scan. Past ~500k keys (an adversarial
-        # batch that dirtied much of the pyramid) building+shipping the
-        # broadcast hash relation costs more than the trig scan it saves
-        # (measured at 1.7M keys), so fall back to the dirty-cell
-        # anti-join.
-        if lvl_fed.count() <= 500_000:
-            lvl_passthrough = lvl_all.join(
-                F.broadcast(lvl_fed.select("zoom", "cluster_id")),
-                ["zoom", "cluster_id"],
-                "left_anti",
-            )
-        else:
-            lvl_passthrough = lvl_tagged.join(
+        # fed rows flow straight into the kernel's input union (lazy — the
+        # semi-join scan folds into the kernel job, no standalone
+        # checkpoint/count jobs); the passthrough keeps EVERY non-fed row:
+        # rows outside the expanded bbox can't be dirty and skip the
+        # projection entirely, rows inside it anti-join the same dirty
+        # set the semi side used, so fed/passthrough is an exact partition
+        # of lvl_all whatever the bbox covers.
+        lvl_fed = lvl_tagged.join(
+            F.broadcast(dirty_df), ["tz", "code"], "left_semi"
+        ).drop("tz", "code")
+        lvl_passthrough = lvl_all.filter(~bbox).unionByName(
+            lvl_tagged.join(
                 F.broadcast(dirty_df), ["tz", "code"], "left_anti"
             ).drop("tz", "code")
+        )
 
         pcode = F.shiftleft(cx_top, 32) + cy_top
         pts_old_fed = (

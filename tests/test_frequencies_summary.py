@@ -387,3 +387,52 @@ def test_fused_update_with_deletions_equals_rebuild(spark):
     # deleted ids can no longer appear as singleton cluster ids
     del_ids = {r.id for r in deleted.select("id").collect()}
     assert not (del_ids & {c for (_, c, *_r) in a})
+
+
+def test_fused_update_jvm_dirty_path_keeps_out_of_bbox_rows(spark, monkeypatch):
+    """Force the JVM-side dirty-set path (the branch large batches take)
+    with a LOCALIZED batch and assert exact rebuild equality. Regression:
+    the passthrough must be a partition of the whole level set — an
+    earlier form derived it from the bbox-FILTERED frame, silently
+    dropping every level row outside the batch bbox whenever this branch
+    was taken (dense-corpus batches with >500k fed rows)."""
+    import clustopher_spark.operators.zoom as zoom_mod
+    from clustopher_spark.operators.zoom import (
+        materialize_zoom_levels,
+        update_zoom_levels,
+    )
+    from clustopher_spark.sources.generators import generate_test_points
+
+    monkeypatch.setattr(zoom_mod, "_DRIVER_DIRTY_LIMIT", 0)
+    opts = ClusterOptions(radius=100.0, min_points=2, max_zoom=7)
+    # old corpus spans two far-apart regions; the batch touches only one,
+    # so the expanded bbox excludes the other region entirely
+    old = (
+        generate_test_points(spark, 2000, west=-125, south=25, east=-65,
+                             north=49, seed=61)
+        .unionByName(
+            generate_test_points(spark, 2000, west=100, south=-45, east=150,
+                                 north=-10, seed=62)
+            .withColumn("id", F.col("id") + 500_000)
+        )
+        .select("id", "lng", "lat", "value")
+    )
+    new = (
+        generate_test_points(spark, 300, west=-75, south=40, east=-73,
+                             north=42, seed=63)
+        .select("id", "lng", "lat", "value")
+        .withColumn("id", F.col("id") + 1_000_000)
+    )
+    levels_old = materialize_zoom_levels(old, ["value"], opts).localCheckpoint(True)
+    upd = update_zoom_levels(levels_old, old, new, ["value"], opts)
+    full = materialize_zoom_levels(old.unionByName(new), ["value"], opts)
+
+    def canon(df):
+        return sorted(
+            (r.zoom, r.cluster_id, round(r.lng, 9), round(r.lat, 9),
+             r.point_count, r.num_members, bool(r.is_cluster), round(r.sum_value, 6))
+            for r in df.collect()
+        )
+
+    a, b = canon(upd), canon(full)
+    assert len(a) == len(b) and a == b
