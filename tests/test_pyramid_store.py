@@ -1,0 +1,137 @@
+"""PyramidStore: durable streaming maintenance of the exact zoom pyramid.
+
+Invariant under test (the store's whole contract): after any sequence of
+bootstrap / add batches / delete batches — applied directly or drained
+through a real availableNow stream — every published version equals a
+full ``materialize_zoom_levels`` rebuild of the accumulated corpus."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from clustopher_spark.operators.cluster import ClusterOptions
+from clustopher_spark.operators.zoom import materialize_zoom_levels
+from clustopher_spark.sources.generators import generate_test_points
+from clustopher_spark.streaming.pyramid import PyramidStore
+
+OPTS = ClusterOptions(radius=100.0, min_points=2, max_zoom=7)
+
+
+def _canon(df):
+    return sorted(
+        (r.zoom, r.cluster_id, round(r.lng, 9), round(r.lat, 9),
+         r.point_count, r.num_members, bool(r.is_cluster), round(r.sum_value, 6))
+        for r in df.collect()
+    )
+
+
+def _pts(spark, n, seed, id_base=0, **bounds):
+    df = generate_test_points(spark, n, seed=seed, **bounds).select(
+        "id", "lng", "lat", "value"
+    )
+    return df.withColumn("id", F.col("id") + id_base) if id_base else df
+
+
+def test_pyramid_store_versions_equal_rebuild(spark, tmp_path):
+    store = PyramidStore(spark, str(tmp_path / "store"), ["value"], OPTS)
+    base = _pts(spark, 3000, seed=71)
+    assert store.bootstrap(base) == 1
+    assert _canon(store.current_levels()) == _canon(
+        materialize_zoom_levels(base, ["value"], OPTS)
+    )
+
+    # batch 0: worldwide adds; batch 1: localized adds
+    b0 = _pts(spark, 200, seed=72, id_base=1_000_000)
+    b1 = _pts(spark, 200, seed=73, id_base=2_000_000,
+              west=-75, south=40, east=-73, north=42)
+    assert store.apply_batch(b0, 0) is True
+    corpus = base.unionByName(b0)
+    assert _canon(store.current_levels()) == _canon(
+        materialize_zoom_levels(corpus, ["value"], OPTS)
+    )
+    assert store.apply_batch(b1, 1) is True
+    corpus = corpus.unionByName(b1)
+    assert store.current_version() == 3
+    assert _canon(store.current_levels()) == _canon(
+        materialize_zoom_levels(corpus, ["value"], OPTS)
+    )
+
+    # replay of a committed batch is skipped and changes nothing
+    before = _canon(store.current_levels())
+    assert store.apply_batch(b1, 1) is False
+    assert store.current_version() == 3
+    assert _canon(store.current_levels()) == before
+
+    # batch 2: deletions of committed points via the op column
+    doomed = corpus.filter(F.col("id") % 13 == 1)
+    batch = doomed.withColumn("op", F.lit("delete")).unionByName(
+        _pts(spark, 100, seed=74, id_base=3_000_000).withColumn(
+            "op", F.lit("add")
+        )
+    )
+    assert store.apply_batch(batch, 2) is True
+    survivors = corpus.join(doomed.select("id"), "id", "left_anti").unionByName(
+        _pts(spark, 100, seed=74, id_base=3_000_000)
+    )
+    assert _canon(store.current_levels()) == _canon(
+        materialize_zoom_levels(survivors, ["value"], OPTS)
+    )
+    # the deleted ids are gone from the corpus reader too
+    doomed_ids = {r.id for r in doomed.select("id").collect()}
+    assert not (
+        doomed_ids & {r.id for r in store.current_points().select("id").collect()}
+    )
+
+    # compaction folds the logs without changing either reader
+    levels_before = _canon(store.current_levels())
+    n_pts = store.current_points().count()
+    store.compact()
+    assert store.current_points().count() == n_pts
+    assert _canon(store.current_levels()) == levels_before
+    # and the store still advances after compaction
+    b3 = _pts(spark, 50, seed=75, id_base=4_000_000)
+    assert store.apply_batch(b3, 3) is True
+    assert _canon(store.current_levels()) == _canon(
+        materialize_zoom_levels(survivors.unionByName(b3), ["value"], OPTS)
+    )
+
+    # vacuum keeps the newest versions only
+    removed = store.vacuum(keep_last=2)
+    assert removed and max(removed) <= store.current_version() - 2
+    assert os.path.isdir(store._levels_path(store.current_version()))
+
+
+def test_pyramid_store_streaming_drain(spark, tmp_path):
+    """Drive the store through a real file-source stream (one file per
+    micro-batch, availableNow) and check the final pyramid equals the
+    rebuild of everything ingested."""
+    store = PyramidStore(spark, str(tmp_path / "store"), ["value"], OPTS)
+    base = _pts(spark, 2000, seed=81)
+    store.bootstrap(base)
+
+    src = tmp_path / "pts_in"
+    src.mkdir()
+    b1 = _pts(spark, 150, seed=82, id_base=1_000_000)
+    b2 = _pts(spark, 150, seed=83, id_base=2_000_000,
+              west=100, south=-40, east=120, north=-20)
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+    files = sorted(str(p) for p in src.rglob("*.parquet"))
+    os.utime(files[0], (1_000_000, 1_000_000))
+    os.utime(files[1], (2_000_000, 2_000_000))
+
+    stream = (
+        spark.readStream.schema("id long, lng double, lat double, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    store.maintain(stream, checkpoint=str(tmp_path / "ckpt"))
+
+    assert store.current_version() == 3  # bootstrap + 2 micro-batches
+    full = materialize_zoom_levels(
+        base.unionByName(b1).unionByName(b2), ["value"], OPTS
+    )
+    assert _canon(store.current_levels()) == _canon(full)
