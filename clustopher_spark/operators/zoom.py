@@ -464,9 +464,14 @@ def fused_update_pass(
     # no per-zoom CASE). The only cross-system comparison is against the
     # kernel's numpy codes, where JVM sin/log may differ by 1 ulp: the x
     # coordinate is exact (pure +,/,* IEEE ops on identical inputs), so
-    # the set is dilated one cell in y ONLY. Over-inclusion is harmless
-    # twice over: a fed-but-clean row passes through inside the kernel via
-    # the same vectorized mask, and is never fed to the greedy recluster.
+    # the set is dilated in y ONLY. The dilation is TWO cells per side:
+    # the fed test compares the row's JVM code to the batch's JVM codes,
+    # and EACH side independently carries a ±1-cell boundary error vs the
+    # kernel's numpy codes (a position within 1 ulp of a cell edge can
+    # floor either way), so the worst-case JVM-to-JVM offset of a
+    # numpy-dirty row is ±2. Over-inclusion is harmless twice over: a
+    # fed-but-clean row passes through inside the kernel via the same
+    # vectorized mask, and is never fed to the greedy recluster.
     from clustopher_spark.plans.projection import project_cols
 
     z_top = chain[0]
@@ -516,7 +521,9 @@ def fused_update_pass(
                         k = z_top - tz
                         code = ((bcx >> k) << 32) + (bcy >> k)
                         codes = np.unique(
-                            np.concatenate([code - 1, code, code + 1])
+                            np.concatenate(
+                                [code - 2, code - 1, code, code + 1, code + 2]
+                            )
                         )
                         frames.append(
                             pd.DataFrame({"tz": np.int32(tz), "code": codes})
@@ -550,7 +557,10 @@ def fused_update_pass(
                 bcells.select(
                     "tz",
                     F.explode(
-                        F.array(bcode - F.lit(1), bcode, bcode + F.lit(1))
+                        F.array(
+                            bcode - F.lit(2), bcode - F.lit(1), bcode,
+                            bcode + F.lit(1), bcode + F.lit(2),
+                        )
                     ).alias("code"),
                 )
                 .distinct()
