@@ -15,7 +15,10 @@ Store layout — immutable version directories, the same isolation argument
 as the catalog's snapshot versioning (sources/catalog.py:145-181):
 
     {root}/meta.json                 {"latest": N, "last_batch": B, ...}
-    {root}/versions/v{N}/levels/     full pyramid snapshot (serve layout)
+    {root}/versions/v{N}/levels/     snapshot mode: full pyramid snapshot;
+                                     manifest mode: this version's dirty
+                                     blocks only (pk=... partition dirs)
+    {root}/versions/v{N}/manifest.json  manifest mode: pk -> owning dir
     {root}/batches/bootstrap/        the initial corpus (if bootstrapped)
     {root}/batches/adds/b{B}/        per-batch point log
     {root}/batches/dels/b{B}/        per-batch deletion log
@@ -32,13 +35,28 @@ batch.
 
 Scale shape: per batch, COMPUTE is pruned to dirty supercells (the fused
 update's contract — O(batch)-sized shuffle, exact-complement passthrough)
-and the point-log write is O(batch). The full-snapshot levels write is
-the one O(pyramid) term: the cost of plain-parquet publication, not of
-the algorithm. The upgrade is partition-level publication — levels
-partitioned by (zoom, coarse block) with dynamic partition overwrite of
-the dirty blocks only, or a transactional format's MERGE — which drops
-the write to O(dirty rows) without touching the compute side. The
-per-batch point logs accumulate small files; :meth:`PyramidStore.compact`
+and the point-log write is O(batch). Two publication modes:
+
+* ``publish="snapshot"`` — every version is a full self-contained levels
+  snapshot. O(pyramid) write per batch: the cost of plain-parquet
+  publication, not of the algorithm. Simple, serve-ready layout.
+* ``publish="manifest"`` — levels are partitioned by a FIXED coarse
+  spatial block key ``pk`` (``z{zoom}_p{code}`` = the row's supercell at
+  the store's ``publish_zoom``; whole-level blocks ``z{zoom}_all`` below
+  it), each version writes ONLY the dirty blocks, and a per-version
+  ``manifest.json`` maps every pk to the version directory that owns it —
+  untouched blocks are shared across versions, the same idea a
+  transactional table format's snapshot manifest implements. Write cost
+  drops to O(dirty-block rows); a block emptied by deletions simply
+  leaves the manifest (no stale-partition hazard). Correctness rides the
+  update's own dirtiness algebra: every changed row at zoom z >= publish
+  zoom lies in a block whose cell contains a batch/deleted point (cells
+  nest; ±2-cell y-dilation absorbs the JVM/numpy floor-boundary ulp, the
+  same argument as operators/zoom.py), and zooms below it are rewritten
+  whole (they are geometrically small and the update rebuilds them
+  anyway).
+
+The per-batch point logs accumulate small files; :meth:`PyramidStore.compact`
 folds them into one base the same way ``compact_small_files`` maintains
 the streaming sinks.
 """
@@ -54,6 +72,8 @@ from pyspark.sql import functions as F
 
 from clustopher_spark.operators.cluster import ClusterOptions
 from clustopher_spark.operators.zoom import (
+    _DRIVER_DIRTY_LIMIT,
+    _fuse_cut,
     materialize_zoom_levels,
     update_zoom_levels,
     write_zoom_levels,
@@ -62,12 +82,19 @@ from clustopher_spark.operators.zoom import (
 _POINT_SCHEMA = "id long, lng double, lat double"
 
 
+def _pk_zoom_code(pk: str) -> tuple[int, int | None]:
+    """'z12_p845...' -> (12, 845...); 'z3_all' -> (3, None)."""
+    z, rest = pk[1:].split("_", 1)
+    return int(z), (None if rest == "all" else int(rest[1:]))
+
+
 class PyramidStore:
     """A durable, continuously-maintained zoom pyramid.
 
-    ``metric_cols`` and ``opts`` are layout properties of the store: every
-    version is built with the same algebra, so any version equals a full
-    rebuild of its accumulated corpus.
+    ``metric_cols``, ``opts``, and (in manifest mode) ``publish_zoom`` are
+    layout properties of the store, fixed at bootstrap and recorded in
+    meta.json — every version is built with the same algebra, so any
+    version equals a full rebuild of its accumulated corpus.
     """
 
     def __init__(
@@ -76,12 +103,31 @@ class PyramidStore:
         root: str,
         metric_cols: list[str] | None = None,
         opts: ClusterOptions = ClusterOptions(),
+        publish: str = "snapshot",
+        publish_zoom: int | None = None,
     ) -> None:
+        if publish not in ("snapshot", "manifest"):
+            raise ValueError("publish must be 'snapshot' or 'manifest'")
         self.spark = spark
         self.root = root
         self.metric_cols = list(metric_cols or [])
         self.opts = opts
+        self._publish_default = publish
+        self._publish_zoom_default = publish_zoom
         os.makedirs(root, exist_ok=True)
+
+    def _publish_props(self, meta: dict) -> tuple[str, int]:
+        """(publish mode, publish zoom) — meta wins once bootstrapped."""
+        publish = meta.get("publish", self._publish_default)
+        z_pb = meta.get("publish_zoom", self._publish_zoom_default)
+        if z_pb is None:
+            # same coarse grid the fused passes partition on at the
+            # session's default width — fine-grained enough to localize
+            # writes, coarse enough that per-block files stay chunky
+            z_pb = _fuse_cut(
+                self.opts, self.spark.sparkContext.defaultParallelism
+            )
+        return publish, int(z_pb)
 
     # ---- meta ----
     @property
@@ -101,6 +147,16 @@ class PyramidStore:
             json.dump(meta, f)
         os.replace(tmp, self._meta_path)
 
+    def _commit_manifest(self, version: int, manifest: dict) -> None:
+        # immutable per-version file, written BEFORE meta repoints — a
+        # pinned (version, manifest) pair is always self-consistent
+        path = self._manifest_path(version)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, path)
+
     # ---- readers ----
     def _levels_path(self, version: int) -> str:
         return os.path.join(self.root, "versions", f"v{version}", "levels")
@@ -108,11 +164,118 @@ class PyramidStore:
     def current_version(self) -> int:
         return int(self._meta().get("latest", 0))
 
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, "versions", f"v{version}", "manifest.json")
+
+    def _manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
     def current_levels(self) -> DataFrame:
-        v = self.current_version()
+        meta = self._meta()
+        v = int(meta.get("latest", 0))
         if v == 0:
             raise ValueError("store is empty — bootstrap() it first")
+        publish, _ = self._publish_props(meta)
+        if publish == "manifest":
+            paths = [
+                os.path.join(self.root, rel)
+                for rel in self._manifest(v).values()
+            ]
+            return self.spark.read.parquet(*paths)
         return self.spark.read.parquet(self._levels_path(v))
+
+    def _pk_cols(self, z_pb: int):
+        """(pb_code expr, pk expr) for tagging level rows with their
+        publication block. MUST match _dirty_pb_codes' batch-side
+        expression exactly (same JVM projection, same floor)."""
+        from clustopher_spark.plans.projection import project_cols
+
+        px, py = project_cols(F.col("lng"), F.col("lat"), z_pb, self.opts.extent)
+        size = self.opts.supercell_size
+        code = F.shiftleft(F.floor(px / F.lit(size)).cast("long"), 32) + F.floor(
+            py / F.lit(size)
+        ).cast("long")
+        pk = F.when(
+            F.col("zoom") < F.lit(z_pb),
+            F.concat(F.lit("z"), F.col("zoom").cast("string"), F.lit("_all")),
+        ).otherwise(
+            F.concat(
+                F.lit("z"), F.col("zoom").cast("string"),
+                F.lit("_p"), code.cast("string"),
+            )
+        )
+        return code, pk
+
+    def _dirty_pb_codes(self, batch_pos: DataFrame, z_pb: int):
+        """Publication blocks the batch can perturb: the batch positions'
+        cell codes at publish_zoom, dilated ±2 in y (both the row side and
+        the batch side carry a ±1-cell floor-boundary ulp vs the kernel's
+        numpy codes — operators/zoom.py's argument). Returns a sorted
+        int64 array, or None for an oversized batch (caller falls back to
+        a full write)."""
+        import numpy as np
+
+        code, _ = self._pk_cols(z_pb)
+        bp = batch_pos.select(code.alias("c")).limit(
+            _DRIVER_DIRTY_LIMIT + 1
+        ).toPandas()
+        if len(bp) > _DRIVER_DIRTY_LIMIT:
+            return None
+        c = bp["c"].to_numpy("int64")
+        return np.unique(
+            np.concatenate([c - 2, c - 1, c, c + 1, c + 2])
+        )
+
+    def _write_levels_manifest(
+        self, upd: DataFrame, version: int, z_pb: int, dirty_codes, old_manifest: dict
+    ) -> dict:
+        """Write the dirty blocks of ``upd`` under v{version}/levels and
+        return the new manifest. ``dirty_codes is None`` = full write."""
+        import pandas as pd
+
+        code, pk = self._pk_cols(z_pb)
+        # pin zoom to int: the local-tail union upcasts it to long, and the
+        # snapshot layout's partition column reads back as int — one type
+        # for both publication modes
+        lv = (
+            upd.withColumn("zoom", F.col("zoom").cast("int"))
+            .withColumn("pb_code", code)
+            .withColumn("pk", pk)
+        )
+        if dirty_codes is not None:
+            codes_df = self.spark.createDataFrame(
+                pd.DataFrame({"pb_code": dirty_codes}), schema="pb_code long"
+            )
+            lv = lv.filter(F.col("zoom") < F.lit(z_pb)).unionByName(
+                lv.filter(F.col("zoom") >= F.lit(z_pb)).join(
+                    F.broadcast(codes_df), "pb_code", "left_semi"
+                )
+            )
+        out = self._levels_path(version)
+        lv.drop("pb_code").write.mode("overwrite").partitionBy("pk").parquet(out)
+        present = {
+            d[len("pk="):]: os.path.join(
+                "versions", f"v{version}", "levels", d
+            )
+            for d in os.listdir(out)
+            if d.startswith("pk=")
+        }
+        if dirty_codes is None:
+            return present
+        dirty_set = set(int(x) for x in dirty_codes)
+        manifest = {
+            k: v
+            for k, v in old_manifest.items()
+            if (lambda zc: zc[1] is not None and zc[1] not in dirty_set)(
+                _pk_zoom_code(k)
+            )
+        }
+        # every z<z_pb block and every dirty z>=z_pb block was dropped
+        # above; re-add the ones the new version actually produced —
+        # blocks emptied by deletions simply stay absent
+        manifest.update(present)
+        return manifest
 
     def _point_cols(self) -> list[str]:
         return ["id", "lng", "lat", *self.metric_cols]
@@ -160,8 +323,16 @@ class PyramidStore:
         levels = materialize_zoom_levels(
             self.spark.read.parquet(boot), self.metric_cols, self.opts
         )
-        write_zoom_levels(levels, self._levels_path(1), self.opts)
-        self._commit_meta({"latest": 1, "last_batch": -1})
+        publish, z_pb = self._publish_props({})
+        if publish == "manifest":
+            manifest = self._write_levels_manifest(levels, 1, z_pb, None, {})
+            self._commit_manifest(1, manifest)
+        else:
+            write_zoom_levels(levels, self._levels_path(1), self.opts)
+        self._commit_meta(
+            {"latest": 1, "last_batch": -1, "publish": publish,
+             "publish_zoom": z_pb}
+        )
         return 1
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> bool:
@@ -207,8 +378,21 @@ class PyramidStore:
             points_deleted=dels,
         )
         version = int(meta["latest"]) + 1
-        write_zoom_levels(upd, self._levels_path(version), self.opts)
-        self._commit_meta({"latest": version, "last_batch": batch_id})
+        publish, z_pb = self._publish_props(meta)
+        if publish == "manifest":
+            batch_pos = adds.select("lng", "lat")
+            if dels is not None:
+                batch_pos = batch_pos.unionByName(dels.select("lng", "lat"))
+            dirty = self._dirty_pb_codes(batch_pos, z_pb)
+            manifest = self._write_levels_manifest(
+                upd, version, z_pb, dirty, self._manifest(int(meta["latest"]))
+            )
+            self._commit_manifest(version, manifest)
+        else:
+            write_zoom_levels(upd, self._levels_path(version), self.opts)
+        self._commit_meta(
+            {**meta, "latest": version, "last_batch": batch_id}
+        )
         return True
 
     def maintain(
@@ -232,16 +416,27 @@ class PyramidStore:
     # ---- maintenance ----
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Drop version directories older than the newest ``keep_last``
-        (never the latest). Pinned readers of dropped versions lose them —
-        same contract as the catalog's vacuum."""
-        latest = self.current_version()
+        (never the latest). In manifest mode a version directory whose
+        blocks are still referenced by any KEPT version's manifest is
+        retained regardless of age (blocks are shared across versions).
+        Pinned readers of dropped versions lose them — same contract as
+        the catalog's vacuum."""
+        meta = self._meta()
+        latest = int(meta.get("latest", 0))
+        publish, _ = self._publish_props(meta)
         removed = []
         vroot = os.path.join(self.root, "versions")
         if not os.path.isdir(vroot):
             return removed
+        referenced: set[int] = set()
+        if publish == "manifest":
+            for v in range(max(1, latest - keep_last + 1), latest + 1):
+                for rel in self._manifest(v).values():
+                    # rel = versions/v{N}/levels/pk=...
+                    referenced.add(int(rel.split(os.sep)[1][1:]))
         for d in sorted(os.listdir(vroot)):
             v = int(d[1:])
-            if v <= latest - keep_last:
+            if v <= latest - keep_last and v not in referenced:
                 shutil.rmtree(os.path.join(vroot, d), ignore_errors=True)
                 removed.append(v)
         return removed

@@ -135,3 +135,61 @@ def test_pyramid_store_streaming_drain(spark, tmp_path):
         base.unionByName(b1).unionByName(b2), ["value"], OPTS
     )
     assert _canon(store.current_levels()) == _canon(full)
+
+
+def test_pyramid_store_manifest_mode(spark, tmp_path):
+    """Incremental publication: each version writes only dirty blocks,
+    untouched blocks are SHARED with older versions through the manifest,
+    blocks emptied by deletions leave the manifest, and every version
+    still equals a full rebuild of the accumulated corpus."""
+    import json
+    import os
+
+    store = PyramidStore(
+        spark, str(tmp_path / "store"), ["value"], OPTS, publish="manifest"
+    )
+    # two far-apart regions: batches touch only the west one, so the east
+    # region's blocks must never be rewritten
+    west = _pts(spark, 2000, seed=91, west=-125, south=25, east=-65, north=49)
+    east = _pts(spark, 2000, seed=92, id_base=500_000,
+                west=100, south=-45, east=150, north=-10)
+    base = west.unionByName(east)
+    store.bootstrap(base)
+    assert _canon(store.current_levels()) == _canon(
+        materialize_zoom_levels(base, ["value"], OPTS)
+    )
+
+    b0 = _pts(spark, 300, seed=93, id_base=1_000_000,
+              west=-75, south=40, east=-73, north=42)
+    assert store.apply_batch(b0, 0) is True
+    corpus = base.unionByName(b0)
+    assert _canon(store.current_levels()) == _canon(
+        materialize_zoom_levels(corpus, ["value"], OPTS)
+    )
+    man2 = json.load(open(store._manifest_path(2)))
+    vers = {rel.split(os.sep)[1] for rel in man2.values()}
+    assert "v1" in vers and "v2" in vers  # untouched blocks still served from v1
+    # v2 wrote strictly fewer blocks than the table has
+    v2_blocks = [k for k, rel in man2.items() if rel.split(os.sep)[1] == "v2"]
+    assert 0 < len(v2_blocks) < len(man2)
+
+    # delete the ENTIRE east region: its blocks must leave the manifest
+    assert store.apply_batch(east.withColumn("op", F.lit("delete")), 1) is True
+    survivors = corpus.join(east.select("id"), "id", "left_anti")
+    assert _canon(store.current_levels()) == _canon(
+        materialize_zoom_levels(survivors, ["value"], OPTS)
+    )
+    man3 = json.load(open(store._manifest_path(3)))
+    assert len(man3) < len(man2)
+
+    # replay skip still holds in manifest mode
+    assert store.apply_batch(b0, 0) is False
+
+    # vacuum must RETAIN old version dirs still referenced by the latest
+    # manifest (v1 blocks are shared into v3)
+    removed = store.vacuum(keep_last=1)
+    ref_vers = {int(rel.split(os.sep)[1][1:]) for rel in man3.values()}
+    assert not (set(removed) & ref_vers)
+    assert _canon(store.current_levels()) == _canon(
+        materialize_zoom_levels(survivors, ["value"], OPTS)
+    )
