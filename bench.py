@@ -315,6 +315,39 @@ def main() -> None:
             file=sys.stderr,
         )
 
+        # the durable streaming form of the same update: a PyramidStore in
+        # manifest mode applies the city batch AND publishes it durably —
+        # dirty blocks only, untouched blocks shared with the previous
+        # version via the manifest. Times the full ingest step a streaming
+        # maintainer pays per micro-batch: update compute + O(dirty-block)
+        # parquet write + manifest/meta commit. Bootstrap (a full rebuild
+        # + full write) is untimed setup.
+        import json
+
+        from clustopher_spark.streaming.pyramid import PyramidStore
+
+        store_root = f"{tmp}/pyramid_store"
+        pstore = PyramidStore(
+            spark, store_root, ["value"], opts_1m, publish="manifest"
+        )
+        pstore.bootstrap(pts_1m)
+        t0 = time.perf_counter()
+        pstore.apply_batch(batch_city, 0)
+        timings["pyramid_store_city_publish"] = round(
+            time.perf_counter() - t0, 3
+        )
+        man = json.load(open(pstore._manifest_path(2)))
+        n_dirty = sum(1 for rel in man.values() if f"{os.sep}v2{os.sep}" in rel)
+        print(
+            f"# pyramid_store_city_publish: "
+            f"{timings['pyramid_store_city_publish']}s "
+            f"({n_dirty} of {len(man)} blocks rewritten)",
+            file=sys.stderr,
+        )
+        del pstore
+        gc.collect()
+        spark._jvm.System.gc()
+
         # release the 1M pyramid and update inputs before the 10M build
         del base_levels, batch_1m, batch_city, eng_1m, pts_1m
         gc.collect()

@@ -82,10 +82,9 @@ from clustopher_spark.operators.zoom import (
 _POINT_SCHEMA = "id long, lng double, lat double"
 
 
-def _pk_zoom_code(pk: str) -> tuple[int, int | None]:
-    """'z12_p845...' -> (12, 845...); 'z3_all' -> (3, None)."""
-    z, rest = pk[1:].split("_", 1)
-    return int(z), (None if rest == "all" else int(rest[1:]))
+def _pk_code(pk: str) -> int | None:
+    """'p845...' -> 845...; 'coarse' -> None."""
+    return None if pk == "coarse" else int(pk[1:])
 
 
 class PyramidStore:
@@ -187,8 +186,15 @@ class PyramidStore:
 
     def _pk_cols(self, z_pb: int):
         """(pb_code expr, pk expr) for tagging level rows with their
-        publication block. MUST match _dirty_pb_codes' batch-side
-        expression exactly (same JVM projection, same floor)."""
+        publication block: one block per occupied publish-zoom supercell,
+        spanning ALL zooms >= publish zoom (the dirty-cell set is the same
+        for every such zoom, so a per-zoom split would multiply file count
+        ~x(levels) for the identical write set — measured 4.8k blocks of
+        ~1.7k rows vs ~440 of ~19k on the 1M pyramid); everything below
+        the publish zoom shares one 'coarse' block (it is geometrically
+        small and the update rebuilds it anyway). The code expression MUST
+        match _dirty_pb_codes' batch side exactly (same JVM projection,
+        same floor)."""
         from clustopher_spark.plans.projection import project_cols
 
         px, py = project_cols(F.col("lng"), F.col("lat"), z_pb, self.opts.extent)
@@ -196,14 +202,8 @@ class PyramidStore:
         code = F.shiftleft(F.floor(px / F.lit(size)).cast("long"), 32) + F.floor(
             py / F.lit(size)
         ).cast("long")
-        pk = F.when(
-            F.col("zoom") < F.lit(z_pb),
-            F.concat(F.lit("z"), F.col("zoom").cast("string"), F.lit("_all")),
-        ).otherwise(
-            F.concat(
-                F.lit("z"), F.col("zoom").cast("string"),
-                F.lit("_p"), code.cast("string"),
-            )
+        pk = F.when(F.col("zoom") < F.lit(z_pb), F.lit("coarse")).otherwise(
+            F.concat(F.lit("p"), code.cast("string"))
         )
         return code, pk
 
@@ -244,16 +244,33 @@ class PyramidStore:
             .withColumn("pk", pk)
         )
         if dirty_codes is not None:
+            # single-pass dirty filter (a union of two filtered branches
+            # would evaluate the whole update lineage twice): broadcast
+            # left-join a flag and keep coarse rows + flagged blocks
             codes_df = self.spark.createDataFrame(
-                pd.DataFrame({"pb_code": dirty_codes}), schema="pb_code long"
+                pd.DataFrame({"pb_code": dirty_codes, "_dirty": True}),
+                schema="pb_code long, _dirty boolean",
             )
-            lv = lv.filter(F.col("zoom") < F.lit(z_pb)).unionByName(
-                lv.filter(F.col("zoom") >= F.lit(z_pb)).join(
-                    F.broadcast(codes_df), "pb_code", "left_semi"
+            lv = (
+                lv.join(F.broadcast(codes_df), "pb_code", "left")
+                .filter(
+                    (F.col("zoom") < F.lit(z_pb)) | F.col("_dirty").isNotNull()
                 )
+                .drop("_dirty")
             )
         out = self._levels_path(version)
-        lv.drop("pb_code").write.mode("overwrite").partitionBy("pk").parquet(out)
+        # one file per block: without the pk repartition every write task
+        # emits a file into every block directory (tasks x blocks files —
+        # measured ~14k files for a 442-block pyramid), and zoom-sorted
+        # row groups let serve-time zoom filters prune on parquet stats
+        (
+            lv.drop("pb_code")
+            .repartition("pk")
+            .sortWithinPartitions("pk", "zoom")
+            .write.mode("overwrite")
+            .partitionBy("pk")
+            .parquet(out)
+        )
         present = {
             d[len("pk="):]: os.path.join(
                 "versions", f"v{version}", "levels", d
@@ -267,13 +284,11 @@ class PyramidStore:
         manifest = {
             k: v
             for k, v in old_manifest.items()
-            if (lambda zc: zc[1] is not None and zc[1] not in dirty_set)(
-                _pk_zoom_code(k)
-            )
+            if _pk_code(k) is not None and _pk_code(k) not in dirty_set
         }
-        # every z<z_pb block and every dirty z>=z_pb block was dropped
-        # above; re-add the ones the new version actually produced —
-        # blocks emptied by deletions simply stay absent
+        # the coarse block and every dirty block was dropped above; re-add
+        # the ones the new version actually produced — blocks emptied by
+        # deletions simply stay absent
         manifest.update(present)
         return manifest
 
