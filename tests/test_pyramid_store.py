@@ -103,11 +103,17 @@ def test_pyramid_store_versions_equal_rebuild(spark, tmp_path):
     assert os.path.isdir(store._levels_path(store.current_version()))
 
 
-def test_pyramid_store_streaming_drain(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("publish", ["snapshot", "manifest"])
+def test_pyramid_store_streaming_drain(spark, tmp_path, publish):
     """Drive the store through a real file-source stream (one file per
-    micro-batch, availableNow) and check the final pyramid equals the
-    rebuild of everything ingested."""
-    store = PyramidStore(spark, str(tmp_path / "store"), ["value"], OPTS)
+    micro-batch, availableNow) in BOTH publication modes and check the
+    final pyramid equals the rebuild of everything ingested."""
+    store = PyramidStore(
+        spark, str(tmp_path / "store"), ["value"], OPTS, publish=publish
+    )
     base = _pts(spark, 2000, seed=81)
     store.bootstrap(base)
 
