@@ -428,9 +428,7 @@ def ann_ivf_pq_topk(
         codebooks = train_pq_codebooks(
             corpus, centroids, m_subvectors, n_codes, vec_col, seed=seed
         )
-    m_sub, n_k, dsub = codebooks.shape
     assign_one = ivf_lists_udf(centroids, 1)
-    assign_probe = ivf_lists_udf(centroids, n_probe)
     encode = pq_encode_udf(codebooks, centroids)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -441,11 +439,28 @@ def ann_ivf_pq_topk(
         "list_id",
         encode(F.col("c_vec"), F.col("list_id")).alias("codes"),
     )
+    q = pq_probe_frame(queries, centroids, codebooks, n_probe, id_col, vec_col)
+    shortlist = adc_shortlist(c, q, codebooks, k * refine)
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    return exact_rerank(
+        shortlist, corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ), qvec, k,
+    )
 
+
+def adc_lut_udf(codebooks: np.ndarray, centroids: np.ndarray):
+    """Arrow-batched per-(query, list) ADC lookup table: for each subspace,
+    the squared distance from the query's unit-normalized IVF residual to
+    every codeword — M x n_codes doubles per probed list, query-side only
+    (the asymmetric half of Jegou et al.'s ADC)."""
     books = np.ascontiguousarray(codebooks)
     cn = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
+    m_sub, n_k, dsub = books.shape
 
     @pandas_udf("array<double>")
     def adc_table(vecs: pd.Series, list_ids: pd.Series) -> pd.Series:
@@ -465,15 +480,12 @@ def ann_ivf_pq_topk(
             out[:, m * n_k : (m + 1) * n_k] = d
         return pd.Series([row.tolist() for row in out])
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(assign_probe(F.col(vec_col))).alias("list_id"),
-    ).select(
-        "query_id",
-        "list_id",
-        adc_table(F.col("q_vec"), F.col("list_id")).alias("lut"),
-    )
+    return adc_table
+
+
+def adc_score_udf(m_sub: int, n_k: int):
+    """Arrow-batched ADC scoring: gather each code's partial distance from
+    the row's lookup table and sum — a numpy take_along_axis per batch."""
 
     @pandas_udf("double")
     def adc_score(luts: pd.Series, codes: pd.Series) -> pd.Series:
@@ -483,31 +495,66 @@ def ann_ivf_pq_topk(
         idx = cds + offs
         return pd.Series(np.take_along_axis(lut, idx, axis=1).sum(axis=1))
 
+    return adc_score
+
+
+def pq_probe_frame(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, list_id, lut): one row per probed list, carrying the
+    query's ADC table for that list."""
+    assign_probe = ivf_lists_udf(centroids, n_probe)
+    adc_table = adc_lut_udf(codebooks, centroids)
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(assign_probe(F.col(vec_col))).alias("list_id"),
+    ).select(
+        "query_id",
+        "list_id",
+        adc_table(F.col("q_vec"), F.col("list_id")).alias("lut"),
+    )
+
+
+def adc_shortlist(
+    coded: DataFrame, probes: DataFrame, codebooks: np.ndarray, n_short: int
+) -> DataFrame:
+    """Score every (probe, coded-row) pair in the probed lists by ADC and
+    keep the best ``n_short`` per query (approx ranking, exact re-rank
+    follows). ``coded`` needs (neighbor_id, list_id, codes)."""
+    m_sub, n_k, _ = codebooks.shape
+    score = adc_score_udf(m_sub, n_k)
     cand = (
-        c.join(F.broadcast(q), "list_id")
+        coded.join(F.broadcast(probes), "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            adc_score(F.col("lut"), F.col("codes")).alias("approx_dist"),
+            score(F.col("lut"), F.col("codes")).alias("approx_dist"),
         )
     )
     w0 = Window.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
-    shortlist = (
+    return (
         cand.withColumn("arank", F.row_number().over(w0))
-        .filter(F.col("arank") <= k * refine)
+        .filter(F.col("arank") <= n_short)
         .select("query_id", "neighbor_id")
     )
-    # exact re-rank over the shortlist only (k*refine rows per query)
-    cvec = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
-    qvec = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
+
+
+def exact_rerank(
+    shortlist: DataFrame, corpus_vecs: DataFrame, query_vecs: DataFrame, k: int
+) -> DataFrame:
+    """Exact cosine re-rank of a per-query shortlist (k x refine rows per
+    query, independent of corpus size). ``corpus_vecs`` = (neighbor_id,
+    c_vec); ``query_vecs`` = (query_id, q_vec)."""
     scored = (
-        shortlist.join(cvec, "neighbor_id")
-        .join(F.broadcast(qvec), "query_id")
+        shortlist.join(corpus_vecs, "neighbor_id")
+        .join(F.broadcast(query_vecs), "query_id")
         .select(
             "query_id",
             "neighbor_id",

@@ -1,0 +1,233 @@
+"""Persisted IVF-PQ vector index: build once, query many, append forever.
+
+:func:`clustopher_spark.functions.similarity.ann_ivf_pq_topk` trains its
+quantizers per call — right for a one-shot query, wrong for a serving
+system. This store separates the three lifecycles a 100 TB vector corpus
+actually has:
+
+* **build** — train the coarse quantizer + PQ codebooks on a bounded
+  sample, encode the whole corpus once (map-only: broadcast-matmul list
+  assignment + Arrow-batched PQ encoding), and write one parquet table
+  ``(neighbor_id, codes, vec)`` PARTITIONED BY ``list_id``;
+* **query** — probed lists become *partition-pruned scans* (the probe
+  ids are literal ``list_id IN (...)`` filters, so Spark never lists or
+  reads the other ``n_lists - n_probe`` directories — the inverted-file
+  idea expressed in the storage layout), then the usual ADC shortlist +
+  exact re-rank from the vectors stored alongside the codes;
+* **append** — new vectors are encoded with the FROZEN quantizers (the
+  FAISS operational model: retrain rarely, re-encode never) and appended
+  to their list partitions under a batch-id-addressed subdirectory, so
+  a replayed micro-batch overwrites itself instead of duplicating rows —
+  the same idempotence contract as the pyramid store and dedup index.
+
+Quantizers are small (n_lists x dim centroids, M x K x dsub codebooks —
+a few hundred KB at production sizes) and live in ``meta.json`` beside
+the data; every reader broadcast-embeds them into its UDFs.
+
+Scale shape: query cost is O(corpus/n_lists x n_probe) rows of M-byte
+codes through one broadcast join — no shuffle of the corpus, ever; the
+scan prunes at the DIRECTORY level before parquet stats even apply.
+Append cost is O(batch). Only build touches everything, once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clustopher_spark.functions.similarity import (
+    adc_shortlist,
+    exact_rerank,
+    ivf_lists_udf,
+    pq_encode_udf,
+    pq_probe_frame,
+    train_ivf_centroids,
+    train_pq_codebooks,
+)
+
+
+class IVFPQIndex:
+    """A durable IVF-PQ index rooted at ``root``.
+
+    ``n_lists`` / ``m_subvectors`` / ``n_codes`` are layout properties
+    fixed at :meth:`build` and recorded in meta.json; a reopened instance
+    always uses the stored ones.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_lists: int = 16,
+        m_subvectors: int = 8,
+        n_codes: int = 64,
+        seed: int = 42,
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self._defaults = {
+            "n_lists": n_lists,
+            "m_subvectors": m_subvectors,
+            "n_codes": n_codes,
+            "seed": seed,
+        }
+        os.makedirs(root, exist_ok=True)
+
+    # ---- meta / quantizers ----
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "meta.json")
+
+    def _meta(self) -> dict | None:
+        if not os.path.exists(self._meta_path):
+            return None
+        with open(self._meta_path) as f:
+            return json.load(f)
+
+    def _quantizers(self) -> tuple[np.ndarray, np.ndarray, dict]:
+        meta = self._meta()
+        if meta is None:
+            raise ValueError("index is empty — build() it first")
+        cents = np.array(meta["centroids"], dtype=np.float64)
+        books = np.array(meta["codebooks"], dtype=np.float64)
+        return cents, books, meta
+
+    @property
+    def _data_path(self) -> str:
+        return os.path.join(self.root, "lists")
+
+    def _coded(self, df: DataFrame, cents, books, id_col, vec_col) -> DataFrame:
+        assign_one = ivf_lists_udf(cents, 1)
+        encode = pq_encode_udf(books, cents)
+        return df.select(
+            F.col(id_col).alias("neighbor_id"),
+            assign_one(F.col(vec_col))[0].alias("list_id"),
+            F.col(vec_col).alias("vec"),
+        ).select(
+            "neighbor_id",
+            "list_id",
+            encode(F.col("vec"), F.col("list_id")).alias("codes"),
+            "vec",
+        )
+
+    # ---- lifecycle ----
+    def build(
+        self,
+        corpus: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        sample_fraction: float | None = None,
+    ) -> int:
+        """Train quantizers, encode the corpus, write the list-partitioned
+        table. Returns the number of rows indexed."""
+        if self._meta() is not None:
+            raise ValueError("index already built — use append() for new rows")
+        p = self._defaults
+        cents = train_ivf_centroids(
+            corpus, p["n_lists"], vec_col, sample_fraction, p["seed"]
+        )
+        books = train_pq_codebooks(
+            corpus, cents, p["m_subvectors"], p["n_codes"], vec_col,
+            seed=p["seed"],
+        )
+        coded = self._coded(corpus, cents, books, id_col, vec_col)
+        # one file per list: the whole list rides one task at query time.
+        # The directory is named as a partition level (batch=base) so the
+        # whole store reads as ONE table with (batch, list_id) partition
+        # columns — probe filters prune lists, the committed-batch filter
+        # prunes replay orphans, both at the directory level.
+        base = os.path.join(self._data_path, "batch=base")
+        (
+            coded.repartition("list_id")
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(base)
+        )
+        n = self.spark.read.parquet(base).count()
+        meta = {
+            **p,
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "centroids": cents.tolist(),
+            "codebooks": books.tolist(),
+            "last_batch": -1,
+        }
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path)
+        return n
+
+    def append(self, batch_df: DataFrame, batch_id: int) -> bool:
+        """Encode ``batch_df`` with the FROZEN quantizers and append it
+        under a batch-addressed directory (idempotent under replay; a
+        committed ``batch_id`` is skipped). Drift note: appends never move
+        the centroids — when the data distribution shifts enough that
+        recall degrades, rebuild into a fresh root and swap."""
+        cents, books, meta = self._quantizers()
+        if batch_id <= int(meta.get("last_batch", -1)):
+            return False
+        if not batch_df.take(1):
+            return False
+        coded = self._coded(
+            batch_df, cents, books, meta["id_col"], meta["vec_col"]
+        )
+        (
+            coded.repartition("list_id")
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(os.path.join(self._data_path, f"batch=b{batch_id}"))
+        )
+        meta["last_batch"] = batch_id
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path)
+        return True
+
+    def _table(self, meta: dict) -> DataFrame:
+        committed = ["base"] + [
+            f"b{b}" for b in range(int(meta.get("last_batch", -1)) + 1)
+        ]
+        # one root read: (batch, list_id) are partition columns, so both
+        # the committed-batch filter (excludes a crashed append's orphan
+        # directory) and the probe filter prune at the directory level
+        return self.spark.read.parquet(self._data_path).filter(
+            F.col("batch").isin(committed)
+        )
+
+    # ---- query ----
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int = 4,
+        refine: int = 4,
+    ) -> DataFrame:
+        """Approximate top-k with exact re-rank, reading ONLY the probed
+        list partitions. Queries are a bounded frame by contract (they
+        broadcast); the probed list ids become a literal IN filter so the
+        scan partition-prunes."""
+        cents, books, meta = self._quantizers()
+        id_col, vec_col = meta["id_col"], meta["vec_col"]
+        probes = pq_probe_frame(
+            queries, cents, books, n_probe, id_col, vec_col
+        ).localCheckpoint(eager=True)
+        probed_ids = [
+            r.list_id for r in probes.select("list_id").distinct().collect()
+        ]
+        coded = self._table(meta).filter(F.col("list_id").isin(probed_ids))
+        shortlist = adc_shortlist(coded, probes, books, k * refine)
+        qvec = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        return exact_rerank(
+            shortlist,
+            coded.select("neighbor_id", F.col("vec").alias("c_vec")),
+            qvec,
+            k,
+        )
