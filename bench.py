@@ -249,7 +249,11 @@ def main() -> None:
         # incremental maintenance: append a 10k batch to the 1M pyramid via
         # the fused update (one shuffle + one Python boundary; exact-equal
         # to a full rebuild by test). Round-over-round visibility for the
-        # path a streaming ingest exercises continuously.
+        # path a streaming ingest exercises continuously. This worldwide-
+        # uniform batch genuinely dirties ~30% of the corpus, so the
+        # cost-based dispatch (est fed fraction >= 0.15) routes it to the
+        # REBUILD plan — the entry therefore tracks dispatch + rebuild
+        # cost; the city entry below tracks the pruned incremental plan.
         from clustopher_spark.operators.zoom import update_zoom_levels
 
         batch_1m = (

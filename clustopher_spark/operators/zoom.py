@@ -372,6 +372,8 @@ def fused_update_pass(
     parallelism: int | None = None,
     local_tail_threshold: int = 100_000,
     points_deleted: DataFrame | None = None,
+    rebuild_fraction: float = 0.15,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Incremental pyramid maintenance in ONE shuffle + ONE Python boundary
     (the fused-build treatment applied to `update_zoom_levels`: measured
@@ -516,6 +518,59 @@ def fused_update_pass(
                 if len(bp):
                     bcx = bp["cx"].to_numpy(np.int64)
                     bcy = bp["cy"].to_numpy(np.int64)
+                    # ---- cost-based dispatch (C6 pattern): when the batch
+                    # dirties a large share of the corpus, the incremental
+                    # pass degenerates — it shuffles the fed rows AND pays
+                    # the complement scans. Measured at 1M+10k: ~3.5 s of
+                    # fixed cost plus ~38 s per unit of fed fraction,
+                    # against a flat ~9 s rebuild — breakeven ≈ 0.15,
+                    # the default threshold (the worldwide-uniform batch
+                    # estimates 0.27 and rebuilds: 15 s incremental vs
+                    # 9 s rebuilt). The estimate is pure
+                    # driver arithmetic over the collected batch cells:
+                    # per chained level, dirty-cell count at the fed
+                    # granularity over the grid size, weighted by a
+                    # grid-capped level-size bound (clusters per supercell
+                    # <= supercell_radii^2 by the greedy min-separation).
+                    # Over-estimating on a concentrated corpus picks a
+                    # rebuild that is merely not-faster — never wrong.
+                    if rebuild_fraction is not None and len(bp):
+                        grid_axis = 2**z_top * opts.extent / size
+                        est_fed = est_tot = 0.0
+                        cap = float(opts.supercell_radii) ** 2
+                        for z in chain:
+                            tz = max(z - 1, z_cut)
+                            k = z_top - tz
+                            n_dirty = len(
+                                np.unique(((bcx >> k) << 32) + (bcy >> k))
+                            )
+                            g_tz = max((grid_axis / 2 ** (z_top - tz)) ** 2, 1.0)
+                            g_z = max((grid_axis / 2 ** (z_top - z)) ** 2, 1.0)
+                            rows_z = min(float(n_total), g_z * cap)
+                            est_fed += min(n_dirty / g_tz, 1.0) * rows_z
+                            est_tot += rows_z
+                        est = est_fed / max(est_tot, 1.0)
+                        if stats is not None:
+                            stats["est_fed_fraction"] = est
+                        if est >= rebuild_fraction:
+                            if stats is not None:
+                                stats["path"] = "rebuild"
+                            pts = points_old
+                            if points_deleted is not None:
+                                pts = pts.join(
+                                    points_deleted.select("id"), "id",
+                                    "left_anti",
+                                )
+                            return materialize_zoom_levels(
+                                pts.unionByName(
+                                    points_new.select(*pts.columns)
+                                ),
+                                metric_cols,
+                                opts,
+                                local_tail_threshold=local_tail_threshold,
+                            )
+                    if stats is not None:
+                        stats["path"] = "incremental"
                     frames = []
                     for tz in test_zooms:
                         k = z_top - tz
@@ -839,6 +894,8 @@ def update_zoom_levels(
     opts: ClusterOptions = ClusterOptions(),
     fuse: bool = True,
     points_deleted: DataFrame | None = None,
+    rebuild_fraction: float | None = 0.15,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Incremental pyramid maintenance: append ``points_new`` and recluster
     ONLY the supercells they perturb, per zoom. Returns a zoom_levels table
@@ -873,6 +930,7 @@ def update_zoom_levels(
         return fused_update_pass(
             levels_old, points_old, points_new, metric_cols, opts,
             points_deleted=points_deleted,
+            rebuild_fraction=rebuild_fraction, stats=stats,
         )
     if "num_points" not in points_old.columns:
         points_old = points_old.withColumn("num_points", F.lit(1).cast("long"))

@@ -226,7 +226,14 @@ def test_incremental_pyramid_equals_full_rebuild(spark):
         .withColumn("id", F.col("id") + 1_000_000)
     )
     levels_old = materialize_zoom_levels(old, ["value"], opts)
-    incremental = update_zoom_levels(levels_old, old, new, ["value"], opts)
+    # rebuild_fraction=None pins the INCREMENTAL algebra: the worldwide
+    # batch would otherwise trip the cost-based dispatch into a rebuild
+    # and this test would compare the rebuild to itself
+    stats = {}
+    incremental = update_zoom_levels(
+        levels_old, old, new, ["value"], opts, rebuild_fraction=None,
+        stats=stats,
+    )
     full = materialize_zoom_levels(old.unionByName(new), ["value"], opts)
 
     def canon(df):
@@ -293,7 +300,10 @@ def test_fused_update_equals_level_at_a_time(spark):
         .withColumn("id", F.col("id") + 1_000_000)
     )
     levels_old = materialize_zoom_levels(old, ["value"], opts)
-    fused = update_zoom_levels(levels_old, old, new, ["value"], opts, fuse=True)
+    fused = update_zoom_levels(
+        levels_old, old, new, ["value"], opts, fuse=True,
+        rebuild_fraction=None,
+    )
     ref = update_zoom_levels(levels_old, old, new, ["value"], opts, fuse=False)
 
     def canon(df):
@@ -370,7 +380,8 @@ def test_fused_update_with_deletions_equals_rebuild(spark):
     deleted = old.filter(F.col("id") % 17 == 3)  # ~300 scattered points
     levels_old = materialize_zoom_levels(old, ["value"], opts).localCheckpoint(True)
     upd = update_zoom_levels(
-        levels_old, old, new, ["value"], opts, points_deleted=deleted
+        levels_old, old, new, ["value"], opts, points_deleted=deleted,
+        rebuild_fraction=None,
     )
     survivors = old.join(deleted.select("id"), "id", "left_anti")
     full = materialize_zoom_levels(survivors.unionByName(new), ["value"], opts)
@@ -436,3 +447,54 @@ def test_fused_update_jvm_dirty_path_keeps_out_of_bbox_rows(spark, monkeypatch):
 
     a, b = canon(upd), canon(full)
     assert len(a) == len(b) and a == b
+
+
+def test_fused_update_cost_dispatch(spark):
+    """The cost-based dispatch must send a worldwide-uniform batch (which
+    dirties most coarse supercells) to the REBUILD path and a localized
+    batch to the INCREMENTAL path — and both must still equal the full
+    rebuild of the accumulated corpus."""
+    from clustopher_spark.operators.zoom import (
+        materialize_zoom_levels,
+        update_zoom_levels,
+    )
+    from clustopher_spark.sources.generators import generate_test_points
+
+    opts = ClusterOptions(radius=100.0, min_points=2, max_zoom=8)
+    old = generate_test_points(spark, 6000, seed=35).select(
+        "id", "lng", "lat", "value"
+    )
+    levels_old = materialize_zoom_levels(old, ["value"], opts).localCheckpoint(True)
+
+    def canon(df):
+        return sorted(
+            (r.zoom, r.cluster_id, round(r.lng, 9), round(r.lat, 9),
+             r.point_count, r.num_members, bool(r.is_cluster), round(r.sum_value, 6))
+            for r in df.collect()
+        )
+
+    world = (
+        generate_test_points(spark, 400, seed=36)
+        .select("id", "lng", "lat", "value")
+        .withColumn("id", F.col("id") + 1_000_000)
+    )
+    s1: dict = {}
+    upd1 = update_zoom_levels(levels_old, old, world, ["value"], opts, stats=s1)
+    assert s1["path"] == "rebuild"
+    assert canon(upd1) == canon(
+        materialize_zoom_levels(old.unionByName(world), ["value"], opts)
+    )
+
+    city = (
+        generate_test_points(spark, 400, west=-75, south=40, east=-73,
+                             north=42, seed=37)
+        .select("id", "lng", "lat", "value")
+        .withColumn("id", F.col("id") + 2_000_000)
+    )
+    s2: dict = {}
+    upd2 = update_zoom_levels(levels_old, old, city, ["value"], opts, stats=s2)
+    assert s2["path"] == "incremental"
+    assert s2["est_fed_fraction"] < s1["est_fed_fraction"]
+    assert canon(upd2) == canon(
+        materialize_zoom_levels(old.unionByName(city), ["value"], opts)
+    )
