@@ -77,6 +77,39 @@ class Clustopher:
             self._zoom_levels = spark.read.parquet(path)
         return self._zoom_levels
 
+    def update(
+        self,
+        points_new: DataFrame,
+        points_deleted: DataFrame | None = None,
+        stats: dict | None = None,
+    ) -> DataFrame:
+        """Advance the materialized pyramid incrementally (append + delete
+        in one pass; cost-based dispatch falls back to a rebuild when the
+        batch dirties too much of the corpus — operators/zoom.py). Also
+        advances ``self.points`` so subsequent updates and re-materializes
+        see the new corpus, and drops the per-zoom serve caches (they
+        describe the previous version). The durable, replay-safe form of
+        this loop is streaming/pyramid.py::PyramidStore."""
+        from clustopher_spark.operators.zoom import update_zoom_levels
+
+        if self._zoom_levels is None:
+            raise ValueError("materialize() the pyramid before update()")
+        self._zoom_levels = update_zoom_levels(
+            self._zoom_levels,
+            self.points,
+            points_new,
+            self.metric_cols,
+            self.opts,
+            points_deleted=points_deleted,
+            stats=stats,
+        ).localCheckpoint(eager=True)
+        pts = self.points
+        if points_deleted is not None:
+            pts = pts.join(points_deleted.select("id"), "id", "left_anti")
+        self.points = pts.unionByName(points_new.select(*pts.columns))
+        self.release_caches()
+        return self._zoom_levels
+
     # --- the hot query (reference GetClusters, cluster/cluster.go:867-956) ---
 
     def get_clusters(self, west, south, east, north, zoom: int) -> DataFrame:

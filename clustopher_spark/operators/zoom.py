@@ -595,7 +595,51 @@ def fused_update_pass(
                     dirty_df = spark.createDataFrame([], "tz int, code long")
                     ext = (None, None, None, None)
         if dirty_df is None:
-            # huge batch: build the code set JVM-side (no driver transfer),
+            # huge batch: the same cost-based dispatch, estimated from ONE
+            # small agg job over the batch (approx-distinct cell counts
+            # per fed granularity — a few % of error is irrelevant to a
+            # breakeven heuristic) instead of a driver collect
+            if rebuild_fraction is not None:
+                dist_aggs = []
+                for tz in set(max(z - 1, z_cut) for z in chain):
+                    p2 = float(2 ** (z_top - tz))
+                    tz_code = F.shiftleft(
+                        F.floor(cx_top / F.lit(p2)).cast("long"), 32
+                    ) + F.floor(cy_top / F.lit(p2)).cast("long")
+                    dist_aggs.append(
+                        F.approx_count_distinct(tz_code).alias(f"d{tz}")
+                    )
+                drow = batch_pos.agg(*dist_aggs).first()
+                grid_axis = 2**z_top * opts.extent / size
+                est_fed = est_tot = 0.0
+                cap = float(opts.supercell_radii) ** 2
+                for z in chain:
+                    tz = max(z - 1, z_cut)
+                    g_tz = max((grid_axis / 2 ** (z_top - tz)) ** 2, 1.0)
+                    g_z = max((grid_axis / 2 ** (z_top - z)) ** 2, 1.0)
+                    rows_z = min(float(n_total), g_z * cap)
+                    est_fed += min(drow[f"d{tz}"] / g_tz, 1.0) * rows_z
+                    est_tot += rows_z
+                est = est_fed / max(est_tot, 1.0)
+                if stats is not None:
+                    stats["est_fed_fraction"] = est
+                if est >= rebuild_fraction:
+                    if stats is not None:
+                        stats["path"] = "rebuild"
+                    pts = points_old
+                    if points_deleted is not None:
+                        pts = pts.join(
+                            points_deleted.select("id"), "id", "left_anti"
+                        )
+                    return materialize_zoom_levels(
+                        pts.unionByName(points_new.select(*pts.columns)),
+                        metric_cols,
+                        opts,
+                        local_tail_threshold=local_tail_threshold,
+                    )
+                if stats is not None:
+                    stats["path"] = "incremental"
+            # build the code set JVM-side (no driver transfer),
             # checkpointed once so both broadcast-join consumers reuse one
             # materialization
             bcells = batch_pos.select(

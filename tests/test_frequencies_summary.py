@@ -498,3 +498,41 @@ def test_fused_update_cost_dispatch(spark):
     assert canon(upd2) == canon(
         materialize_zoom_levels(old.unionByName(city), ["value"], opts)
     )
+
+
+def test_fused_update_cost_dispatch_jvm_branch(spark, monkeypatch):
+    """The dispatch must also fire on the JVM dirty-set branch (oversized
+    batches): force it and check a worldwide batch is routed to rebuild
+    with the same exact result."""
+    import clustopher_spark.operators.zoom as zoom_mod
+    from clustopher_spark.operators.zoom import (
+        materialize_zoom_levels,
+        update_zoom_levels,
+    )
+    from clustopher_spark.sources.generators import generate_test_points
+
+    monkeypatch.setattr(zoom_mod, "_DRIVER_DIRTY_LIMIT", 0)
+    opts = ClusterOptions(radius=100.0, min_points=2, max_zoom=7)
+    old = generate_test_points(spark, 4000, seed=38).select(
+        "id", "lng", "lat", "value"
+    )
+    new = (
+        generate_test_points(spark, 300, seed=39)
+        .select("id", "lng", "lat", "value")
+        .withColumn("id", F.col("id") + 1_000_000)
+    )
+    levels_old = materialize_zoom_levels(old, ["value"], opts).localCheckpoint(True)
+    st: dict = {}
+    upd = update_zoom_levels(levels_old, old, new, ["value"], opts, stats=st)
+    assert st["path"] == "rebuild"
+
+    def canon(df):
+        return sorted(
+            (r.zoom, r.cluster_id, round(r.lng, 9), round(r.lat, 9),
+             r.point_count, r.num_members, bool(r.is_cluster), round(r.sum_value, 6))
+            for r in df.collect()
+        )
+
+    assert canon(upd) == canon(
+        materialize_zoom_levels(old.unionByName(new), ["value"], opts)
+    )

@@ -394,3 +394,60 @@ def test_serving_cache_lifecycle(spark):
     assert out.count() > 0
     eng.release_caches()
     assert n_persistent() <= baseline
+
+
+def test_engine_update_advances_pyramid_and_serving(spark):
+    """Clustopher.update() must advance the pyramid to exactly the state a
+    fresh engine over the full corpus would materialize, refresh the
+    corpus for chained updates, and invalidate stale serve caches."""
+    from clustopher_spark.engine import Clustopher
+    from clustopher_spark.operators.cluster import ClusterOptions
+    from clustopher_spark.sources.generators import generate_test_points
+
+    opts = ClusterOptions(radius=100.0, min_points=2, max_zoom=6)
+    base = generate_test_points(spark, 2000, seed=55).select(
+        "id", "lng", "lat", "value"
+    )
+    batch = (
+        generate_test_points(spark, 150, west=-75, south=40, east=-73,
+                             north=42, seed=56)
+        .select("id", "lng", "lat", "value")
+        .withColumn("id", F.col("id") + 1_000_000)
+    )
+    eng = Clustopher(base, ["value"], opts=opts)
+    eng.materialize()
+    eng.build_serve_cache()
+    before = eng.get_clusters_local(-80, 35, -70, 45, 5)
+
+    eng.update(batch)
+    fresh = Clustopher(base.unionByName(batch), ["value"], opts=opts)
+    fresh.materialize()
+
+    def canon(df):
+        return sorted(
+            (r.zoom, r.cluster_id, round(r.lng, 9), round(r.lat, 9),
+             r.point_count, r.num_members, round(r.sum_value, 6))
+            for r in df.collect()
+        )
+
+    assert canon(eng._zoom_levels) == canon(fresh._zoom_levels)
+    assert eng.points.count() == 2150
+    # serve cache was invalidated and now reflects the new pyramid
+    after = eng.get_clusters_local(-80, 35, -70, 45, 5)
+    assert len(after) >= len(before)
+    want = fresh.get_clusters(-80, 35, -70, 45, 5).count()
+    assert len(after) == want
+
+    # deletions chain through the refreshed corpus
+    doomed = batch.limit(40)
+    eng.update(
+        generate_test_points(spark, 10, seed=57)
+        .select("id", "lng", "lat", "value")
+        .withColumn("id", F.col("id") + 2_000_000),
+        points_deleted=doomed,
+    )
+    assert eng.points.count() == 2150 - 40 + 10
+    total = eng._zoom_levels.filter(F.col("zoom") == 0).agg(
+        F.sum("point_count")
+    ).first()[0]
+    assert total == 2150 - 40 + 10
