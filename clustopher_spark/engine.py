@@ -106,7 +106,13 @@ class Clustopher:
         pts = self.points
         if points_deleted is not None:
             pts = pts.join(points_deleted.select("id"), "id", "left_anti")
-        self.points = pts.unionByName(points_new.select(*pts.columns))
+        # lazy checkpoint: chained updates would otherwise stack a
+        # union/anti-join lineage that every later update re-evaluates;
+        # materialized on first use, freed with the reference (the old
+        # checkpoint's RDD is GC-cleaned once nothing points at it)
+        self.points = pts.unionByName(
+            points_new.select(*pts.columns)
+        ).localCheckpoint(eager=False)
         self.release_caches()
         return self._zoom_levels
 
