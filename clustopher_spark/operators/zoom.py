@@ -398,7 +398,15 @@ def fused_update_pass(
     shuffle, kernel work O(partition rows); with parquet-partitioned
     levels the scan prunes to the batch's coarse cells (everything else
     passes through untouched), which is the regime where incremental
-    beats rebuild."""
+    beats rebuild.
+
+    ``rebuild_fraction``: cost-based dispatch threshold — when the
+    estimated fed fraction of the corpus reaches it (default 0.15, the
+    measured breakeven at 1M+10k), the update is answered by a straight
+    rebuild of the accumulated corpus instead (identical result, pinned
+    by test); ``None`` disables the dispatch. ``stats``: optional dict
+    the call fills with ``path`` ("incremental" | "rebuild") and
+    ``est_fed_fraction`` for observability."""
     metric_cols = metric_cols or []
     spark = points_old.sparkSession
     if "num_points" not in points_old.columns:
