@@ -1893,3 +1893,49 @@ def llm_substring_neardup_groups(spark, sf_dir):
         .select(F.col("id").alias("doc_id"), "group_id")
         .orderBy("doc_id")
     )
+
+
+@register("llm_bpe_vocab")  # BPE tokenizer induction (Sennrich et al.
+# 2016): iterative merge learning is not SQL-expressible — rows-only
+# driver check. The merge sequence itself is pinned by hand-verifiable
+# unit tests (tests/test_bpe.py) and is deterministic (frequency order +
+# lexicographic ties), so the returned table is stable for a fixed corpus.
+def llm_bpe_vocab(spark, sf_dir):
+    """Learn a BPE merge table from the documents corpus: one distributed
+    word-frequency aggregation (the only corpus-sized pass), exact driver
+    BPE over the capped summary (see functions/bpe.py for the scale
+    argument). Returns (rank, left, right, token) in merge order."""
+    from clustopher_spark.functions.bpe import learn_bpe
+
+    d = table(spark, sf_dir, "documents")
+    merges = learn_bpe(d, text_col="text", num_merges=150, max_words=10_000)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string, token string",
+    ).orderBy("rank")
+
+
+@register("llm_bpe_token_stats")  # distributed application of the learned
+# merges — a pure map stage (Arrow-batched encoder, no shuffle) feeding
+# one aggregation; rows-only for the same reason as the trainer.
+def llm_bpe_token_stats(spark, sf_dir):
+    """Encode the corpus with its own learned BPE vocabulary and report
+    per-language token statistics: documents, total tokens, mean tokens
+    per doc, and the chars-per-token compression ratio."""
+    from clustopher_spark.functions.bpe import bpe_encode_udf, learn_bpe
+
+    d = table(spark, sf_dir, "documents")
+    merges = learn_bpe(d, text_col="text", num_merges=150, max_words=10_000)
+    enc = bpe_encode_udf(merges)
+    return (
+        d.select("lang", F.length("text").alias("chars"),
+                 F.size(enc(F.col("text"))).alias("toks"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("total_tokens"),
+            F.round(F.avg("toks"), 2).alias("avg_tokens_per_doc"),
+            F.round(F.sum("chars") / F.sum("toks"), 3).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
