@@ -404,6 +404,37 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # persisted-index ANN query: the serving path (build once, query
+    # many). Index build is untimed setup; the entry times a 5-query
+    # top-k against the list-partitioned store — probed lists are
+    # partition-pruned scans, so this is the latency a vector-search
+    # service pays per request batch.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from clustopher_spark.sources.vector_index import IVFPQIndex
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    _vroot = _tempfile.mkdtemp(prefix="clustopher_vecidx_")
+    try:
+        vidx = IVFPQIndex(spark, f"{_vroot}/idx", n_lists=16,
+                          m_subvectors=8, n_codes=64)
+        vidx.build(emb)
+        vq = emb.filter(F.col("vec_id") < 5)
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n_hits = vidx.topk(vq, k=5, n_probe=4, refine=4).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings["vector_index_topk"] = round(best, 3)
+        print(
+            f"# vector_index_topk: {best:.3f}s ({n_hits} rows, 4/16 lists probed)",
+            file=sys.stderr,
+        )
+    finally:
+        _shutil.rmtree(_vroot, ignore_errors=True)
+
     # streaming drain: file source -> watermarked tumbling agg -> memory
     # sink with trigger(availableNow) — the end-to-end micro-batch path
     # (state store + watermark bookkeeping included), reported so streaming
