@@ -131,6 +131,11 @@ def _chain_levels_local(
 # package. Module-level so tests can force the JVM path.
 _DRIVER_DIRTY_LIMIT = 200_000
 
+# Past this batch size the dirty set stops being broadcastable and the
+# update dispatches to a rebuild (see fused_update_pass). Module-level so
+# tests can exercise the oversize branch without 2M-row fixtures.
+_PRUNE_LIMIT = 2_000_000
+
 
 def _fuse_cut(opts: ClusterOptions, parts: int) -> int:
     """Coarsest zoom whose supercell grid still offers >= 4x ``parts``
@@ -487,9 +492,24 @@ def fused_update_pass(
     z_top = chain[0]
     size = opts.supercell_size
     # a maintenance batch is small by contract — beyond this the dirty
-    # set stops being broadcastable and the unpruned pass (correct, just
-    # not incremental) is the honest plan
-    prune = n_batch <= 2_000_000
+    # set stops being broadcastable; past it the unpruned fused pass would
+    # shuffle corpus + levels + batch — strictly MORE than the rebuild's
+    # single corpus shuffle — so such batches dispatch straight to the
+    # rebuild (identical result). The unpruned pass survives only for
+    # callers that force the incremental algebra (rebuild_fraction=None).
+    prune = n_batch <= _PRUNE_LIMIT
+    if not prune and rebuild_fraction is not None:
+        if stats is not None:
+            stats["path"] = "rebuild"
+        pts = points_old
+        if points_deleted is not None:
+            pts = pts.join(points_deleted.select("id"), "id", "left_anti")
+        return materialize_zoom_levels(
+            pts.unionByName(points_new.select(*pts.columns)),
+            metric_cols,
+            opts,
+            local_tail_threshold=local_tail_threshold,
+        )
 
     tpx, tpy = project_cols(F.col("lng"), F.col("lat"), z_top, opts.extent)
     cx_top = F.floor(tpx / F.lit(size)).cast("long")

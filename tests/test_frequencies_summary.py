@@ -536,3 +536,42 @@ def test_fused_update_cost_dispatch_jvm_branch(spark, monkeypatch):
     assert canon(upd) == canon(
         materialize_zoom_levels(old.unionByName(new), ["value"], opts)
     )
+
+
+def test_fused_update_oversize_batch_dispatches_to_rebuild(spark, monkeypatch):
+    """Past the broadcastable-dirty-set envelope the update must dispatch
+    straight to the rebuild (the unpruned fused pass shuffles corpus +
+    levels + batch — strictly more than the rebuild's one shuffle)."""
+    import clustopher_spark.operators.zoom as zoom_mod
+    from clustopher_spark.operators.zoom import (
+        materialize_zoom_levels,
+        update_zoom_levels,
+    )
+    from clustopher_spark.sources.generators import generate_test_points
+
+    monkeypatch.setattr(zoom_mod, "_PRUNE_LIMIT", 10)
+    opts = ClusterOptions(radius=100.0, min_points=2, max_zoom=6)
+    old = generate_test_points(spark, 1500, seed=45).select(
+        "id", "lng", "lat", "value"
+    )
+    new = (
+        generate_test_points(spark, 100, west=-75, south=40, east=-73,
+                             north=42, seed=46)
+        .select("id", "lng", "lat", "value")
+        .withColumn("id", F.col("id") + 1_000_000)
+    )
+    levels_old = materialize_zoom_levels(old, ["value"], opts).localCheckpoint(True)
+    st: dict = {}
+    upd = update_zoom_levels(levels_old, old, new, ["value"], opts, stats=st)
+    assert st["path"] == "rebuild"
+
+    def canon(df):
+        return sorted(
+            (r.zoom, r.cluster_id, round(r.lng, 9), round(r.lat, 9),
+             r.point_count, r.num_members, bool(r.is_cluster), round(r.sum_value, 6))
+            for r in df.collect()
+        )
+
+    assert canon(upd) == canon(
+        materialize_zoom_levels(old.unionByName(new), ["value"], opts)
+    )
