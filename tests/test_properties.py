@@ -102,3 +102,62 @@ def test_kernel_input_order_invariance(case):
     base_map = {int(i): int(c) for i, c in zip(ids, base)}
     shuf_map = {int(i): int(c) for i, c in zip(ids[perm], shuffled)}
     assert base_map == shuf_map
+
+
+# ---- BPE laws (functions/bpe.py) — pure-driver, no Spark session ----
+
+word_strat = st.text(
+    alphabet=st.sampled_from("abcdef'"), min_size=1, max_size=8
+)
+corpus_strat = st.lists(
+    st.tuples(word_strat, st.integers(1, 50)), min_size=1, max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(wf=corpus_strat, n=st.integers(0, 40))
+@settings(max_examples=80, deadline=None)
+def test_bpe_roundtrip_and_monotonicity_property(wf, n):
+    """Laws of the BPE trainer/encoder pair on arbitrary corpora:
+    encoding any trained word decodes exactly (concatenate tokens, strip
+    one end marker per word); token count never exceeds chars+1; merges
+    are unique and each merged token is the concatenation of its pair."""
+    from clustopher_spark.functions.bpe import END, _encode_word, train_bpe
+
+    merges = train_bpe(wf, n)
+    assert len(set(merges)) == len(merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w, _ in wf:
+        toks = _encode_word(w, ranks)
+        assert "".join(toks) == w + END
+        assert 1 <= len(toks) <= len(w) + 1
+
+
+@given(wf=corpus_strat)
+@settings(max_examples=40, deadline=None)
+def test_bpe_merge_order_is_frequency_justified(wf):
+    """Each learned merge must have had positive pair mass at the moment
+    it was chosen — replay the merges over the corpus and check."""
+    from clustopher_spark.functions.bpe import END, train_bpe
+
+    merges = train_bpe(wf, 10)
+    words = [tuple(w) + (END,) for w, _ in wf]
+    freqs = [f for _, f in wf]
+    for best in merges:
+        mass = 0
+        for w, f in zip(words, freqs):
+            mass += sum(1 for p in zip(w, w[1:]) if p == best) * f
+        assert mass > 0
+        tok = best[0] + best[1]
+        nw = []
+        for w in words:
+            new, j = [], 0
+            while j < len(w):
+                if j + 1 < len(w) and (w[j], w[j + 1]) == best:
+                    new.append(tok)
+                    j += 2
+                else:
+                    new.append(w[j])
+                    j += 1
+            nw.append(tuple(new))
+        words = nw
