@@ -190,8 +190,13 @@ class IVFPQIndex:
         return True
 
     def _table(self, meta: dict) -> DataFrame:
+        last = int(meta.get("last_batch", -1))
         committed = ["base"] + [
-            f"b{b}" for b in range(int(meta.get("last_batch", -1)) + 1)
+            d[len("batch="):]
+            for d in os.listdir(self._data_path)
+            if d.startswith("batch=b")
+            and d != "batch=base"
+            and int(d[len("batch=b"):]) <= last
         ]
         # one root read: (batch, list_id) are partition columns, so both
         # the committed-batch filter (excludes a crashed append's orphan
