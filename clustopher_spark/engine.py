@@ -65,6 +65,31 @@ class Clustopher:
         self._request_caches: list[DataFrame] = []
         self.request_cache_window = 8
 
+    @classmethod
+    def from_store(
+        cls,
+        store,
+        meta_cols: list[str] | None = None,
+        numeric_meta_cols: list[str] | None = None,
+        ts_col: str | None = None,
+    ) -> "Clustopher":
+        """Serve from a stream-maintained :class:`PyramidStore`
+        (streaming/pyramid.py): adopts the store's current corpus and
+        pyramid version without re-materializing — the read side of the
+        maintain-continuously / serve-continuously split. Re-call after
+        the store advances (or call update() to advance this engine's
+        in-memory copy independently)."""
+        eng = cls(
+            store.current_points(),
+            metric_cols=store.metric_cols,
+            meta_cols=meta_cols,
+            opts=store.opts,
+            numeric_meta_cols=numeric_meta_cols,
+            ts_col=ts_col,
+        )
+        eng._zoom_levels = store.current_levels()
+        return eng
+
     # --- ingest-time materialization (replaces per-query recompute) ---
 
     def materialize(self, path: str | None = None) -> DataFrame:

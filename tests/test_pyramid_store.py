@@ -199,3 +199,34 @@ def test_pyramid_store_manifest_mode(spark, tmp_path):
     assert _canon(store.current_levels()) == _canon(
         materialize_zoom_levels(survivors, ["value"], OPTS)
     )
+
+
+def test_engine_serves_from_store(spark, tmp_path):
+    """Clustopher.from_store adopts a maintained store's current version:
+    viewport queries answer from the store's pyramid without
+    re-materializing, and match a fresh engine over the same corpus."""
+    from clustopher_spark.engine import Clustopher
+
+    store = PyramidStore(spark, str(tmp_path / "store"), ["value"], OPTS)
+    base = _pts(spark, 2000, seed=65)
+    store.bootstrap(base)
+    batch = _pts(spark, 200, seed=66, id_base=1_000_000,
+                 west=-75, south=40, east=-73, north=42)
+    store.apply_batch(batch, 0)
+
+    eng = Clustopher.from_store(store)
+    fresh = Clustopher(base.unionByName(batch), ["value"], opts=OPTS)
+    fresh.materialize()
+    got = eng.get_clusters(-80, 35, -70, 45, 5)
+    want = fresh.get_clusters(-80, 35, -70, 45, 5)
+
+    def canon(df):
+        return sorted(
+            (r.cluster_id, round(r.lng, 9), round(r.lat, 9), r.point_count)
+            for r in df.collect()
+        )
+
+    assert canon(got) == canon(want) and got.count() > 0
+    # and the adopted engine can advance independently
+    eng.update(_pts(spark, 50, seed=67, id_base=2_000_000))
+    assert eng.points.count() == 2250
