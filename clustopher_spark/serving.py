@@ -25,6 +25,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from clustopher_spark.engine import Clustopher
 from clustopher_spark.operators.cluster import ClusterOptions
@@ -82,7 +83,8 @@ class DatasetCache:
 
 
 class ClusterService:
-    """The RPC surface (List/Create/GetClusters/GetMetadata) minus HTTP."""
+    """The RPC surface (List/Create/Update/GetClusters/GetMetadata) minus
+    HTTP."""
 
     def __init__(self, spark: SparkSession, catalog_root: str,
                  opts: ClusterOptions = ClusterOptions(radius=100.0, min_points=2, max_zoom=10)):
@@ -90,6 +92,8 @@ class ClusterService:
         self.catalog = ClusterCatalog(spark, catalog_root)
         self.cache = DatasetCache()
         self.opts = opts
+        self._update_locks: dict[str, threading.Lock] = {}
+        self._update_locks_guard = threading.Lock()
 
     def _load(self, dataset_id: str) -> Clustopher:
         import os
@@ -101,7 +105,13 @@ class ClusterService:
         meta_cols = [c for c in points.columns if c in ("category", "region", "city")]
         eng = Clustopher(points, metric_cols, meta_cols, self.opts)
         try:
-            eng._zoom_levels = self.catalog.load_zoom_levels(dataset_id).cache()
+            zl = self.catalog.load_zoom_levels(dataset_id)
+            # the pyramid is the source of truth for which metrics were
+            # materialized — the points table may carry MORE numeric
+            # columns than the build used, and an update against a
+            # mismatched metric set would reference absent sum_ columns
+            eng.metric_cols = [c[4:] for c in zl.columns if c.startswith("sum_")]
+            eng._zoom_levels = zl.cache()
             # coarse zooms into driver memory: sub-ms viewport serving
             # (deep zooms stay on the pruned Spark path)
             eng.build_serve_cache()
@@ -123,6 +133,75 @@ class ClusterService:
             "num_points": num_points,
             "build_seconds": round(time.perf_counter() - t0, 2),
         }
+
+    def update_cluster(
+        self,
+        dataset_id: str,
+        add: list[dict] | None = None,
+        delete: list[dict] | None = None,
+        persist: bool = False,
+    ) -> dict:
+        """Live ingest through the serving tier: append/delete points on a
+        loaded dataset via the engine's dispatching incremental update
+        (the reference can only reload whole datasets). ``add`` rows carry
+        the dataset's point columns (id/lng/lat required; absent columns
+        become nulls); ``delete`` rows carry (id, lng, lat). With
+        ``persist`` the advanced corpus + pyramid land as a new immutable
+        catalog snapshot. Updates to one dataset serialize on a per-
+        dataset lock; concurrent reads see either the old or new version
+        (the engine swaps its pyramid reference atomically)."""
+        add, delete = add or [], delete or []
+        for r in add:
+            if not {"id", "lng", "lat"} <= r.keys():
+                raise ValueError("each added point needs id, lng, lat")
+        for r in delete:
+            if not {"id", "lng", "lat"} <= r.keys():
+                raise ValueError("each deletion needs id, lng, lat")
+        eng = self.cache.get(dataset_id, self._load)
+        with self._update_locks_guard:
+            lock = self._update_locks.setdefault(dataset_id, threading.Lock())
+        with lock:
+            if eng._zoom_levels is None:
+                eng.materialize()
+            schema = eng.points.schema
+            import pandas as pd
+
+            if add:
+                raw = self.spark.createDataFrame(pd.DataFrame(add))
+                adds = raw.select(
+                    *[
+                        (
+                            F.col(f.name).cast(f.dataType)
+                            if f.name in raw.columns
+                            else F.lit(None).cast(f.dataType)
+                        ).alias(f.name)
+                        for f in schema.fields
+                    ]
+                )
+            else:
+                adds = self.spark.createDataFrame([], schema)
+            dels = None
+            if delete:
+                dels = self.spark.createDataFrame(pd.DataFrame(delete)).select(
+                    F.col("id").cast("long"),
+                    F.col("lng").cast("double"),
+                    F.col("lat").cast("double"),
+                )
+            stats: dict = {}
+            eng.update(adds, points_deleted=dels, stats=stats)
+            version = None
+            if persist:
+                version = self.catalog.save_snapshot(
+                    dataset_id, eng.points, eng._zoom_levels
+                )
+            return {
+                "dataset_id": dataset_id,
+                "added": len(add),
+                "deleted": len(delete),
+                "plan": stats.get("path"),
+                "num_points": eng.points.count(),
+                "version": version,
+            }
 
     def get_clusters(self, dataset_id: str, zoom: int, west, south, east, north) -> list[dict]:
         eng = self.cache.get(dataset_id, self._load)
@@ -207,14 +286,35 @@ def make_handler(service: ClusterService):
         def do_POST(self):
             url = urlparse(self.path)
             parts = [p for p in url.path.split("/") if p]
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                payload = json.loads(self.rfile.read(length) or b"{}")
+            except json.JSONDecodeError as e:
+                return self._json({"error": f"bad request: {e}"}, 400)
             if parts == ["api", "clusters"]:
-                length = int(self.headers.get("Content-Length", 0))
                 try:
-                    payload = json.loads(self.rfile.read(length) or b"{}")
                     n = int(payload.get("numPoints", 10000))
-                except (ValueError, json.JSONDecodeError) as e:
+                except (TypeError, ValueError) as e:
                     return self._json({"error": f"bad request: {e}"}, 400)
                 return self._json(service.create_cluster(n))
+            if (
+                len(parts) == 4
+                and parts[:2] == ["api", "clusters"]
+                and parts[3] == "update"
+            ):
+                try:
+                    return self._json(
+                        service.update_cluster(
+                            parts[2],
+                            add=payload.get("add"),
+                            delete=payload.get("delete"),
+                            persist=bool(payload.get("persist", False)),
+                        )
+                    )
+                except FileNotFoundError:
+                    return self._json({"error": "not found"}, 404)
+                except ValueError as e:
+                    return self._json({"error": str(e)}, 400)
             self._json({"error": "not found"}, 404)
 
     return Handler

@@ -451,3 +451,55 @@ def test_engine_update_advances_pyramid_and_serving(spark):
         F.sum("point_count")
     ).first()[0]
     assert total == 2150 - 40 + 10
+
+
+def test_serving_live_update(server):
+    """POST /api/clusters/:id/update: live append + delete through the
+    serving tier, visible in subsequent clusters/metadata reads, and a
+    persisted snapshot version on request."""
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"{server}/api/clusters",
+        data=json.dumps({"numPoints": 1000}).encode(),
+        method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        ds = json.loads(r.read())["dataset_id"]
+
+    def post_update(payload):
+        req = urllib.request.Request(
+            f"{server}/api/clusters/{ds}/update",
+            data=json.dumps(payload).encode(),
+            method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read())
+
+    add = [
+        {"id": 1_000_000 + i, "lng": -74.0 + i * 0.01, "lat": 40.7,
+         "value": 1.0, "sales": 2.0, "category": "retail", "region": "east"}
+        for i in range(5)
+    ]
+    out = post_update({"add": add, "delete": [{"id": 1, "lng": 0, "lat": 0}],
+                       "persist": True})
+    assert out["added"] == 5 and out["deleted"] == 1
+    assert out["plan"] in ("incremental", "rebuild")
+    assert out["version"] >= 1
+    # note: the created dataset's point ids may or may not include id=1 at
+    # (0,0); a non-member deletion is a no-op by contract, so num_points is
+    # >= 1000 + 5 - 1
+    assert out["num_points"] >= 1004
+
+    meta = _get(
+        f"{server}/api/clusters/{ds}/metadata?zoom=3&west=-180&south=-85&east=180&north=85"
+    )
+    assert meta["total_points"] == out["num_points"]
+
+    # malformed rows are rejected
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError) as e:
+        post_update({"add": [{"lng": 0.0, "lat": 0.0}]})
+    assert e.value.code == 400
