@@ -265,6 +265,11 @@ def main() -> None:
         batch_1m.count()
         base_levels = eng_1m._zoom_levels.localCheckpoint(eager=True)
         base_levels.count()
+        # the update entries read the checkpointed copy only — release the
+        # build's own pyramid so they don't run under double storage
+        eng_1m._zoom_levels = None
+        gc.collect()
+        spark._jvm.System.gc()
         best = None
         for _ in range(2):  # best-of-2 (rare multi-x VM stalls)
             t0 = time.perf_counter()
@@ -319,6 +324,14 @@ def main() -> None:
             file=sys.stderr,
         )
 
+        # release the in-memory 1M pyramid checkpoints BEFORE the store
+        # entry: it reads its levels from its own parquet, and holding
+        # ~17M checkpointed rows alongside inflates its timing several-x
+        # (measured 104 s in-bench vs 15 s standalone)
+        del base_levels, batch_1m, eng_1m
+        gc.collect()
+        spark._jvm.System.gc()
+
         # the durable streaming form of the same update: a PyramidStore in
         # manifest mode applies the city batch AND publishes it durably —
         # dirty blocks only, untouched blocks shared with the previous
@@ -352,8 +365,8 @@ def main() -> None:
         gc.collect()
         spark._jvm.System.gc()
 
-        # release the 1M pyramid and update inputs before the 10M build
-        del base_levels, batch_1m, batch_city, eng_1m, pts_1m
+        # release the remaining update inputs before the 10M build
+        del batch_city, pts_1m
         gc.collect()
         spark._jvm.System.gc()
 
