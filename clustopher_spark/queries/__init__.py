@@ -43,7 +43,10 @@ _FLAGSHIP_ANCHORS = [
     "llm_simhash_near_pairs",       # SimHash pigeonhole join
     "llm_neardup_groups",           # connected components vs recursive CTE
     "llm_embedding_near_dups",      # embedding cosine near-dup
-    "llm_knn_cosine",               # brute-force ANN baseline
+    # llm_knn_cosine rotated out (driver-green r2; the ANN family
+    # keeps llm_embedding_near_dups + recall tests in-window) to
+    # seat the new ray-casting polygon-membership oracle
+    "spatial_point_in_polygon",     # concave polygons, parity rule
     "llm_pipeline_end_to_end",      # composite pipeline
     "llm_incremental_ingest_dedup", # batch-vs-history anti-join
     "events_tumbling_hourly",       # streaming batch twin

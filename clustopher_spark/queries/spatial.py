@@ -735,3 +735,91 @@ def spatial_dbscan(spark, sf_dir):
         dbscan(pts, eps=_DBSCAN_EPS, min_pts=_DBSCAN_MINPTS, x_col="ix", y_col="iy")
         .orderBy("id")
     )
+
+
+# Three literal test polygons over the derived points' domain (lng in
+# [-125,-65), lat in [25,49)): a triangle, a CONCAVE hexagon, and a convex
+# pentagon. No edge is horizontal, so the ray-crossing predicate never
+# divides by zero on the evaluated branch in either engine.
+_POLYGONS = {
+    1: [(-120.0, 30.0), (-110.0, 45.0), (-100.0, 30.2)],
+    2: [(-95.0, 30.0), (-85.0, 30.5), (-85.0, 44.0), (-90.0, 43.5),
+        (-90.0, 36.0), (-95.0, 36.5)],
+    3: [(-80.0, 32.0), (-72.0, 35.0), (-70.0, 42.0), (-76.0, 47.0),
+        (-83.0, 40.0)],
+}
+_POLY_EDGES = [
+    (pid, x1, y1, x2, y2)
+    for pid, ring in _POLYGONS.items()
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1])
+]
+_EDGES_SQL = ", ".join(
+    f"({p}, {x1}, {y1}, {x2}, {y2})" for p, x1, y1, x2, y2 in _POLY_EDGES
+)
+
+
+@register(
+    "spatial_point_in_polygon",
+    oracle=f"""
+    WITH pts AS ({POINTS_SQL}),
+    edges(poly_id, x1, y1, x2, y2) AS (VALUES {_EDGES_SQL}),
+    crossings AS (
+      SELECT p.id, p.value, e.poly_id, COUNT(*) AS k
+      FROM pts p
+      JOIN edges e
+        ON ((e.y1 > p.lat) <> (e.y2 > p.lat))
+       AND p.lng < e.x1 + (p.lat - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)
+      GROUP BY p.id, p.value, e.poly_id
+    )
+    SELECT poly_id,
+           COUNT(*) AS n_inside,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM crossings
+    WHERE k % 2 = 1
+    GROUP BY poly_id
+    ORDER BY poly_id
+    """,
+)
+def spatial_point_in_polygon(spark, sf_dir):
+    """Point-in-polygon membership for ARBITRARY (including concave)
+    polygons by the ray-casting parity rule, expressed relationally: each
+    point joins the broadcast edge table on the "my eastward ray crosses
+    this edge" predicate, an odd crossing count means inside (Jordan
+    curve theorem). Both conjuncts are plain arithmetic on identical IEEE
+    doubles in Spark and DuckDB, so parity is exact.
+
+    Scale shape: the polygon set is a TINY broadcast relation, so the
+    non-equi join is a BroadcastNestedLoopJoin whose per-point cost is
+    O(edges) predicate evaluations — no shuffle of the points, ever. For
+    MANY polygons, compose with the geofence cell decomposition
+    (spatial_geofence_join): pre-filter candidates by the polygons'
+    bbox cells with a hash join, then run this parity test only on the
+    per-cell survivors. The reference has no polygon support at all
+    (bbox viewports only, cluster/cluster.go:867-956)."""
+    p = points_df(spark, sf_dir)
+    edges = spark.createDataFrame(
+        _POLY_EDGES, "poly_id int, x1 double, y1 double, x2 double, y2 double"
+    )
+    crossing = (
+        (F.col("y1") > F.col("lat")) != (F.col("y2") > F.col("lat"))
+    ) & (
+        F.col("lng")
+        < F.col("x1")
+        + (F.col("lat") - F.col("y1"))
+        * (F.col("x2") - F.col("x1"))
+        / (F.col("y2") - F.col("y1"))
+    )
+    k = (
+        p.join(F.broadcast(edges), crossing)
+        .groupBy("id", "value", "poly_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return (
+        k.filter(F.col("k") % 2 == 1)
+        .groupBy("poly_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_inside"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("poly_id")
+    )
