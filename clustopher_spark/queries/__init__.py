@@ -49,7 +49,10 @@ _FLAGSHIP_ANCHORS = [
     "spatial_point_in_polygon",     # concave polygons, parity rule
     "llm_pipeline_end_to_end",      # composite pipeline
     "llm_incremental_ingest_dedup", # batch-vs-history anti-join
-    "events_tumbling_hourly",       # streaming batch twin
+    # events_tumbling_hourly rotated out (driver-green r2; the events
+    # family keeps session windows + as-of in-window) to seat the new
+    # point-to-polyline distance oracle
+    "spatial_nearest_route_distance",  # map-matching primitive
     "events_session_windows",       # session windows
     "events_asof_last_view_before_purchase",  # as-of join vs DuckDB ASOF
     # events_json_props rotated out (driver-green r2) to seat the

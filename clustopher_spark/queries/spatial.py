@@ -823,3 +823,100 @@ def spatial_point_in_polygon(spark, sf_dir):
         )
         .orderBy("poly_id")
     )
+
+
+# Two literal test polylines ("routes") crossing the points' domain — a
+# diagonal I-95-ish corridor and a zig-zag transcontinental corridor.
+_ROUTES = {
+    1: [(-120.0, 48.0), (-105.0, 40.0), (-95.0, 35.0), (-80.0, 26.0)],
+    2: [(-123.0, 34.0), (-108.0, 44.0), (-92.0, 30.0), (-76.0, 44.0),
+        (-67.0, 45.0)],
+}
+_ROUTE_SEGS = [
+    (rid, i, x1, y1, x2, y2)
+    for rid, line in _ROUTES.items()
+    for i, ((x1, y1), (x2, y2)) in enumerate(zip(line, line[1:]))
+]
+_SEGS_SQL = ", ".join(
+    f"({r}, {i}, {x1}, {y1}, {x2}, {y2})" for r, i, x1, y1, x2, y2 in _ROUTE_SEGS
+)
+
+
+@register(
+    "spatial_nearest_route_distance",
+    oracle=f"""
+    WITH pts AS ({POINTS_SQL}),
+    segs(route_id, seg_idx, x1, y1, x2, y2) AS (VALUES {_SEGS_SQL}),
+    proj AS (
+      SELECT p.id, p.lng, p.lat, s.route_id,
+             GREATEST(0.0, LEAST(1.0,
+               ((p.lng - s.x1) * (s.x2 - s.x1) + (p.lat - s.y1) * (s.y2 - s.y1))
+               / ((s.x2 - s.x1) * (s.x2 - s.x1) + (s.y2 - s.y1) * (s.y2 - s.y1))
+             )) AS t,
+             s.x1, s.y1, s.x2, s.y2
+      FROM pts p CROSS JOIN segs s
+    ),
+    seg_d AS (
+      SELECT id, route_id,
+             SQRT(POWER(lng - (x1 + t * (x2 - x1)), 2)
+                  + POWER(lat - (y1 + t * (y2 - y1)), 2)) AS d
+      FROM proj
+    ),
+    near AS (
+      SELECT id, route_id, MIN(d) AS dist FROM seg_d GROUP BY id, route_id
+    )
+    SELECT route_id,
+           COUNT(*) FILTER (WHERE dist <= 1.0) AS n_within_1deg,
+           ROUND(MIN(dist), 6) AS min_dist,
+           ROUND(AVG(dist), 4) AS avg_dist
+    FROM near
+    GROUP BY route_id
+    ORDER BY route_id
+    """,
+)
+def spatial_nearest_route_distance(spark, sf_dir):
+    """Point-to-polyline distance (the map-matching primitive): each point's
+    distance to its nearest segment of each route, by the clamped
+    orthogonal-projection formula — t = clamp(dot/len^2, 0, 1), distance to
+    the projected foot. All plain IEEE arithmetic, so the DuckDB oracle is
+    strict value parity.
+
+    Scale shape: routes are a TINY broadcast relation (segments, not
+    points), so per-point cost is O(segments) arithmetic in one map stage
+    plus a per-(point, route) min — no shuffle of the points beyond the
+    final per-route aggregate. For continental route networks, pre-filter
+    segments per point by the geofence cell grid exactly as the polygon
+    join does. The reference has no linear-geometry support."""
+    p = points_df(spark, sf_dir)
+    segs = spark.createDataFrame(
+        _ROUTE_SEGS,
+        "route_id int, seg_idx int, x1 double, y1 double, x2 double, y2 double",
+    )
+    dx, dy = F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1")
+    t = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.lit(1.0),
+            ((F.col("lng") - F.col("x1")) * dx + (F.col("lat") - F.col("y1")) * dy)
+            / (dx * dx + dy * dy),
+        ),
+    )
+    d = F.sqrt(
+        F.pow(F.col("lng") - (F.col("x1") + t * dx), F.lit(2.0))
+        + F.pow(F.col("lat") - (F.col("y1") + t * dy), F.lit(2.0))
+    )
+    near = (
+        p.crossJoin(F.broadcast(segs))
+        .select("id", F.col("route_id"), d.alias("d"))
+        .groupBy("id", "route_id")
+        .agg(F.min("d").alias("dist"))
+    )
+    return (
+        near.groupBy("route_id")
+        .agg(
+            F.count(F.when(F.col("dist") <= 1.0, 1)).alias("n_within_1deg"),
+            F.round(F.min("dist"), 6).alias("min_dist"),
+            F.round(F.avg("dist"), 4).alias("avg_dist"),
+        )
+        .orderBy("route_id")
+    )
