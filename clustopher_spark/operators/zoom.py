@@ -368,6 +368,45 @@ def _with_supercell(df: DataFrame, zoom: int, opts: ClusterOptions) -> DataFrame
     )
 
 
+def _rebuild_corpus(
+    points_old, points_new, points_deleted, metric_cols, opts,
+    local_tail_threshold,
+):
+    """The dispatch target: a full rebuild of the accumulated corpus
+    (old minus deleted, plus new) — identical to the incremental result
+    by the equivalence invariant, pinned by test."""
+    pts = points_old
+    if points_deleted is not None:
+        pts = pts.join(points_deleted.select("id"), "id", "left_anti")
+    return materialize_zoom_levels(
+        pts.unionByName(points_new.select(*pts.columns)),
+        metric_cols,
+        opts,
+        local_tail_threshold=local_tail_threshold,
+    )
+
+
+def _est_fed_fraction(
+    dirty_at, chain, z_cut, z_top, opts, n_total
+):
+    """Estimated fraction of the pyramid the kernel would have to feed:
+    per chained level, dirty-cell count at the fed granularity over that
+    grid's size, weighted by a grid-capped level-size bound (clusters per
+    supercell <= supercell_radii^2 by the greedy min-separation).
+    ``dirty_at`` maps tz -> dirty-cell count. Pure driver arithmetic."""
+    grid_axis = 2**z_top * opts.extent / opts.supercell_size
+    cap = float(opts.supercell_radii) ** 2
+    est_fed = est_tot = 0.0
+    for z in chain:
+        tz = max(z - 1, z_cut)
+        g_tz = max((grid_axis / 2 ** (z_top - tz)) ** 2, 1.0)
+        g_z = max((grid_axis / 2 ** (z_top - z)) ** 2, 1.0)
+        rows_z = min(float(n_total), g_z * cap)
+        est_fed += min(dirty_at[tz] / g_tz, 1.0) * rows_z
+        est_tot += rows_z
+    return est_fed / max(est_tot, 1.0)
+
+
 def fused_update_pass(
     levels_old: DataFrame,
     points_old: DataFrame,
@@ -501,14 +540,9 @@ def fused_update_pass(
     if not prune and rebuild_fraction is not None:
         if stats is not None:
             stats["path"] = "rebuild"
-        pts = points_old
-        if points_deleted is not None:
-            pts = pts.join(points_deleted.select("id"), "id", "left_anti")
-        return materialize_zoom_levels(
-            pts.unionByName(points_new.select(*pts.columns)),
-            metric_cols,
-            opts,
-            local_tail_threshold=local_tail_threshold,
+        return _rebuild_corpus(
+            points_old, points_new, points_deleted, metric_cols, opts,
+            local_tail_threshold,
         )
 
     tpx, tpy = project_cols(F.col("lng"), F.col("lat"), z_top, opts.extent)
@@ -562,40 +596,25 @@ def fused_update_pass(
                     # <= supercell_radii^2 by the greedy min-separation).
                     # Over-estimating on a concentrated corpus picks a
                     # rebuild that is merely not-faster — never wrong.
-                    if rebuild_fraction is not None and len(bp):
-                        grid_axis = 2**z_top * opts.extent / size
-                        est_fed = est_tot = 0.0
-                        cap = float(opts.supercell_radii) ** 2
-                        for z in chain:
-                            tz = max(z - 1, z_cut)
-                            k = z_top - tz
-                            n_dirty = len(
-                                np.unique(((bcx >> k) << 32) + (bcy >> k))
-                            )
-                            g_tz = max((grid_axis / 2 ** (z_top - tz)) ** 2, 1.0)
-                            g_z = max((grid_axis / 2 ** (z_top - z)) ** 2, 1.0)
-                            rows_z = min(float(n_total), g_z * cap)
-                            est_fed += min(n_dirty / g_tz, 1.0) * rows_z
-                            est_tot += rows_z
-                        est = est_fed / max(est_tot, 1.0)
+                    if rebuild_fraction is not None:
+                        dirty_at = {
+                            tz: len(np.unique(
+                                ((bcx >> (z_top - tz)) << 32)
+                                + (bcy >> (z_top - tz))
+                            ))
+                            for tz in set(max(z - 1, z_cut) for z in chain)
+                        }
+                        est = _est_fed_fraction(
+                            dirty_at, chain, z_cut, z_top, opts, n_total
+                        )
                         if stats is not None:
                             stats["est_fed_fraction"] = est
                         if est >= rebuild_fraction:
                             if stats is not None:
                                 stats["path"] = "rebuild"
-                            pts = points_old
-                            if points_deleted is not None:
-                                pts = pts.join(
-                                    points_deleted.select("id"), "id",
-                                    "left_anti",
-                                )
-                            return materialize_zoom_levels(
-                                pts.unionByName(
-                                    points_new.select(*pts.columns)
-                                ),
-                                metric_cols,
-                                opts,
-                                local_tail_threshold=local_tail_threshold,
+                            return _rebuild_corpus(
+                                points_old, points_new, points_deleted,
+                                metric_cols, opts, local_tail_threshold,
                             )
                     if stats is not None:
                         stats["path"] = "incremental"
@@ -638,32 +657,21 @@ def fused_update_pass(
                         F.approx_count_distinct(tz_code).alias(f"d{tz}")
                     )
                 drow = batch_pos.agg(*dist_aggs).first()
-                grid_axis = 2**z_top * opts.extent / size
-                est_fed = est_tot = 0.0
-                cap = float(opts.supercell_radii) ** 2
-                for z in chain:
-                    tz = max(z - 1, z_cut)
-                    g_tz = max((grid_axis / 2 ** (z_top - tz)) ** 2, 1.0)
-                    g_z = max((grid_axis / 2 ** (z_top - z)) ** 2, 1.0)
-                    rows_z = min(float(n_total), g_z * cap)
-                    est_fed += min(drow[f"d{tz}"] / g_tz, 1.0) * rows_z
-                    est_tot += rows_z
-                est = est_fed / max(est_tot, 1.0)
+                dirty_at = {
+                    tz: drow[f"d{tz}"]
+                    for tz in set(max(z - 1, z_cut) for z in chain)
+                }
+                est = _est_fed_fraction(
+                    dirty_at, chain, z_cut, z_top, opts, n_total
+                )
                 if stats is not None:
                     stats["est_fed_fraction"] = est
                 if est >= rebuild_fraction:
                     if stats is not None:
                         stats["path"] = "rebuild"
-                    pts = points_old
-                    if points_deleted is not None:
-                        pts = pts.join(
-                            points_deleted.select("id"), "id", "left_anti"
-                        )
-                    return materialize_zoom_levels(
-                        pts.unionByName(points_new.select(*pts.columns)),
-                        metric_cols,
-                        opts,
-                        local_tail_threshold=local_tail_threshold,
+                    return _rebuild_corpus(
+                        points_old, points_new, points_deleted, metric_cols,
+                        opts, local_tail_threshold,
                     )
                 if stats is not None:
                     stats["path"] = "incremental"
