@@ -64,6 +64,16 @@ class Clustopher:
         # _track_request_cache so a serving loop can't grow executor storage
         self._request_caches: list[DataFrame] = []
         self.request_cache_window = 8
+        # driver-side tile LRU for zooms too large for the full serve
+        # cache: {(zoom, tx, ty): pandas rows}, bounded by total rows.
+        # Guarded by a lock — the HTTP layer serves from many threads.
+        import threading
+        from collections import OrderedDict
+
+        self._tile_cache: "OrderedDict[tuple, object]" = OrderedDict()
+        self._tile_cache_rows = 0
+        self.tile_cache_max_rows = 2_000_000
+        self._tile_lock = threading.Lock()
 
     @classmethod
     def from_store(
@@ -152,7 +162,7 @@ class Clustopher:
             return frame.filter(
                 (F.col("lng") >= west) & (F.col("lng") <= east)
                 & (F.col("lat") >= south) & (F.col("lat") <= north)
-            )
+            ).drop("tile_x", "tile_y")
         if self._zoom_levels is not None:
             return query_zoom_levels(self._zoom_levels, west, south, east, north, zoom)
         return get_clusters(
@@ -178,8 +188,29 @@ class Clustopher:
             # instead of one task per source partition). Levels served
             # this way are bounded by occupied r-cells (see
             # build_serve_cache), so one partition stays tens of MB.
+            # tile_x/tile_y: coarse equirectangular bins the driver-side
+            # tile LRU fetches by (get_clusters_local) — computed once
+            # here so per-request fetches are a pushable range filter.
+            tz = self._tile_zoom(z)
+            n_tiles = 1 << tz
             frame = (
-                self._zoom_levels.filter(F.col("zoom") == z).coalesce(1).cache()
+                self._zoom_levels.filter(F.col("zoom") == z)
+                .withColumn(
+                    "tile_x",
+                    F.least(
+                        F.lit(n_tiles - 1),
+                        F.floor((F.col("lng") + 180.0) / 360.0 * n_tiles),
+                    ).cast("int"),
+                )
+                .withColumn(
+                    "tile_y",
+                    F.least(
+                        F.lit(n_tiles - 1),
+                        F.floor((F.col("lat") + 90.0) / 180.0 * n_tiles),
+                    ).cast("int"),
+                )
+                .coalesce(1)
+                .cache()
             )
             counts[z] = frame.count()  # materialize now: serve path stays cold-start-free
             self._zoom_frames[z] = frame
@@ -192,6 +223,9 @@ class Clustopher:
             frame.unpersist()
         self._zoom_frames.clear()
         self._serve_cache.clear()
+        with self._tile_lock:
+            self._tile_cache.clear()
+            self._tile_cache_rows = 0
         for frame in self._request_caches:
             frame.unpersist()
         self._request_caches.clear()
@@ -247,29 +281,138 @@ class Clustopher:
                 )
         return {z: sizes[z] for z in small}
 
+    # --- driver-side tile LRU (the cold-path serving tier) --------------------
+
+    @staticmethod
+    def _tile_zoom(zoom: int) -> int:
+        """Tile-grid zoom for a pyramid level: 3 levels coarser than the
+        query zoom (a viewport at zoom z spans a handful of zoom-(z-3)
+        tiles), capped at 7 (2^7 x 2^7 = 16k tiles worldwide — deeper
+        grids would fragment fetches without bounding tile size any
+        better, since rows per level are already capped by occupied
+        r-cells / input points)."""
+        return min(max(zoom - 3, 0), 7)
+
+    @classmethod
+    def _tile_range(cls, west, south, east, north, zoom: int):
+        """Inclusive (x0, x1, y0, y1) tile-index cover of a bbox at the
+        level's tile grid. floor() bins match cache_zoom_frames' tile_x/
+        tile_y exactly, so the union of covering tiles is a superset of
+        every row the bbox filter can accept."""
+        tz = cls._tile_zoom(zoom)
+        n = 1 << tz
+
+        def clamp(v):
+            return max(0, min(n - 1, int(v)))
+
+        import math
+
+        x0 = clamp(math.floor((west + 180.0) / 360.0 * n))
+        x1 = clamp(math.floor((east + 180.0) / 360.0 * n))
+        y0 = clamp(math.floor((south + 90.0) / 180.0 * n))
+        y1 = clamp(math.floor((north + 90.0) / 180.0 * n))
+        return x0, x1, y0, y1
+
+    def _tile_cache_put(self, key, pdf) -> None:
+        """Insert under the lock; evict least-recently-used tiles until the
+        total resident rows fit the bound. Eviction is correctness-safe —
+        an evicted tile is just re-fetched from the cached zoom frame."""
+        with self._tile_lock:
+            if key in self._tile_cache:
+                return
+            self._tile_cache[key] = pdf
+            self._tile_cache_rows += len(pdf)
+            while (
+                self._tile_cache_rows > self.tile_cache_max_rows
+                and len(self._tile_cache) > 1
+            ):
+                _, old = self._tile_cache.popitem(last=False)
+                self._tile_cache_rows -= len(old)
+
+    def _fetch_tiles(self, zoom: int, missing: list[tuple]) -> dict:
+        """ONE Spark job for all missing tiles of a request: a pushable
+        tile_x/tile_y range filter over the zoom's cached single-partition
+        frame, split driver-side into per-tile pandas frames. Returns
+        {key: pdf} so the caller never depends on cache residency — under
+        heavy eviction pressure a just-inserted tile may already be gone."""
+        out: dict = {}
+        frame = self._zoom_frames[zoom]
+        xs = sorted({t[1] for t in missing})
+        ys = sorted({t[2] for t in missing})
+        fetched = frame.filter(
+            (F.col("tile_x") >= xs[0]) & (F.col("tile_x") <= xs[-1])
+            & (F.col("tile_y") >= ys[0]) & (F.col("tile_y") <= ys[-1])
+        ).toPandas()
+        groups = dict(iter(fetched.groupby(["tile_x", "tile_y"], sort=False)))
+        for key in missing:
+            _, tx, ty = key
+            pdf = groups.get((tx, ty))
+            if pdf is None:
+                pdf = fetched.iloc[0:0]
+            pdf = pdf.drop(columns=["tile_x", "tile_y"]).reset_index(drop=True)
+            out[key] = pdf
+            self._tile_cache_put(key, pdf)
+        return out
+
     def get_clusters_local(self, west, south, east, north, zoom: int):
         """Serve-time viewport query returning a pandas DataFrame — the form
-        the HTTP layer ships to clients. Hot path: numpy bbox mask over the
-        driver cache (no Spark job). Fallback: the Spark path + Arrow
-        toPandas, with AQE disabled for the duration of the action — the
-        query is a bbox filter over one cached partition, so adaptive
-        re-planning has nothing to adapt and its extra query-stage
-        machinery costs ~20 ms of pure latency (measured 85 -> 60 ms).
-        The conf toggle is session-scoped: a concurrent query planned in
-        the window just plans without AQE once — no correctness impact."""
+        the HTTP layer ships to clients.
+
+        Hot path: numpy bbox mask over the full driver cache (no Spark
+        job, sub-ms). Cold path (zooms too large for build_serve_cache):
+        a per-(zoom, coarse-tile) driver LRU — the covering tiles of the
+        bbox are fetched from the cached zoom frame with ONE Spark job on
+        first touch and served from pandas thereafter, so a pan/zoom
+        session pays Spark latency once per newly-exposed tile, not per
+        request (this container's floor for ANY Spark action is ~70-100 ms
+        of pure scheduling, so a job-per-request path can never meet the
+        reference's <50 ms serve claim; the reference serves from an
+        in-memory dataset, runner/runner.go:157-203, and this cache is the
+        bounded-memory analog). Memory is bounded by tile_cache_max_rows
+        (LRU eviction; evicted tiles re-fetch). Last resort (pyramid not
+        cached via cache_zoom_frames): the Spark path + Arrow toPandas.
+        No session conf is toggled here — a previous revision flipped
+        spark.sql.adaptive.enabled around the action, which races under
+        the threaded HTTP server and could latch AQE off session-wide."""
+        import pandas as pd
+
         zoom = min(zoom, self.opts.max_zoom)
         hit = self._serve_cache.get(zoom)
         if hit is not None:
             lng, lat, pdf = hit
             mask = (lng >= west) & (lng <= east) & (lat >= south) & (lat <= north)
             return pdf[mask]
-        spark = self.points.sparkSession
-        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            return self.get_clusters(west, south, east, north, zoom).toPandas()
-        finally:
-            spark.conf.set("spark.sql.adaptive.enabled", prev)
+        if zoom in self._zoom_frames:
+            x0, x1, y0, y1 = self._tile_range(west, south, east, north, zoom)
+            keys = [
+                (zoom, tx, ty)
+                for tx in range(x0, x1 + 1)
+                for ty in range(y0, y1 + 1)
+            ]
+            with self._tile_lock:
+                resident = {}
+                missing = []
+                for k in keys:
+                    pdf = self._tile_cache.get(k)
+                    if pdf is None:
+                        missing.append(k)
+                    else:
+                        self._tile_cache.move_to_end(k)
+                        resident[k] = pdf
+            if missing:
+                resident.update(self._fetch_tiles(zoom, missing))
+            parts = [resident[k] for k in keys if len(resident[k])]
+            if not parts:
+                return resident[keys[0]]  # empty frame with the right schema
+            out = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+            mask = (
+                (out["lng"].to_numpy() >= west)
+                & (out["lng"].to_numpy() <= east)
+                & (out["lat"].to_numpy() >= south)
+                & (out["lat"].to_numpy() <= north)
+            )
+            return out[mask]
+        return self.get_clusters(west, south, east, north, zoom).toPandas()
 
     def _assigned_once(self, west, south, east, north, zoom: int):
         """Single kernel pass shared by the metadata paths.

@@ -297,24 +297,40 @@ class PyramidStore:
 
     def current_points(self) -> DataFrame:
         """The accumulated corpus: bootstrap + committed adds, minus
-        committed deletions. Orphan logs from a crashed batch carry a
-        batch id > last_batch and are invisible until recommitted."""
+        committed deletions — scoped by BATCH ORDER. A deletion in batch M
+        erases only adds from strictly earlier batches (bootstrap = batch
+        -1): an id re-added in batch N > M survives, and a same-batch
+        add+delete keeps the add — exactly the fold apply_batch feeds the
+        pyramid, so 'every version equals a full rebuild of its
+        accumulated corpus' holds for the point log too (round-3 advice:
+        the old reader anti-joined every deletion log against every adds
+        batch as a global id blacklist, silently diverging from the
+        levels after a delete-then-readd). Provenance rides an
+        ``_add_batch`` / ``_del_batch`` column written into each log; the
+        anti-join is still ONE shuffle on id (equi key + an inequality
+        residual). Orphan logs from a crashed batch carry a batch id >
+        last_batch and are invisible until recommitted."""
         meta = self._meta()
         last = int(meta.get("last_batch", -1))
-        paths = []
+        pts = None
         boot = os.path.join(self.root, "batches", "bootstrap")
         if os.path.isdir(boot):
-            paths.append(boot)
+            pts = self.spark.read.parquet(boot).withColumn(
+                "_add_batch", F.lit(-1).cast("long")
+            )
         adds_root = os.path.join(self.root, "batches", "adds")
+        apaths = []
         if os.path.isdir(adds_root):
-            paths.extend(
+            apaths = [
                 os.path.join(adds_root, d)
                 for d in sorted(os.listdir(adds_root))
                 if d.startswith("b") and int(d[1:]) <= last
-            )
-        if not paths:
+            ]
+        if apaths:
+            adds = self.spark.read.parquet(*apaths)
+            pts = adds if pts is None else pts.unionByName(adds)
+        if pts is None:
             raise ValueError("store is empty — bootstrap() it first")
-        pts = self.spark.read.parquet(*paths)
         dels_root = os.path.join(self.root, "batches", "dels")
         if os.path.isdir(dels_root):
             dpaths = [
@@ -323,9 +339,16 @@ class PyramidStore:
                 if d.startswith("b") and int(d[1:]) <= last
             ]
             if dpaths:
-                dels = self.spark.read.parquet(*dpaths)
-                pts = pts.join(dels.select("id"), "id", "left_anti")
-        return pts
+                dels = self.spark.read.parquet(*dpaths).select(
+                    F.col("id").alias("_del_id"), "_del_batch"
+                )
+                pts = pts.join(
+                    dels,
+                    (F.col("id") == F.col("_del_id"))
+                    & (F.col("_del_batch") > F.col("_add_batch")),
+                    "left_anti",
+                )
+        return pts.drop("_add_batch")
 
     # ---- writers ----
     def bootstrap(self, points: DataFrame) -> int:
@@ -356,8 +379,9 @@ class PyramidStore:
 
         Deletions (``op == "delete"``; rows carry id + position) apply to
         previously-committed points — an add and a delete of the SAME id
-        in one batch leaves the point added (split such flows across
-        batches, or pre-filter upstream)."""
+        in one batch leaves the point added, and current_points() applies
+        the identical batch-ordered fold (a later re-add of a deleted id
+        survives both)."""
         meta = self._meta()
         if int(meta.get("latest", 0)) == 0:
             raise ValueError("store is empty — bootstrap() it first")
@@ -374,14 +398,20 @@ class PyramidStore:
             adds = batch_df.select(*self._point_cols())
             dels = None
         # idempotent per-batch logs (overwrite: a replayed crash re-writes
-        # the same directory rather than appending duplicates)
+        # the same directory rather than appending duplicates). Each log
+        # carries its batch id so current_points can scope deletions by
+        # order (see its docstring).
         adds_path = os.path.join(self.root, "batches", "adds", f"b{batch_id}")
-        adds.write.mode("overwrite").parquet(adds_path)
-        adds = self.spark.read.parquet(adds_path)
+        adds.withColumn("_add_batch", F.lit(batch_id).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(adds_path)
+        adds = self.spark.read.parquet(adds_path).select(*self._point_cols())
         if dels is not None:
             dels_path = os.path.join(self.root, "batches", "dels", f"b{batch_id}")
-            dels.write.mode("overwrite").parquet(dels_path)
-            dels = self.spark.read.parquet(dels_path)
+            dels.withColumn(
+                "_del_batch", F.lit(batch_id).cast("long")
+            ).write.mode("overwrite").parquet(dels_path)
+            dels = self.spark.read.parquet(dels_path).select("id", "lng", "lat")
             if not dels.take(1):
                 dels = None
         upd = update_zoom_levels(

@@ -575,3 +575,63 @@ def test_fused_update_oversize_batch_dispatches_to_rebuild(spark, monkeypatch):
     assert canon(upd) == canon(
         materialize_zoom_levels(old.unionByName(new), ["value"], opts)
     )
+
+
+def test_tile_cache_matches_spark_path(spark):
+    """Round-4 serve tier: the per-(zoom, coarse-tile) driver LRU must be
+    bit-equivalent to the Spark bbox filter over the same cached zoom
+    frame, for viewports that straddle tile borders, repeat (resident
+    tiles), and pan to fresh tiles."""
+    from clustopher_spark.sources.generators import generate_test_points
+
+    pts = generate_test_points(spark, 3000, seed=23).select("id", "lng", "lat", "value")
+    eng = Clustopher(pts, ["value"], opts=OPTS)
+    eng.materialize()
+    counts = eng.cache_zoom_frames()
+    # NO build_serve_cache: every get_clusters_local goes through tiles
+    viewports = [
+        (-125, 25, -65, 49),
+        (-180, -85, 180, 85),
+        (-110, 30, -90, 45),
+        (-1.0, -1.0, 1.0, 1.0),   # straddles the world-center tile corner
+        (-110, 30, -90, 45),      # repeat: fully resident, no Spark job
+    ]
+    for zoom in sorted(counts)[:4]:
+        for w, s, e, n in viewports:
+            pdf = eng.get_clusters_local(w, s, e, n, zoom)
+            spark_rows = eng.get_clusters(w, s, e, n, zoom).collect()
+            a = sorted(
+                (int(r["cluster_id"]), round(float(r["lng"]), 9), int(r["point_count"]))
+                for _, r in pdf.iterrows()
+            )
+            b = sorted(
+                (int(r.cluster_id), round(float(r.lng), 9), int(r.point_count))
+                for r in spark_rows
+            )
+            assert a == b, f"tile cache diverges at zoom {zoom} viewport {(w,s,e,n)}"
+    assert eng._tile_cache, "tile LRU never populated"
+    eng.release_caches()
+    assert not eng._tile_cache and eng._tile_cache_rows == 0
+
+
+def test_tile_cache_lru_bound(spark):
+    """The tile LRU must stay under tile_cache_max_rows (eviction), and an
+    evicted tile must re-fetch correctly rather than erroring."""
+    from clustopher_spark.sources.generators import generate_test_points
+
+    pts = generate_test_points(spark, 2000, seed=29).select("id", "lng", "lat", "value")
+    eng = Clustopher(pts, ["value"], opts=OPTS)
+    eng.materialize()
+    counts = eng.cache_zoom_frames()
+    zoom = max(z for z in counts)  # deepest level: most rows
+    eng.tile_cache_max_rows = 50  # force eviction pressure
+    for w in range(-180, 140, 40):  # sweep viewports across the world
+        eng.get_clusters_local(w, -60, w + 40, 60, zoom)
+    assert eng._tile_cache_rows <= max(
+        50, max(len(p) for p in eng._tile_cache.values())
+    )
+    # a previously-evicted region still answers correctly
+    pdf = eng.get_clusters_local(-180, -60, -140, 60, zoom)
+    n_spark = eng.get_clusters(-180, -60, -140, 60, zoom).count()
+    assert len(pdf) == n_spark
+    eng.release_caches()

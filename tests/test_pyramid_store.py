@@ -230,3 +230,61 @@ def test_engine_serves_from_store(spark, tmp_path):
     # and the adopted engine can advance independently
     eng.update(_pts(spark, 50, seed=67, id_base=2_000_000))
     assert eng.points.count() == 2250
+
+
+def test_delete_then_readd_consistency(spark, tmp_path):
+    """Round-3 advice: current_points() used a global id blacklist for
+    deletions, so an id deleted in batch M and re-added in batch N > M
+    vanished from the point log while the pyramid (correctly) retained it
+    — the next apply_batch then ran with points inconsistent with levels.
+    Deletions must fold in batch order: re-adds survive, same-batch
+    add+delete keeps the add, and every version still equals a rebuild."""
+    store = PyramidStore(spark, str(tmp_path / "store"), ["value"], OPTS)
+    base = _pts(spark, 1500, seed=81)
+    store.bootstrap(base)
+
+    # batch 0 deletes ids 0-49 and adds 100 fresh points
+    doomed = base.filter(F.col("id") < 50)
+    fresh = _pts(spark, 100, seed=82, id_base=1_000_000)
+    b0 = fresh.withColumn("op", F.lit("add")).unionByName(
+        doomed.withColumn("op", F.lit("delete"))
+    )
+    assert store.apply_batch(b0, 0) is True
+    corpus = base.filter(F.col("id") >= 50).unionByName(fresh)
+    assert _canon(store.current_levels()) == _canon(
+        materialize_zoom_levels(corpus, ["value"], OPTS)
+    )
+
+    # batch 1 RE-ADDS 20 of the deleted ids (new positions) — the old
+    # reader dropped these from current_points forever
+    readd = _pts(spark, 20, seed=83, west=-10, south=-10, east=10, north=10)
+    readd = readd.withColumn("id", F.col("id") % 20)  # ids 0..19, deleted in b0
+    assert store.apply_batch(readd, 1) is True
+    corpus = corpus.unionByName(readd)
+    got_pts = sorted(r.id for r in store.current_points().select("id").collect())
+    want_pts = sorted(r.id for r in corpus.select("id").collect())
+    assert got_pts == want_pts, "re-added ids missing from current_points"
+    assert _canon(store.current_levels()) == _canon(
+        materialize_zoom_levels(corpus, ["value"], OPTS)
+    )
+
+    # batch 2: SAME-batch add+delete of one id — the add wins in both the
+    # pyramid (apply_batch contract) and the point log
+    spot = _pts(spark, 1, seed=84, id_base=5_000_000)
+    b2 = spot.withColumn("op", F.lit("add")).unionByName(
+        spot.withColumn("op", F.lit("delete"))
+    )
+    assert store.apply_batch(b2, 2) is True
+    corpus = corpus.unionByName(spot)
+    assert store.current_points().filter(F.col("id") >= 5_000_000).count() == 1
+    assert _canon(store.current_levels()) == _canon(
+        materialize_zoom_levels(corpus, ["value"], OPTS)
+    )
+
+    # a further batch applied on top of the re-add state stays coherent
+    b3 = _pts(spark, 50, seed=85, id_base=6_000_000)
+    assert store.apply_batch(b3, 3) is True
+    corpus = corpus.unionByName(b3)
+    assert _canon(store.current_levels()) == _canon(
+        materialize_zoom_levels(corpus, ["value"], OPTS)
+    )
