@@ -432,7 +432,18 @@ def connected_components(
         # the driver limit): second element of every edge is the
         # component min, so the edge list IS the label map
         if n_e == prev_n and e.exceptAll(prev_e).count() == 0:
-            star = e.select(F.col("a").alias("v"), F.col("b").alias("root"))
+            # defensive reduce (round-3 advice): the Kiveris star-convergence
+            # theorem says the fixpoint is a perfect star (one outgoing edge
+            # per non-root vertex), but this exit is only exercised above
+            # driver_edge_limit where that is effectively untested — if a
+            # fixpoint ever retained a vertex with edges to two labels, the
+            # label join would fan out and emit conflicting group_ids. One
+            # groupBy(min) is O(edge-list), preserves the min-label
+            # semantics either way, and makes the exit safe by construction.
+            star = (
+                e.groupBy(F.col("a").alias("v"))
+                .agg(F.min("b").alias("root"))
+            )
             labels = labels.join(star, labels.label == star.v, "left").select(
                 "id", F.coalesce("root", "label").alias("label")
             )

@@ -23,14 +23,16 @@ Guarantees carried by the summary (asserted in tests):
 * err <= n_total / (k + 1) (the mergeable-summaries bound).
 
 Replay safety: unlike HLL-union (idempotent over sets), MG merge would
-double-count a replayed batch, so the meta row records the last folded
+double-count a replayed batch, so the meta records the last folded
 ``batch_id`` and a replay of batch_id <= last_batch is skipped — the
 same exactly-once trick as the foreachBatch upsert sink (sinks.py).
-Caveat: the summary write and the meta write are two parquet commits,
-so a crash BETWEEN them leaves a window where one batch can refold on
-restart; a transactional table format (Delta/Iceberg) committing both
-in one snapshot closes it — same upgrade path as sinks.py. The
-bottom-k sample store (samples.py) avoids the window entirely by being
+The summary and its meta commit ATOMICALLY (round-3 advice closed the
+old two-parquet-commit crash window, which could refold a batch and
+void the error bound): each fold writes the k-row summary under an
+immutable ``versions/v{N}`` directory and repoints ``meta.json`` with
+one atomic rename carrying version + counters + last_batch
+(streaming/state_store.py — the PyramidStore pattern). The bottom-k
+sample store (samples.py) avoids the problem entirely by being
 idempotent by construction.
 
 Scale shape: state is <= k rows regardless of history length; the
@@ -47,27 +49,40 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from clustopher_spark.streaming.state_store import (
+    commit_meta,
+    prune_versions,
+    read_meta,
+    version_dir,
+)
+
 
 def _read_state(spark, store_path: str):
     """Return (summary_df | None, n_total, err, last_batch)."""
-    meta_path = store_path + "_meta"
-    if not (os.path.isdir(meta_path) and any(
-        not f.startswith("_") for f in os.listdir(meta_path)
-    )):
+    meta = read_meta(store_path)
+    if meta is None:
         return None, 0, 0, -1
-    meta = spark.read.parquet(meta_path).collect()[0]
-    summary = spark.read.parquet(store_path)
+    summary = spark.read.parquet(
+        os.path.join(version_dir(store_path, int(meta["version"])), "summary")
+    )
     return summary, meta["n_total"], meta["err"], meta["last_batch"]
 
 
 def _write_state(spark, store_path: str, summary: DataFrame,
                  n_total: int, err: int, batch_id: int) -> None:
-    # eager checkpoint: the merge must finish READING the old summary
-    # before the overwrite replaces it
-    summary.localCheckpoint(eager=True).write.mode("overwrite").parquet(store_path)
-    spark.createDataFrame(
-        [(n_total, err, batch_id)], "n_total long, err long, last_batch long"
-    ).coalesce(1).write.mode("overwrite").parquet(store_path + "_meta")
+    meta = read_meta(store_path) or {"version": 0}
+    version = int(meta["version"]) + 1
+    # a FRESH immutable version directory: the merge can stream-read the
+    # old summary while writing (no read-overwrite hazard), and the
+    # atomic meta repoint below publishes summary + counters together
+    summary.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(version_dir(store_path, version), "summary")
+    )
+    commit_meta(store_path, {
+        "version": version, "n_total": n_total, "err": err,
+        "last_batch": batch_id,
+    })
+    prune_versions(store_path, {version})
 
 
 def incremental_heavy_hitters(

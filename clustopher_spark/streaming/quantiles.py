@@ -16,25 +16,36 @@ widens the error only for quantiles that land there — lo/hi are part of
 the store's identity and must not change between drains.
 
 Replay safety: summed counts are NOT idempotent under checkpoint replay,
-so the meta row records the last folded batch_id and replays are
-skipped (same trick as heavy_hitters.py / the upsert sink — including
-its caveat: the partials write and the meta write are two parquet
-commits, and a crash between them can refold one batch on restart; a
-transactional table format committing both in one snapshot closes the
-window).
+so the meta records the last folded batch_id and replays are skipped
+(same trick as heavy_hitters.py / the upsert sink). The partials and
+the meta commit ATOMICALLY (round-3 advice closed the old
+two-parquet-commit crash window): each fold writes ONLY the touched
+days' histograms under an immutable ``versions/v{N}`` directory and
+repoints ``meta.json`` with one atomic rename carrying last_batch plus
+a day -> directory manifest — untouched days stay owned by their older
+version directories (the PyramidStore manifest pattern,
+streaming/pyramid.py), so the write stays O(touched days) while a crash
+anywhere leaves the previous (partials, meta) pair fully consistent.
 
 Scale shape: state is |days| x B rows of (day, bin, cnt); each batch
-folds via one hash aggregate on (day, bin) with map-side combine and a
-dynamic partition overwrite of the touched days only. The raw stream is
-never retained.
+folds via one hash aggregate on (day, bin) with map-side combine and an
+O(touched-days) write. The raw stream is never retained.
 """
 
 from __future__ import annotations
 
 import os
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from clustopher_spark.streaming.state_store import (
+    commit_meta,
+    prune_versions,
+    read_meta,
+    version_dir,
+)
 
 
 def _bin_col(value_col: str, lo: float, hi: float, bins: int):
@@ -43,13 +54,20 @@ def _bin_col(value_col: str, lo: float, hi: float, bins: int):
     return F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
 
 
-def _read_meta(spark, store_path: str):
-    meta_path = store_path + "_meta"
-    if not (os.path.isdir(meta_path) and any(
-        not f.startswith("_") for f in os.listdir(meta_path)
-    )):
-        return -1
-    return spark.read.parquet(meta_path).collect()[0]["last_batch"]
+def _read_days(spark, root: str, manifest: dict, days) -> DataFrame | None:
+    """Union the selected days' histograms, re-attaching the day column
+    (each manifest entry is one day's directory; the column is implied by
+    the key, not stored)."""
+    frames = [
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(root, rel))
+        .withColumn("day", F.lit(day).cast("date"))
+        for day, rel in manifest.items()
+        if day in days
+    ]
+    if not frames:
+        return None
+    return reduce(lambda a, b: a.unionByName(b), frames)
 
 
 def incremental_quantile_partials(
@@ -62,12 +80,14 @@ def incremental_quantile_partials(
     query_name: str = "quantile_partials_sink",
 ):
     """Drain ``stream`` (availableNow) into the per-day histogram partial
-    store at ``store_path`` (parquet partitioned by day). Returns the
-    finished StreamingQuery."""
+    store at ``store_path``. Returns the finished StreamingQuery."""
     spark = stream.sparkSession
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _read_meta(spark, store_path):
+        meta = read_meta(store_path) or {
+            "version": 0, "last_batch": -1, "manifest": {}
+        }
+        if batch_id <= int(meta["last_batch"]):
             return  # checkpoint replay: already folded
         fresh = (
             batch_df.filter(F.col(value_col).isNotNull())
@@ -78,31 +98,37 @@ def incremental_quantile_partials(
             .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
             .localCheckpoint(eager=True)
         )
-        days = [r["day"] for r in fresh.select("day").distinct().collect()]
+        days = sorted(str(r["day"]) for r in fresh.select("day").distinct().collect())
         if not days:
             return
+        manifest = dict(meta["manifest"])
         merged = fresh
-        if os.path.isdir(store_path) and any(
-            not f.startswith("_") for f in os.listdir(store_path)
-        ):
-            old = spark.read.parquet(store_path).filter(F.col("day").isin(days))
+        old = _read_days(spark, store_path, manifest, set(days))
+        if old is not None:
             merged = (
                 fresh.unionByName(old)
                 .groupBy("day", "bin")
                 .agg(F.sum("cnt").cast("long").alias("cnt"))
             )
-        # eager checkpoint: finish READING the old partitions before the
-        # dynamic overwrite below replaces them
-        merged = merged.localCheckpoint(eager=True)
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            merged.write.mode("overwrite").partitionBy("day").parquet(store_path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        spark.createDataFrame(
-            [(batch_id,)], "last_batch long"
-        ).coalesce(1).write.mode("overwrite").parquet(store_path + "_meta")
+        version = int(meta["version"]) + 1
+        # one write job for all touched days: immutable version directory,
+        # partitioned by day so each day gets its own manifest-addressable
+        # subdirectory; untouched days keep their old owners
+        out = os.path.join(version_dir(store_path, version), "days")
+        merged.repartition("day").write.mode("overwrite").partitionBy(
+            "day"
+        ).parquet(out)
+        for d in days:
+            manifest[d] = os.path.join(
+                "versions", f"v{version}", "days", f"day={d}"
+            )
+        commit_meta(store_path, {
+            "version": version, "last_batch": batch_id, "manifest": manifest,
+        })
+        referenced = {
+            int(rel.split(os.sep)[1][1:]) for rel in manifest.values()
+        }
+        prune_versions(store_path, referenced)
 
     q = (
         stream.writeStream.foreachBatch(process_batch)
@@ -113,6 +139,19 @@ def incremental_quantile_partials(
     )
     q.awaitTermination()
     return q
+
+
+def read_partials(spark, store_path: str) -> DataFrame:
+    """The full (day, bin, cnt) state across every day the manifest owns —
+    the inspection/read surface now that the layout is versioned (a raw
+    ``spark.read.parquet(store_path)`` would see multiple versions)."""
+    meta = read_meta(store_path)
+    if meta is None:
+        raise ValueError(f"no quantile-partial state at {store_path}")
+    out = _read_days(spark, store_path, meta["manifest"], set(meta["manifest"]))
+    if out is None:
+        raise ValueError(f"empty quantile-partial state at {store_path}")
+    return out
 
 
 def quantiles_from_partials(
@@ -128,12 +167,27 @@ def quantiles_from_partials(
     """Serve quantiles over an optional day range by a cumulative walk of
     the merged histogram — B rows scanned, no raw-event access. Each
     returned value is the upper edge of the bin holding the quantile, so
-    it overshoots the exact quantile by at most one bin width."""
-    part = spark.read.parquet(store_path)
-    if day_min is not None:
-        part = part.filter(F.col("day") >= F.lit(day_min))
-    if day_max is not None:
-        part = part.filter(F.col("day") <= F.lit(day_max))
+    it overshoots the exact quantile by at most one bin width. Day-range
+    selection happens driver-side against the manifest keys (ISO dates
+    compare lexicographically), so only the selected days' files are
+    even opened."""
+    meta = read_meta(store_path)
+    if meta is None:
+        raise ValueError(f"no quantile-partial state at {store_path}")
+    manifest = meta["manifest"]
+    days = {
+        d for d in manifest
+        if (day_min is None or d >= str(day_min))
+        and (day_max is None or d <= str(day_max))
+    }
+    paths = [os.path.join(store_path, manifest[d]) for d in sorted(days)]
+    if not paths:
+        raise ValueError(f"no histogram mass at {store_path} in range")
+    # recursiveFileLookup disables partition discovery: the paths are
+    # `day=...` leaf dirs under DIFFERENT version roots, which discovery
+    # would reject as conflicting structures (the day column itself is
+    # not needed here — selection already happened against the manifest)
+    part = spark.read.option("recursiveFileLookup", "true").parquet(*paths)
     hist = {
         r["bin"]: r["cnt"]
         for r in part.groupBy("bin").agg(F.sum("cnt").alias("cnt")).collect()

@@ -514,6 +514,7 @@ def test_incremental_quantile_partials_bounded_error(spark, tmp_path):
     from clustopher_spark.streaming.quantiles import (
         incremental_quantile_partials,
         quantiles_from_partials,
+        read_partials,
     )
 
     ev = table(spark, SF_DIR, "events")
@@ -530,7 +531,7 @@ def test_incremental_quantile_partials_bounded_error(spark, tmp_path):
     incremental_quantile_partials(stream, store, lo=lo, hi=hi, bins=bins)
 
     # state is bounded by days x bins, not by events
-    part = spark.read.parquet(store)
+    part = read_partials(spark, store)
     n_days = part.select("day").distinct().count()
     assert part.count() <= n_days * bins
     assert part.agg(F.sum("cnt")).collect()[0][0] == ev.count()
@@ -558,7 +559,7 @@ def test_incremental_quantile_partials_bounded_error(spark, tmp_path):
         .parquet(src)
     )
     incremental_quantile_partials(stream2, store, lo=lo, hi=hi, bins=bins)
-    assert spark.read.parquet(store).agg(F.sum("cnt")).collect()[0][0] == ev.count()
+    assert read_partials(spark, store).agg(F.sum("cnt")).collect()[0][0] == ev.count()
 
 
 def test_incremental_bottomk_sample_deterministic_merge(spark, tmp_path):
@@ -618,3 +619,64 @@ def test_incremental_bottomk_sample_deterministic_merge(spark, tmp_path):
     true_d = ev.select("user_id").distinct().count()
     est = distinct_count_estimate(spark, store, k)
     assert abs(est - true_d) / true_d < 0.5, (est, true_d)
+
+
+def test_sketch_store_atomic_commit_survives_crash_window(spark, tmp_path):
+    """Round-3 advice: the MG summary and its meta were two parquet
+    commits, so a crash between them refolded a batch on replay and
+    voided the err bound. Now a fold publishes via one atomic meta.json
+    repoint — simulate the crash (a stray NEWER version directory whose
+    meta never landed) and check the store still reads the committed
+    state and folds the next batch correctly on top of it."""
+    import os
+
+    from clustopher_spark.streaming.heavy_hitters import (
+        _read_state,
+        incremental_heavy_hitters,
+    )
+    from clustopher_spark.streaming.state_store import read_meta, version_dir
+
+    ev = table(spark, SF_DIR, "events")
+    src = str(tmp_path / "hh_src")
+    ev.repartition(2).write.parquet(src)
+    store = str(tmp_path / "hh_store")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    incremental_heavy_hitters(stream, store, key_col="user_id", k=32)
+    summary, n_total, err, last = _read_state(spark, store)
+    assert n_total == ev.count()
+    committed = sorted((r.key, r.cnt) for r in summary.collect())
+
+    # simulate a crash AFTER the data write, BEFORE the meta repoint:
+    # a stray v{N+1} directory with garbage data and no meta update
+    meta = read_meta(store)
+    stray = os.path.join(version_dir(store, int(meta["version"]) + 1), "summary")
+    ev.limit(3).select(
+        F.col("user_id").alias("key"), F.lit(999999).cast("long").alias("cnt")
+    ).write.mode("overwrite").parquet(stray)
+
+    # the committed state is untouched by the stray dir...
+    summary2, n2, err2, last2 = _read_state(spark, store)
+    assert (n2, err2, last2) == (n_total, err, last)
+    assert sorted((r.key, r.cnt) for r in summary2.collect()) == committed
+
+    # ...and the next REAL batch (same checkpoint, new source file) folds
+    # on top of the committed state, claiming the stray version number by
+    # overwrite — total mass is committed + new, never + stray garbage
+    n_extra = 500
+    ev.limit(n_extra).write.mode("append").parquet(src)
+    stream2 = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    incremental_heavy_hitters(stream2, store, key_col="user_id", k=32)
+    _, n3, _, last3 = _read_state(spark, store)
+    assert n3 == n_total + n_extra
+    assert last3 > last
+    # the stray garbage (cnt=999999) never surfaced
+    top = _read_state(spark, store)[0].agg(F.max("cnt")).collect()[0][0]
+    assert top < 999999
