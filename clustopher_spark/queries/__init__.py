@@ -26,13 +26,15 @@ import clustopher_spark.queries.events  # noqa: F401
 import clustopher_spark.queries.stats  # noqa: F401
 
 
-# Round-3 window: rounds 1+2 drove 99 of 130 oracles through the driver's
-# DuckDB gate (CORRECTNESS_r01 + r02, all green). This round's 50 slots =
-# the 31 oracles NEVER driver-checked in any round + 19 flagship anchors
-# (the kernel-invariant oracle plus the strongest oracle per family, kept
-# in-window every round so a regression in the core surface is always
-# driver-visible). tools/check_window_rotation.py enforces that the union
-# of all rounds' windows covers every registered oracle.
+# Round-4 window: rounds 1-3 drove ALL 134 oracles through the driver's
+# DuckDB gate (CORRECTNESS_r01-03, all green — zero never-checked oracles
+# remain). This round's 50 slots = 19 flagship anchors (kept in-window
+# every round so a regression in the core surface is always
+# driver-visible) + the 2 NEW round-4 oracles + the 29 STALEST re-checks
+# (oracles last driver-checked in round 1 and not since: the TPC-H
+# battery and the window-function family — freshness rotation now that
+# coverage is total). tools/check_window_rotation.py enforces that the
+# union of all rounds' windows covers every registered oracle.
 _FLAGSHIP_ANCHORS = [
     "spatial_cluster_invariants",   # greedy kernel conservation laws
     "spatial_grid_centroids",       # A2 weighted-centroid algebra
@@ -64,41 +66,43 @@ _FLAGSHIP_ANCHORS = [
     "llm_substring_dedup",          # winnowing duplicated-span detection
     "window_gaps_islands",          # round-1 FAIL; stays pinned
 ]
-_NEVER_CHECKED_R12 = [
-    "spatial_dbscan",
-    "spatial_haversine_distance",
-    "spatial_geojson_features",
-    "llm_token_heavy_hitters",
-    "llm_corpus_shard_plan",
-    "llm_feature_hashing",
-    "llm_text_stats",
-    "llm_text_normalize",
-    "llm_lang_quality_histogram",
-    "llm_embedding_norms_by_label",
-    "events_sliding_1h_30m",
-    "events_views_within_hour_of_purchase",
-    "stats_moments",
-    "stats_price_histogram",
-    "stats_psi_price_drift",
-    "stats_linear_regression",
-    "merge_upsert_orders",
-    "recursive_cte_zoom_scales",
-    "sql_text_lateral_subquery",
-    "sql_text_exists_subquery",
-    "sql_text_scalar_subquery",
-    "sql_text_in_subquery_with_cte",
-    "join_brand_cooccurrence",
-    "join_fuzzy_name_levenshtein",
-    "agg_grouping_sets",
-    "unpivot_lineitem_measures",
-    "window_count_distinct",
-    "map_functions_gallery",
-    "string_function_gallery",
-    "bitwise_function_gallery",
-    "datetime_function_gallery",
+_R4_ROTATION = [
+    # new this round — must be driver-checked in the round they land
+    "llm_token_pmi_pairs",
+    "join_salted_skew_agg",
+    # stalest re-checks: driver-green in round 1 only, untouched since
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority_check",
+    "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "q7_volume_shipping_pairs",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_by_quantity_band",
+    "q13_customer_order_distribution",
+    "q14_brand_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "window_top3_orders_per_customer",
+    "window_ranking_family",
+    "window_running_spend",
+    "window_range_frame_30d",
+    "window_order_gaps",
+    "window_above_customer_avg",
+    "join_range_price_bands",
 ]
-_R3_WINDOW = set(_FLAGSHIP_ANCHORS) | set(_NEVER_CHECKED_R12)
-assert len(_R3_WINDOW) == 50, len(_R3_WINDOW)
+_R4_WINDOW = set(_FLAGSHIP_ANCHORS) | set(_R4_ROTATION)
+assert len(_R4_WINDOW) == 50, len(_R4_WINDOW)
 
 
 def _window_priority(name: str) -> int:
@@ -107,15 +111,15 @@ def _window_priority(name: str) -> int:
 
     Tiering (oracle-backed only; rows-only queries go last so they never
     displace an oracle from the window):
-      0. the round-3 window (_R3_WINDOW): never-driver-checked oracles
-         plus the flagship anchors
+      0. the round-4 window (_R4_WINDOW): flagship anchors, new oracles,
+         and the stalest re-checks
       1. every other oracle (all driver-green in round 1 or 2 and still
          locally oracle-verified by test_oracle_parity)
       2. rows-only queries
     """
     if name not in ORACLES:
         return 2
-    if name in _R3_WINDOW:
+    if name in _R4_WINDOW:
         return 0
     return 1
 

@@ -1939,3 +1939,95 @@ def llm_bpe_token_stats(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "llm_token_pmi_pairs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, lower(tok) AS term FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents) WHERE tok <> ''),
+    capped AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id, term,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY term) AS rn
+        FROM toks) WHERE rn <= 20),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM capped),
+    marg AS (SELECT term, COUNT(*) AS c FROM capped GROUP BY 1),
+    pairs AS (
+      SELECT a.term AS tok_a, b.term AS tok_b, COUNT(*) AS c_ab
+      FROM capped a JOIN capped b
+        ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+    SELECT tok_a, tok_b, c_ab,
+           ROUND(ln(CAST(c_ab AS DOUBLE) * n.n / (ma.c * mb.c)), 4) AS pmi
+    FROM pairs
+    JOIN marg ma ON ma.term = tok_a
+    JOIN marg mb ON mb.term = tok_b
+    CROSS JOIN n
+    ORDER BY pmi DESC, tok_a, tok_b
+    LIMIT 50
+    """,
+)
+def llm_token_pmi_pairs(spark, sf_dir):
+    """Token co-occurrence mining: pointwise mutual information
+    PMI(a,b) = ln(P(a,b) / (P(a) P(b))) over document-level co-occurrence,
+    top-50 collocations with support >= 20 docs — the association scores
+    a phrase-mining / tokenizer-merge pipeline starts from.
+
+    100 TB shape: per-doc DISTINCT tokens are capped at 20 (lexicographic
+    row_number, the brand-cooccurrence fan-out bound), so the within-doc
+    self-join emits <= C(20,2) = 190 pairs per doc — O(n_docs), never
+    O(vocab^2); pair counts hash-aggregate with map-side combine; both
+    marginal joins broadcast a vocabulary-sized aggregate; the top-50 is
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select("doc_id", F.lower("tok").alias("term"))
+        .distinct()
+    )
+    capped = (
+        toks.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("term"))
+        )
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    n = capped.agg(F.count_distinct("doc_id").alias("n"))
+    marg = capped.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+               & (F.col("a.term") < F.col("b.term")))
+        .groupBy(F.col("a.term").alias("tok_a"), F.col("b.term").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 20)
+    )
+    ma = marg.select(F.col("term").alias("tok_a"), F.col("c").alias("c_a"))
+    mb = marg.select(F.col("term").alias("tok_b"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(F.broadcast(ma), "tok_a")
+        .join(F.broadcast(mb), "tok_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok_a", "tok_b", "c_ab",
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double") * F.col("n")
+                    / (F.col("c_a") * F.col("c_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "tok_a", "tok_b")
+        .limit(50)
+    )

@@ -1006,3 +1006,57 @@ def join_brand_cooccurrence(spark, sf_dir):
         .filter(F.col("n_orders") >= 50)
         .orderBy("brand_a", "brand_b")
     )
+
+
+@register(
+    "join_salted_skew_agg",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_salted_skew_agg(spark, sf_dir):
+    """The SALTED large-large join, result-identical to the plain join
+    (that identity IS the oracle): the fact side tags every row with a
+    deterministic salt in [0, 8), the build side replicates each key 8x
+    with an exploded salt column, and the join runs on (key, salt) — a
+    hot key's rows now spread across 8 reducers instead of one.
+
+    This is the manual form of the skew pattern for engines/plans where
+    AQE's runtime skew-join split isn't available (non-AQE deployments,
+    streaming joins, or keys so hot one task still exceeds memory after
+    AQE's byte-based splitting). Cost model: build side bytes x 8
+    (bounded — it rides the exchange that join needed anyway), in
+    exchange for an 8x tighter per-task bound on the probe side. TPC-H
+    keys are uniform, so the entry here pins CORRECTNESS of the rewrite
+    (salted == plain, hash-checked against the unsalted oracle); the
+    skew_hot_supercell bench entry covers the perf side of skew."""
+    from pyspark.sql import functions as F
+
+    n_salt = 8
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt)).cast("int"),
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+        )
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<int>"))
+        )
+    )
+    return (
+        li.join(orders, ["l_orderkey", "salt"])
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("revenue"),
+        )
+        .orderBy("priority")
+    )
