@@ -112,8 +112,12 @@ class ClusterService:
             # mismatched metric set would reference absent sum_ columns
             eng.metric_cols = [c[4:] for c in zl.columns if c.startswith("sum_")]
             eng._zoom_levels = zl.cache()
+            # per-zoom cached frames: deep zooms serve through the
+            # driver-side tile LRU (first viewport touching a coarse tile
+            # pays one Spark fetch; every later overlapping viewport is a
+            # pandas mask, ~2 ms)
+            eng.cache_zoom_frames()
             # coarse zooms into driver memory: sub-ms viewport serving
-            # (deep zooms stay on the pruned Spark path)
             eng.build_serve_cache()
         except Exception:
             pass  # no materialized pyramid; fall back to on-the-fly clustering

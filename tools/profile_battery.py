@@ -17,44 +17,63 @@ aggregate -> unproject), inputs materialized (localCheckpoint) before
 the clock starts — the analog of the reference timing queries against
 an already-loaded dataset.
 
+Isolation protocol (round-3 verdict item 6): every (size, zoom) CELL
+runs in its own subprocess/JVM with its own python-worker warm-up and
+in-process best-of-3 — the same storage-pressure argument as bench.py's
+per-family isolation; the old single-JVM sweep left first-entry and
+carry-over effects indistinguishable from algorithmic cost.
+
 Run: PYTHONPATH=/root/repo python3 tools/profile_battery.py [--write]
+Worker mode (used internally): --cell SIZE ZOOM
 """
 
 from __future__ import annotations
 
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 US = (-125.0, 25.0, -65.0, 49.0)  # west, south, east, north
+_SENTINEL = "PROFILE_CELL "
 
 
-def run_battery(spark, sizes, zooms, repeats=3):
+def run_cell(spark, size: int, zoom: int, repeats: int = 3):
     from clustopher_spark.operators.cluster import ClusterOptions, get_clusters
     from clustopher_spark.sources.generators import generate_test_points
 
     opts = ClusterOptions(radius=40.0, min_points=3, extent=512)
     w, s, e, n = US
-    cells: dict[tuple[int, int], tuple[float, int]] = {}
-    for size in sizes:
-        pts = (
-            generate_test_points(spark, size, west=w, south=s, east=e, north=n, seed=42)
-            .select("id", "lng", "lat", "value")
-            .localCheckpoint(eager=True)
-        )
-        pts.count()
-        for zoom in zooms:
-            best, rows = None, 0
-            for _ in range(repeats):
-                t0 = time.perf_counter()
-                rows = get_clusters(pts, w, s, e, n, zoom, ["value"], opts).count()
-                dt = time.perf_counter() - t0
-                best = dt if best is None or dt < best else best
-            cells[(size, zoom)] = (best, rows)
-            print(f"# n={size} zoom={zoom}: {best:.3f}s ({rows} clusters)", file=sys.stderr)
-    return cells
+    pts = (
+        generate_test_points(spark, size, west=w, south=s, east=e, north=n, seed=42)
+        .select("id", "lng", "lat", "value")
+        .localCheckpoint(eager=True)
+    )
+    pts.count()
+    best, rows = None, 0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        rows = get_clusters(pts, w, s, e, n, zoom, ["value"], opts).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return best, rows
+
+
+def _worker(size: int, zoom: int) -> None:
+    from clustopher_spark import get_spark
+
+    spark = get_spark(app_name=f"profile-cell-{size}-{zoom}")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the python worker pool so the cell isn't billed the forks
+    import pyspark.sql.functions as F
+
+    warm = spark.range(0, 1024, 1, 32).withColumn("g", F.col("id") % 32)
+    warm.groupBy("g").applyInPandas(lambda p: p.head(1), schema="id long, g long").count()
+    best, rows = run_cell(spark, size, zoom)
+    print(f"{_SENTINEL}{best:.6f} {rows}", flush=True)
+    spark.stop()
 
 
 def table(title, sizes, zooms, cells):
@@ -72,32 +91,61 @@ def table(title, sizes, zooms, cells):
 
 
 def main() -> None:
-    from clustopher_spark import get_spark
-
-    spark = get_spark(app_name="clustopher-profile-battery")
-    spark.sparkContext.setLogLevel("ERROR")
-    # warm the python worker pool so the first cell isn't billed the forks
-    import pyspark.sql.functions as F
-
-    warm = spark.range(0, 1024, 1, 32).withColumn("g", F.col("id") % 32)
-    warm.groupBy("g").applyInPandas(lambda p: p.head(1), schema="id long, g long").count()
+    if "--cell" in sys.argv:
+        i = sys.argv.index("--cell")
+        _worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+        return
 
     bench_sizes, bench_zooms = [1_000, 10_000, 100_000], [2, 8, 14]
     prof_sizes, prof_zooms = [1_000, 10_000, 50_000, 100_000], [2, 5, 8, 12, 15]
     all_sizes = sorted(set(bench_sizes) | set(prof_sizes))
     all_zooms = sorted(set(bench_zooms) | set(prof_zooms))
-    cells = run_battery(spark, all_sizes, all_zooms)
+    cells = {}
+    for size in all_sizes:
+        for zoom in all_zooms:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cell",
+                 str(size), str(zoom)],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                text=True, timeout=900,
+            )
+            got = None
+            for line in proc.stdout.splitlines():
+                if line.startswith(_SENTINEL):
+                    t, rows = line[len(_SENTINEL):].split()
+                    got = (float(t), int(rows))
+            if got is None:
+                raise RuntimeError(f"cell ({size}, {zoom}) failed rc={proc.returncode}")
+            cells[(size, zoom)] = got
+            print(f"# n={size} zoom={zoom}: {got[0]:.3f}s ({got[1]} clusters)"
+                  " [isolated JVM]", file=sys.stderr)
 
     out = [
-        "# PROFILE — reference-parity perf batteries (viewport query, best-of-3)",
+        "# PROFILE — reference-parity perf batteries (viewport query, best-of-3,"
+        " one JVM per cell)",
         "",
         "Config mirrors `cluster/benchmark_test.go:50-138` / "
         "`cmd/profiler/main.go:121-185`: radius 40, minPoints 3, extent 512, "
         "seed 42, US bbox (-125,-65)x(25,49); `get_clusters` end-to-end on "
-        "local[32] over a checkpointed input. Cell = wall time (clusters).",
+        "local[32] over a checkpointed input. Cell = wall time (clusters). "
+        "Every cell runs in its own subprocess/JVM (warmed python-worker "
+        "pool, in-process best-of-3), so no cell inherits another's "
+        "block-manager or codegen state.",
         "",
         table("Microbenchmark matrix (benchmark_test.go)", bench_sizes, bench_zooms, cells),
         table("Profiler battery (cmd/profiler)", prof_sizes, prof_zooms, cells),
+        "The z2 column sits ~0.5-1 s above its row neighbors BY DESIGN, at "
+        "every size: zooms <= hierarchical_zoom_threshold (4) dispatch the "
+        "two-phase plan — a distributed pre-cluster at zoom+4, then the "
+        "small output reclustered at the target zoom — i.e. two kernel "
+        "passes (two exchanges, two Python boundaries) instead of one "
+        "(operators/cluster.py::get_clusters). The second pass's fixed "
+        "pipeline latency dominates at profile-battery sizes; what it buys "
+        "is the scale story: without it, a coarse-zoom query over N points "
+        "collapses into ONE supercell and runs a single O(N) kernel task "
+        "(the skew_hot_supercell bench entry pins that cost — already ~2 s "
+        "at 200k points, linear beyond).",
+        "",
     ]
     text = "\n".join(out)
     print(text)
@@ -106,7 +154,6 @@ def main() -> None:
         with open(path, "w") as f:
             f.write(text + "\n")
         print(f"# wrote {path}", file=sys.stderr)
-    spark.stop()
 
 
 if __name__ == "__main__":
