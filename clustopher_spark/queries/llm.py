@@ -1994,12 +1994,17 @@ def llm_token_pmi_pairs(spark, sf_dir):
         .select("doc_id", F.lower("tok").alias("term"))
         .distinct()
     )
+    # capped feeds FOUR plan branches (doc count, marginals, both sides of
+    # the pair self-join) — cache so the tokenize + distinct + window
+    # pipeline runs once, not four times (same stance as the cached
+    # minhash signatures)
     capped = (
         toks.withColumn(
             "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("term"))
         )
         .filter(F.col("rn") <= 20)
         .drop("rn")
+        .cache()
     )
     n = capped.agg(F.count_distinct("doc_id").alias("n"))
     marg = capped.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
