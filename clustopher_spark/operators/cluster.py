@@ -387,14 +387,38 @@ def get_clusters(
     if zoom <= opts.hierarchical_zoom_threshold and zoom + opts.hier_step <= opts.max_zoom:
         fine = cluster_at_zoom(
             visible, zoom + opts.hier_step, metric_cols=metric_cols, opts=opts
-        )
-        visible = fine.select(
+        ).localCheckpoint(eager=True)
+        n_fine = fine.count()
+        fine_pts = fine.select(
             F.col("cluster_id").alias("id"),
             "lng",
             "lat",
             F.col("point_count").alias("num_points"),
             *[F.col(f"sum_{m}").alias(m) for m in (metric_cols or [])],
         )
+        # The fine output is bounded by occupied r-cells at zoom+hier_step,
+        # so it is usually tiny — finish the target level DRIVER-SIDE in
+        # the same numpy kernel the pyramid tail uses (identical algebra,
+        # pinned by the pyramid equivalence tests) instead of paying a
+        # second full distributed pipeline (~1 s of fixed exchange +
+        # Python-boundary latency for a frame of a few thousand rows; the
+        # round-4 profile battery showed the z2 column paying exactly
+        # that). Above the tail threshold, keep the distributed second
+        # pass — the checkpoint already prevents downstream actions from
+        # re-running the fine pass.
+        if n_fine <= 100_000:
+            from clustopher_spark.operators.zoom import _chain_levels_local
+
+            spark = points.sparkSession
+            pdf = fine_pts.toPandas()
+            out = _chain_levels_local(pdf, [zoom], list(metric_cols or []), opts)
+            metric_schema = "".join(f", sum_{m} double" for m in (metric_cols or []))
+            schema = (
+                "cluster_id long, lng double, lat double, point_count long,"
+                f" num_members long, is_cluster boolean{metric_schema}"
+            )
+            return spark.createDataFrame(out.drop(columns=["zoom"]), schema=schema)
+        visible = fine_pts
     return cluster_at_zoom(visible, zoom, metric_cols=metric_cols, opts=opts)
 
 

@@ -635,3 +635,52 @@ def test_tile_cache_lru_bound(spark):
     n_spark = eng.get_clusters(-180, -60, -140, 60, zoom).count()
     assert len(pdf) == n_spark
     eng.release_caches()
+
+
+def test_tile_cache_thread_safety(spark):
+    """The HTTP layer calls get_clusters_local from ThreadingHTTPServer
+    worker threads: hammer the tile LRU from 8 threads with overlapping
+    viewports under heavy eviction pressure and require every response to
+    equal the single-threaded answer (no torn cache states, no KeyErrors,
+    bound respected)."""
+    import threading
+
+    from clustopher_spark.sources.generators import generate_test_points
+
+    pts = generate_test_points(spark, 2000, seed=31).select("id", "lng", "lat", "value")
+    eng = Clustopher(pts, ["value"], opts=OPTS)
+    eng.materialize()
+    counts = eng.cache_zoom_frames()
+    zoom = max(counts)
+    eng.tile_cache_max_rows = 200  # force constant eviction
+    viewports = [(-180 + 30 * i, -60, -150 + 30 * i, 60) for i in range(8)]
+    want = {
+        vp: sorted(
+            (int(r.cluster_id), int(r.point_count))
+            for r in eng.get_clusters(*vp, zoom).collect()
+        )
+        for vp in viewports
+    }
+    errors = []
+
+    def worker(seed):
+        try:
+            for i in range(6):
+                vp = viewports[(seed + i) % len(viewports)]
+                pdf = eng.get_clusters_local(*vp, zoom)
+                got = sorted(
+                    (int(r["cluster_id"]), int(r["point_count"]))
+                    for _, r in pdf.iterrows()
+                )
+                if got != want[vp]:
+                    errors.append((vp, len(got), len(want[vp])))
+        except Exception as e:  # noqa: BLE001 — surfaced via the errors list
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:5]
+    eng.release_caches()

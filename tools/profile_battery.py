@@ -134,17 +134,17 @@ def main() -> None:
         "",
         table("Microbenchmark matrix (benchmark_test.go)", bench_sizes, bench_zooms, cells),
         table("Profiler battery (cmd/profiler)", prof_sizes, prof_zooms, cells),
-        "The z2 column sits ~0.5-1 s above its row neighbors BY DESIGN, at "
-        "every size: zooms <= hierarchical_zoom_threshold (4) dispatch the "
-        "two-phase plan — a distributed pre-cluster at zoom+4, then the "
-        "small output reclustered at the target zoom — i.e. two kernel "
-        "passes (two exchanges, two Python boundaries) instead of one "
-        "(operators/cluster.py::get_clusters). The second pass's fixed "
-        "pipeline latency dominates at profile-battery sizes; what it buys "
-        "is the scale story: without it, a coarse-zoom query over N points "
-        "collapses into ONE supercell and runs a single O(N) kernel task "
-        "(the skew_hot_supercell bench entry pins that cost — already ~2 s "
-        "at 200k points, linear beyond).",
+        "The z2 column runs the two-phase coarse-zoom dispatch (zooms <= "
+        "hierarchical_zoom_threshold): a distributed pre-cluster at zoom+4 "
+        "— without which a coarse-zoom query over N points collapses into "
+        "ONE supercell and a single O(N) kernel task (the "
+        "skew_hot_supercell bench entry pins that cost) — then, since the "
+        "fine output is bounded by occupied r-cells, the target level "
+        "finishes DRIVER-SIDE in the pyramid tail's numpy kernel "
+        "(operators/cluster.py::get_clusters). Its residual ~0.2 s over "
+        "row neighbors is the fine-pass checkpoint + count + Arrow "
+        "collect; a second full distributed pass (the round-3 design) "
+        "cost ~1 s of fixed pipeline latency instead.",
         "",
     ]
     text = "\n".join(out)
