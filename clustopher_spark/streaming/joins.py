@@ -61,3 +61,27 @@ def dedup_within_watermark(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
+
+
+def enrich_with_dimension(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_cols: tuple = ("c_name", "c_nationkey"),
+) -> DataFrame:
+    """Stream-static enrichment join — the most common streaming shape of
+    all (attach dimension attributes to every event before it lands
+    anywhere). Spark resolves the STATIC side fresh per micro-batch, so a
+    slowly-changing dimension's updates are picked up on the next batch
+    with no restart.
+
+    Scale shape: the dimension is explicitly broadcast — each micro-batch
+    pays one broadcast of the (pruned: ``dim_key`` + ``dim_cols``)
+    dimension and ZERO shuffles on the stream side, which is the only
+    side that is large. For dimensions too big to broadcast, drop the
+    hint and bucket both sides on the key instead (the bucketed-join
+    layout in operators/scale.py); left join so events with no dimension
+    row survive with nulls rather than silently vanishing."""
+    d = dim.select(F.col(dim_key).alias(stream_key), *dim_cols)
+    return stream.join(F.broadcast(d), stream_key, "left")

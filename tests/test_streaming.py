@@ -680,3 +680,34 @@ def test_sketch_store_atomic_commit_survives_crash_window(spark, tmp_path):
     # the stray garbage (cnt=999999) never surfaced
     top = _read_state(spark, store)[0].agg(F.max("cnt")).collect()[0][0]
     assert top < 999999
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_stream):
+    """Stream-static broadcast enrichment drained with availableNow must
+    equal the batch left join, including events whose key has no
+    dimension row (left semantics: nulls, not drops)."""
+    from clustopher_spark.streaming.joins import enrich_with_dimension
+
+    dim = table(spark, SF_DIR, "customer")
+    q = (
+        enrich_with_dimension(events_stream, dim)
+        .writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.event_id, r.c_name, r.c_nationkey)
+        for r in spark.sql("select event_id, c_name, c_nationkey from enrich_out").collect()
+    }
+    ev = table(spark, SF_DIR, "events")
+    want = {
+        (r.event_id, r.c_name, r.c_nationkey)
+        for r in ev.join(
+            dim.select(F.col("c_custkey").alias("user_id"), "c_name", "c_nationkey"),
+            "user_id", "left",
+        ).collect()
+    }
+    assert got == want and len(want) == ev.count()
