@@ -74,6 +74,9 @@ class Clustopher:
         self._tile_cache_rows = 0
         self.tile_cache_max_rows = 2_000_000
         self._tile_lock = threading.Lock()
+        # bumped by release_caches: a fetch that began against the previous
+        # corpus must not seed the fresh cache with stale tiles
+        self._tile_generation = 0
 
     @classmethod
     def from_store(
@@ -169,7 +172,9 @@ class Clustopher:
             self.points, west, south, east, north, zoom, self.metric_cols, self.opts
         )
 
-    def cache_zoom_frames(self) -> dict[int, int]:
+    def cache_zoom_frames(
+        self, max_rows_per_partition: int = 2_000_000
+    ) -> dict[int, int]:
         """Split the materialized pyramid into one cached DataFrame per zoom
         so a cold viewport query scans only its own level (round-2 verdict:
         the union-table form paid a full-pyramid zoom-filter scan per
@@ -177,22 +182,29 @@ class Clustopher:
         :meth:`release_caches`. Returns {zoom: row_count}."""
         if self._zoom_levels is None:
             raise ValueError("materialize() first")
+        sizes = {
+            r["zoom"]: r["n"]
+            for r in self._zoom_levels.groupBy("zoom")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
         counts: dict[int, int] = {}
-        zooms = [
-            r["zoom"]
-            for r in self._zoom_levels.select("zoom").distinct().collect()
-        ]
-        for z in sorted(zooms):
-            # coalesce(1): a single cached partition per zoom makes every
-            # viewport query a one-task job (~tens of ms of scheduling
-            # instead of one task per source partition). Levels served
-            # this way are bounded by occupied r-cells (see
-            # build_serve_cache), so one partition stays tens of MB.
+        for z in sorted(sizes):
+            # coalesce(1) for small levels: a single cached partition per
+            # zoom makes every viewport query a one-task job (~tens of ms
+            # of scheduling instead of one task per source partition).
+            # Coarse levels are bounded by occupied r-cells (see
+            # build_serve_cache) so they stay tens of MB; DEEP levels
+            # approach corpus size, and one cached partition there would
+            # head toward Spark's 2 GB block limit — those split at
+            # ``max_rows_per_partition`` instead (a few tasks per tile
+            # fetch beats an unboundable block).
             # tile_x/tile_y: coarse equirectangular bins the driver-side
             # tile LRU fetches by (get_clusters_local) — computed once
             # here so per-request fetches are a pushable range filter.
             tz = self._tile_zoom(z)
             n_tiles = 1 << tz
+            n_parts = max(1, -(-sizes[z] // max_rows_per_partition))
             frame = (
                 self._zoom_levels.filter(F.col("zoom") == z)
                 .withColumn(
@@ -209,7 +221,7 @@ class Clustopher:
                         F.floor((F.col("lat") + 90.0) / 180.0 * n_tiles),
                     ).cast("int"),
                 )
-                .coalesce(1)
+                .coalesce(n_parts)
                 .cache()
             )
             counts[z] = frame.count()  # materialize now: serve path stays cold-start-free
@@ -226,6 +238,7 @@ class Clustopher:
         with self._tile_lock:
             self._tile_cache.clear()
             self._tile_cache_rows = 0
+            self._tile_generation += 1
         for frame in self._request_caches:
             frame.unpersist()
         self._request_caches.clear()
@@ -313,12 +326,15 @@ class Clustopher:
         y1 = clamp(math.floor((north + 90.0) / 180.0 * n))
         return x0, x1, y0, y1
 
-    def _tile_cache_put(self, key, pdf) -> None:
+    def _tile_cache_put(self, key, pdf, generation: int) -> None:
         """Insert under the lock; evict least-recently-used tiles until the
         total resident rows fit the bound. Eviction is correctness-safe —
-        an evicted tile is just re-fetched from the cached zoom frame."""
+        an evicted tile is just re-fetched from the cached zoom frame.
+        Inserts from a fetch that began before a release_caches() (live
+        ingest advanced the corpus mid-request) are dropped — they would
+        seed the fresh cache with rows of the previous version."""
         with self._tile_lock:
-            if key in self._tile_cache:
+            if generation != self._tile_generation or key in self._tile_cache:
                 return
             self._tile_cache[key] = pdf
             self._tile_cache_rows += len(pdf)
@@ -329,14 +345,15 @@ class Clustopher:
                 _, old = self._tile_cache.popitem(last=False)
                 self._tile_cache_rows -= len(old)
 
-    def _fetch_tiles(self, zoom: int, missing: list[tuple]) -> dict:
+    def _fetch_tiles(self, frame, missing: list[tuple], generation: int) -> dict:
         """ONE Spark job for all missing tiles of a request: a pushable
         tile_x/tile_y range filter over the zoom's cached single-partition
         frame, split driver-side into per-tile pandas frames. Returns
         {key: pdf} so the caller never depends on cache residency — under
-        heavy eviction pressure a just-inserted tile may already be gone."""
+        heavy eviction pressure a just-inserted tile may already be gone.
+        ``frame`` is the caller's snapshot (not re-read from _zoom_frames,
+        which a concurrent release_caches may clear mid-request)."""
         out: dict = {}
-        frame = self._zoom_frames[zoom]
         xs = sorted({t[1] for t in missing})
         ys = sorted({t[2] for t in missing})
         fetched = frame.filter(
@@ -351,7 +368,7 @@ class Clustopher:
                 pdf = fetched.iloc[0:0]
             pdf = pdf.drop(columns=["tile_x", "tile_y"]).reset_index(drop=True)
             out[key] = pdf
-            self._tile_cache_put(key, pdf)
+            self._tile_cache_put(key, pdf, generation)
         return out
 
     def get_clusters_local(self, west, south, east, north, zoom: int):
@@ -382,13 +399,23 @@ class Clustopher:
             lng, lat, pdf = hit
             mask = (lng >= west) & (lng <= east) & (lat >= south) & (lat <= north)
             return pdf[mask]
-        if zoom in self._zoom_frames:
+        # snapshot frame + generation under the lock: a concurrent
+        # release_caches() (live ingest) may clear _zoom_frames mid-request
+        with self._tile_lock:
+            frame = self._zoom_frames.get(zoom)
+            generation = self._tile_generation
+        if frame is not None:
             x0, x1, y0, y1 = self._tile_range(west, south, east, north, zoom)
             keys = [
                 (zoom, tx, ty)
                 for tx in range(x0, x1 + 1)
                 for ty in range(y0, y1 + 1)
             ]
+            if not keys:
+                # degenerate/inverted bbox (west > east, e.g. a viewport
+                # crossing the antimeridian): the tile cover is empty —
+                # answer through the Spark filter, which handles it
+                return self.get_clusters(west, south, east, north, zoom).toPandas()
             with self._tile_lock:
                 resident = {}
                 missing = []
@@ -400,7 +427,7 @@ class Clustopher:
                         self._tile_cache.move_to_end(k)
                         resident[k] = pdf
             if missing:
-                resident.update(self._fetch_tiles(zoom, missing))
+                resident.update(self._fetch_tiles(frame, missing, generation))
             parts = [resident[k] for k in keys if len(resident[k])]
             if not parts:
                 return resident[keys[0]]  # empty frame with the right schema

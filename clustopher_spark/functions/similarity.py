@@ -165,10 +165,14 @@ def _bounded_uniform_sample(
         if n <= target_rows:
             return feats.toPandas()
         sample_fraction = min(1.0, 1.3 * target_rows / n)
-    h = F.pmod(F.xxhash64(F.col("v"), F.lit(seed)), F.lit(1 << 32))
+    # 62-bit hash space: at 2^32 a ~130k-row draw expects a couple of
+    # collisions, and a tie straddling the head() cutoff would break on
+    # pandas arrival order — 2^62 pushes tie probability to ~1e-9 while
+    # staying inside a positive Spark long
+    h = F.pmod(F.xxhash64(F.col("v"), F.lit(seed)), F.lit(1 << 62))
     pdf = (
         feats.withColumn("_h", h)
-        .filter(F.col("_h") < int(sample_fraction * (1 << 32)))
+        .filter(F.col("_h") < int(sample_fraction * (1 << 62)))
         .toPandas()
     )
     pdf = pdf.sort_values("_h", kind="mergesort").head(target_rows)

@@ -111,14 +111,19 @@ class ClusterService:
             # columns than the build used, and an update against a
             # mismatched metric set would reference absent sum_ columns
             eng.metric_cols = [c[4:] for c in zl.columns if c.startswith("sum_")]
-            eng._zoom_levels = zl.cache()
+            eng._zoom_levels = zl
             # per-zoom cached frames: deep zooms serve through the
             # driver-side tile LRU (first viewport touching a coarse tile
             # pays one Spark fetch; every later overlapping viewport is a
             # pandas mask, ~2 ms)
+            zl = zl.cache()  # warm the two startup passes below
             eng.cache_zoom_frames()
             # coarse zooms into driver memory: sub-ms viewport serving
             eng.build_serve_cache()
+            # the union cache fed the two passes above; serving reads the
+            # per-zoom frames from here on — holding it too would pin a
+            # second full copy of the pyramid in executor storage
+            zl.unpersist()
         except Exception:
             pass  # no materialized pyramid; fall back to on-the-fly clustering
         return eng

@@ -327,7 +327,15 @@ class PyramidStore:
                 if d.startswith("b") and int(d[1:]) <= last
             ]
         if apaths:
-            adds = self.spark.read.parquet(*apaths)
+            # mergeSchema: logs written before the provenance column
+            # existed read as null _add_batch; coalesce to -1 (treated as
+            # oldest, the pre-provenance semantics for adds)
+            adds = self.spark.read.option("mergeSchema", "true").parquet(*apaths)
+            if "_add_batch" not in adds.columns:
+                adds = adds.withColumn("_add_batch", F.lit(None).cast("long"))
+            adds = adds.withColumn(
+                "_add_batch", F.coalesce("_add_batch", F.lit(-1).cast("long"))
+            )
             pts = adds if pts is None else pts.unionByName(adds)
         if pts is None:
             raise ValueError("store is empty — bootstrap() it first")
@@ -339,13 +347,20 @@ class PyramidStore:
                 if d.startswith("b") and int(d[1:]) <= last
             ]
             if dpaths:
-                dels = self.spark.read.parquet(*dpaths).select(
-                    F.col("id").alias("_del_id"), "_del_batch"
-                )
+                dels = self.spark.read.option("mergeSchema", "true").parquet(*dpaths)
+                if "_del_batch" not in dels.columns:
+                    dels = dels.withColumn("_del_batch", F.lit(None).cast("long"))
+                dels = dels.select(F.col("id").alias("_del_id"), "_del_batch")
+                # null _del_batch = a pre-provenance deletion log: apply it
+                # as the old reader did (global blacklist), so migrated
+                # stores keep their original fold
                 pts = pts.join(
                     dels,
                     (F.col("id") == F.col("_del_id"))
-                    & (F.col("_del_batch") > F.col("_add_batch")),
+                    & (
+                        F.col("_del_batch").isNull()
+                        | (F.col("_del_batch") > F.col("_add_batch"))
+                    ),
                     "left_anti",
                 )
         return pts.drop("_add_batch")

@@ -684,3 +684,45 @@ def test_tile_cache_thread_safety(spark):
         t.join()
     assert not errors, errors[:5]
     eng.release_caches()
+
+
+def test_tile_cache_inverted_bbox_returns_empty(spark):
+    """A viewport with west > east (antimeridian crossing as two calls) or
+    south > north has an empty tile cover — it must answer [] like the
+    Spark path did, not crash (round-4 review finding)."""
+    from clustopher_spark.sources.generators import generate_test_points
+
+    pts = generate_test_points(spark, 500, seed=37).select("id", "lng", "lat", "value")
+    eng = Clustopher(pts, ["value"], opts=OPTS)
+    eng.materialize()
+    counts = eng.cache_zoom_frames()
+    zoom = max(counts)
+    assert len(eng.get_clusters_local(170, -60, -170, 60, zoom)) == 0
+    assert len(eng.get_clusters_local(-10, 50, 10, 40, zoom)) == 0
+    # coarse (serve-cache) path agrees once built
+    eng.build_serve_cache()
+    z0 = min(counts)
+    assert len(eng.get_clusters_local(170, -60, -170, 60, z0)) == 0
+    eng.release_caches()
+
+
+def test_tile_cache_generation_guard(spark):
+    """A tile fetch that straddles release_caches() (live ingest advanced
+    the corpus) must not seed the fresh cache with stale tiles."""
+    from clustopher_spark.sources.generators import generate_test_points
+
+    pts = generate_test_points(spark, 500, seed=41).select("id", "lng", "lat", "value")
+    eng = Clustopher(pts, ["value"], opts=OPTS)
+    eng.materialize()
+    counts = eng.cache_zoom_frames()
+    zoom = max(counts)
+    import pandas as pd
+
+    stale_gen = eng._tile_generation
+    eng.release_caches()  # generation bump
+    eng._tile_cache_put((zoom, 0, 0), pd.DataFrame({"lng": [0.0]}), stale_gen)
+    assert (zoom, 0, 0) not in eng._tile_cache, "stale-generation insert accepted"
+    # current-generation inserts still work
+    eng._tile_cache_put((zoom, 0, 0), pd.DataFrame({"lng": [0.0]}), eng._tile_generation)
+    assert (zoom, 0, 0) in eng._tile_cache
+    eng.release_caches()

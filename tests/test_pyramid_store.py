@@ -288,3 +288,45 @@ def test_delete_then_readd_consistency(spark, tmp_path):
     assert _canon(store.current_levels()) == _canon(
         materialize_zoom_levels(corpus, ["value"], OPTS)
     )
+
+
+def test_store_reads_pre_provenance_logs(spark, tmp_path):
+    """Stores written before the _add_batch/_del_batch provenance columns
+    must stay readable with their ORIGINAL fold (deletions as a global id
+    blacklist) — round-4 review finding: durability across releases is
+    the store's whole point."""
+    store = PyramidStore(spark, str(tmp_path / "store"), ["value"], OPTS)
+    base = _pts(spark, 800, seed=91)
+    store.bootstrap(base)
+    b0 = _pts(spark, 100, seed=92, id_base=1_000_000)
+    store.apply_batch(b0, 0)
+    dels = base.filter(F.col("id") < 40)
+    store.apply_batch(
+        dels.withColumn("op", F.lit("delete")).unionByName(
+            _pts(spark, 10, seed=93, id_base=2_000_000).withColumn("op", F.lit("add"))
+        ),
+        1,
+    )
+    # simulate a pre-provenance store: strip the columns from every log
+    import os
+
+    for sub, col in (("adds", "_add_batch"), ("dels", "_del_batch")):
+        root = os.path.join(str(tmp_path / "store"), "batches", sub)
+        for b in os.listdir(root):
+            p = os.path.join(root, b)
+            old = spark.read.parquet(p).drop(col)
+            old.write.mode("overwrite").parquet(p + "_tmp")
+            import shutil
+
+            shutil.rmtree(p)
+            os.replace(p + "_tmp", p)
+    got = sorted(r.id for r in store.current_points().select("id").collect())
+    want = sorted(
+        r.id
+        for r in base.filter(F.col("id") >= 40)
+        .unionByName(_pts(spark, 100, seed=92, id_base=1_000_000))
+        .unionByName(_pts(spark, 10, seed=93, id_base=2_000_000))
+        .select("id")
+        .collect()
+    )
+    assert got == want
