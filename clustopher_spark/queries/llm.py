@@ -2036,3 +2036,181 @@ def llm_token_pmi_pairs(spark, sf_dir):
         .orderBy(F.desc("pmi"), "tok_a", "tok_b")
         .limit(50)
     )
+
+
+_BM25_TERMS = ["vector", "stream", "merge", "filter", "spark", "customer"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "llm_bm25_retrieval",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, lower(tok) AS term FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents) WHERE tok <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    corpus AS (SELECT COUNT(*) AS n, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+    qtf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ({', '.join("'" + t + "'" for t in _BM25_TERMS)})
+      GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM qtf GROUP BY 1),
+    scored AS (
+      SELECT q.doc_id,
+             SUM(
+               ln(1.0 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+               * q.tf * ({_BM25_K1} + 1.0)
+               / (q.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / corpus.avgdl))
+             ) AS raw
+      FROM qtf q
+      JOIN df USING (term)
+      JOIN dl ON dl.doc_id = q.doc_id
+      CROSS JOIN corpus
+      GROUP BY q.doc_id)
+    SELECT doc_id, ROUND(raw, 4) AS bm25 FROM scored
+    ORDER BY ROUND(raw, 4) DESC, doc_id
+    LIMIT 20
+    """,
+)
+def llm_bm25_retrieval(spark, sf_dir):
+    """BM25 document retrieval (Robertson & Sparck Jones; Okapi k1=1.2,
+    b=0.75): top-20 documents for a fixed bag-of-terms query — the lexical
+    retrieval primitive a decontamination / curation pipeline scores
+    candidate documents with.
+
+    100 TB shape: the query-term filter is a broadcast IN-list applied at
+    the tokenize map stage (only query-term postings survive, so the
+    shuffled volume is O(n_docs x |query|), not O(corpus tokens)); doc
+    lengths are one hash aggregate; df and the corpus stats are
+    vocabulary-/scalar-sized broadcasts; the top-20 is
+    TakeOrderedAndProject. No all-pairs anywhere, one shuffled agg over
+    postings + one over doc lengths."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select("doc_id", F.lower("tok").alias("term"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    qtf = (
+        toks.filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = qtf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    contrib = (
+        qtf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("tf") * (_BM25_K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+def _rademacher_signs(n_in: int, n_out: int) -> list[list[float]]:
+    """Deterministic portable Rademacher sign matrix: sign(i, j) = +1 iff
+    the last hex digit of md5("{i}_{j}") is even — reproducible from SQL
+    (the oracle recomputes it with DuckDB's md5) and from any retry of any
+    partition (no RNG state, no Spark-version dependence)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{i}_{j}".encode()).hexdigest()[-1] in "02468ace"
+            else -1.0
+            for i in range(n_in)
+        ]
+        for j in range(n_out)
+    ]
+
+
+@register(
+    "llm_random_projection",
+    oracle=r"""
+    WITH sgn AS (
+      SELECT i, j,
+             CASE WHEN strpos('02468ace',
+                              right(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1)) > 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM (SELECT unnest(generate_series(0, 63)) AS i),
+           (SELECT unnest(generate_series(0, 15)) AS j))
+    SELECT e.vec_id, s.j AS dim,
+           ROUND(SUM(CAST(e.embedding[s.i + 1] AS DOUBLE) * s.s), 4) AS comp
+    FROM embeddings e JOIN sgn s ON TRUE
+    WHERE e.vec_id < 200
+    GROUP BY e.vec_id, s.j
+    ORDER BY e.vec_id, s.j
+    """,
+)
+def llm_random_projection(spark, sf_dir):
+    """Random-projection dimensionality reduction 64-d -> 16-d with a
+    Rademacher (+-1) matrix (Achlioptas 2003: database-friendly random
+    projections preserve pairwise distances per Johnson-Lindenstrauss with
+    signs instead of Gaussians) — the cheap embedding compressor ahead of
+    clustering / near-dup / ANN indexing.
+
+    100 TB shape: the sign matrix is a 64x16 literal baked into the plan
+    (driver-computed from portable md5, broadcast by construction), each
+    output component is a zip_with + aggregate over the row's own array —
+    a pure map stage, ZERO shuffle at any corpus size (the single Exchange
+    in this entry's plan is the trailing presentation orderBy for the
+    oracle compare, not part of the transform). The long (vec_id,
+    dim, comp) output below adds a stack() — also per-row. Compare
+    functions/similarity.py lsh-bucketing, which consumes projections like
+    these."""
+    signs = _rademacher_signs(64, 16)
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    comps = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(s) for s in signs[j]]),
+                    lambda x, s: x * s,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias(f"c{j}")
+        for j in range(16)
+    ]
+    wide = e.select("vec_id", *comps)
+    stack_expr = "stack(16, " + ", ".join(
+        f"{j}, c{j}" for j in range(16)
+    ) + ") as (dim, comp)"
+    return (
+        wide.select("vec_id", F.expr(stack_expr))
+        .select("vec_id", "dim", "comp")
+        .orderBy("vec_id", "dim")
+    )
