@@ -2042,11 +2042,10 @@ _BM25_TERMS = ["vector", "stream", "merge", "filter", "spark", "customer"]
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 
-
-@register(
-    "llm_bm25_retrieval",
-    oracle=rf"""
-    WITH toks AS (
+# shared CTE chain ending in bm25_scored(doc_id, bm25) — reused by the
+# plain retrieval oracle and the hybrid-RRF oracle below
+_BM25_SCORED_SQL = rf"""
+    toks AS (
       SELECT doc_id, lower(tok) AS term FROM (
         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
         FROM documents) WHERE tok <> ''),
@@ -2057,36 +2056,24 @@ _BM25_B = 0.75
       WHERE term IN ({', '.join("'" + t + "'" for t in _BM25_TERMS)})
       GROUP BY 1, 2),
     df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM qtf GROUP BY 1),
-    scored AS (
+    bm25_scored AS (
       SELECT q.doc_id,
-             SUM(
+             ROUND(SUM(
                ln(1.0 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
                * q.tf * ({_BM25_K1} + 1.0)
                / (q.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / corpus.avgdl))
-             ) AS raw
+             ), 4) AS bm25
       FROM qtf q
       JOIN df USING (term)
       JOIN dl ON dl.doc_id = q.doc_id
       CROSS JOIN corpus
-      GROUP BY q.doc_id)
-    SELECT doc_id, ROUND(raw, 4) AS bm25 FROM scored
-    ORDER BY ROUND(raw, 4) DESC, doc_id
-    LIMIT 20
-    """,
-)
-def llm_bm25_retrieval(spark, sf_dir):
-    """BM25 document retrieval (Robertson & Sparck Jones; Okapi k1=1.2,
-    b=0.75): top-20 documents for a fixed bag-of-terms query — the lexical
-    retrieval primitive a decontamination / curation pipeline scores
-    candidate documents with.
+      GROUP BY q.doc_id)"""
 
-    100 TB shape: the query-term filter is a broadcast IN-list applied at
-    the tokenize map stage (only query-term postings survive, so the
-    shuffled volume is O(n_docs x |query|), not O(corpus tokens)); doc
-    lengths are one hash aggregate; df and the corpus stats are
-    vocabulary-/scalar-sized broadcasts; the top-20 is
-    TakeOrderedAndProject. No all-pairs anywhere, one shuffled agg over
-    postings + one over doc lengths."""
+
+def _bm25_scored(spark, sf_dir):
+    """(doc_id, bm25) for the fixed ``_BM25_TERMS`` query — the scoring
+    core shared by llm_bm25_retrieval and llm_hybrid_retrieval_rrf; scale
+    argument in llm_bm25_retrieval's docstring."""
     d = table(spark, sf_dir, "documents")
     toks = (
         d.select(
@@ -2127,9 +2114,33 @@ def llm_bm25_retrieval(spark, sf_dir):
             ).alias("c"),
         )
     )
+    return contrib.groupBy("doc_id").agg(F.round(F.sum("c"), 4).alias("bm25"))
+
+
+@register(
+    "llm_bm25_retrieval",
+    oracle=rf"""
+    WITH {_BM25_SCORED_SQL}
+    SELECT doc_id, bm25 FROM bm25_scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def llm_bm25_retrieval(spark, sf_dir):
+    """BM25 document retrieval (Robertson & Sparck Jones; Okapi k1=1.2,
+    b=0.75): top-20 documents for a fixed bag-of-terms query — the lexical
+    retrieval primitive a decontamination / curation pipeline scores
+    candidate documents with.
+
+    100 TB shape: the query-term filter is a broadcast IN-list applied at
+    the tokenize map stage (only query-term postings survive, so the
+    shuffled volume is O(n_docs x |query|), not O(corpus tokens)); doc
+    lengths are one hash aggregate; df and the corpus stats are
+    vocabulary-/scalar-sized broadcasts; the top-20 is
+    TakeOrderedAndProject. No all-pairs anywhere, one shuffled agg over
+    postings + one over doc lengths."""
     return (
-        contrib.groupBy("doc_id")
-        .agg(F.round(F.sum("c"), 4).alias("bm25"))
+        _bm25_scored(spark, sf_dir)
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
@@ -2214,3 +2225,85 @@ def llm_random_projection(spark, sf_dir):
         .select("vec_id", "dim", "comp")
         .orderBy("vec_id", "dim")
     )
+
+
+@register(
+    "llm_hybrid_retrieval_rrf",
+    oracle=rf"""
+    WITH {_BM25_SCORED_SQL},
+    lex AS (
+      SELECT doc_id, r_lex FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+        FROM bm25_scored) WHERE r_lex <= 100),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+           WHERE vec_id = 0),
+    sem0 AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.qv), 6) AS cos_sim
+      FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0),
+    sem AS (
+      SELECT doc_id, r_sem FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS r_sem
+        FROM sem0) WHERE r_sem <= 100),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0 / (60 + lex.r_lex), 0)
+                   + COALESCE(1.0 / (60 + sem.r_sem), 0), 6) AS rrf
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+    SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 15
+    """,
+)
+def llm_hybrid_retrieval_rrf(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009,
+    rrf = sum 1/(60 + rank)): fuse the BM25 lexical top-100 with the
+    embedding-cosine top-100 (query = vec_id 0's embedding; documents and
+    embeddings share an id space in this corpus) into one ranking — the
+    standard lexical+semantic retrieval combiner.
+
+    100 TB shape: each side reduces the corpus to a top-k candidate list
+    FIRST (BM25: broadcast-pruned postings + TakeOrderedAndProject;
+    cosine: a broadcast single query row + per-row zip_with dot product +
+    TakeOrderedAndProject), so the global rank windows and the full-outer
+    fusion join run over 2 x k = 200 rows, not the corpus. Ranks are
+    assigned on ROUNDED scores with id tie-breaks, so the fused order is
+    engine-independent."""
+    k = 100
+
+    def ranked(df, score, rank_name):
+        top = df.orderBy(F.desc(score), "doc_id").limit(k)
+        w = Window.orderBy(F.desc(score), "doc_id")
+        return top.withColumn(rank_name, F.row_number().over(w)).select(
+            "doc_id", rank_name
+        )
+
+    lex = ranked(_bm25_scored(spark, sf_dir), "bm25", "r_lex")
+
+    e = table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qv = e.filter(F.col("vec_id") == 0).select(v.alias("qv"))
+    from clustopher_spark.functions.similarity import cosine
+
+    sem0 = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(v, F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    sem = ranked(sem0, "cos_sim", "r_sem")
+
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("r_sem")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(15)
