@@ -257,6 +257,99 @@ def _tail_levels(
     return levels
 
 
+def incremental_tail_local(
+    coarse_old: pd.DataFrame,
+    prev_new: pd.DataFrame,
+    dirty_lng: np.ndarray,
+    dirty_lat: np.ndarray,
+    zooms_rest: list[int],
+    metric_cols: list[str],
+    opts: ClusterOptions,
+) -> pd.DataFrame:
+    """Maintain the coarse tail (zooms below the fused cut, descending in
+    ``zooms_rest``) INCREMENTALLY on the driver — the O(batch) replacement
+    for the tail rebuild, which is the fused update's one global
+    dependency (it re-derives every tail level from the complete new
+    z_cut level, a full scan of that level per update).
+
+    Inputs: ``coarse_old`` — the previous version's tail rows (output form
+    + zoom column; bounded by local_tail_threshold at build time);
+    ``prev_new`` — the NEW ``zooms_rest[0] + 1`` level rows (output form,
+    no zoom) covering at least every cell that can have changed at
+    ``zooms_rest[0]`` (the caller hands the dirty-block slice: changed
+    rows live in batch-ancestry cells, whose (z+1)-children sit within
+    ±1 of a batch cell, inside the ±2-dilated dirty-block set);
+    ``dirty_lng``/``dirty_lat`` — the batch positions (adds + deletes).
+
+    Why batch positions are a sufficient dirty frontier at EVERY level:
+    a new cluster is a convex combination of members inside one dirty
+    cell and a displaced row sits in its own (dirty) cell, so by
+    induction every changed row at every level lies in a cell on some
+    batch position's own cell-ancestry path — the same containment
+    argument as fused_update_pass's per-level frontier, collapsed across
+    levels. Marking an unchanged ancestry cell dirty is harmless: the
+    greedy kernel is deterministic per cell, so reclustering it from
+    identical inputs reproduces the old rows byte-for-byte (the
+    equivalence invariant everything here is pinned to, by test).
+
+    All codes here are numpy (same project_np as the kernel), so no
+    JVM-vs-numpy ulp dilation is needed within this function."""
+    out_cols = [
+        "cluster_id", "lng", "lat", "point_count", "num_members",
+        "is_cluster", *[f"sum_{m}" for m in metric_cols],
+    ]
+    points_cols = ["id", "lng", "lat", "num_points", *metric_cols]
+    size = opts.supercell_size
+
+    def cell_codes(lng, lat, zoom):
+        cpx, cpy = project_np(lng, lat, zoom, opts.extent)
+        cx = np.floor(cpx / size).astype(np.int64)
+        cy = np.floor(cpy / size).astype(np.int64)
+        return (cx << 32) + cy
+
+    frames = []
+    prev = prev_new
+    for z in zooms_rest:
+        lz = coarse_old[coarse_old["zoom"] == z]
+        dirty = np.unique(cell_codes(dirty_lng, dirty_lat, z))
+        lz_mask = np.isin(
+            cell_codes(lz["lng"].to_numpy(), lz["lat"].to_numpy(), z), dirty
+        )
+        pl = prev.rename(
+            columns={"cluster_id": "id", "point_count": "num_points",
+                     **{f"sum_{m}": m for m in metric_cols}}
+        )[points_cols]
+        pl_mask = np.isin(
+            cell_codes(pl["lng"].to_numpy(), pl["lat"].to_numpy(), z), dirty
+        )
+        recluster_in = pl[pl_mask].reset_index(drop=True)
+        if len(recluster_in):
+            new_out = _cluster_level_local(recluster_in, z, metric_cols, opts)
+        else:
+            new_out = pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in (
+                    ("cluster_id", "int64"), ("lng", "float64"),
+                    ("lat", "float64"), ("point_count", "int64"),
+                    ("num_members", "int64"), ("is_cluster", "bool"),
+                    *[(f"sum_{m}", "float64") for m in metric_cols],
+                )}
+            )
+        full_new = pd.concat(
+            [lz[~lz_mask][out_cols], new_out[out_cols]], ignore_index=True
+        )
+        frames.append(full_new.assign(zoom=z))
+        prev = full_new
+    if not frames:
+        return coarse_old.iloc[0:0]
+    result = pd.concat(frames, ignore_index=True)
+    result["cluster_id"] = result["cluster_id"].astype(np.int64)
+    result["point_count"] = result["point_count"].astype(np.int64)
+    result["num_members"] = result["num_members"].astype(np.int64)
+    result["is_cluster"] = result["is_cluster"].astype(bool)
+    result["zoom"] = result["zoom"].astype(np.int32)
+    return result[out_cols + ["zoom"]]
+
+
 def materialize_zoom_levels(
     points: DataFrame,
     metric_cols: list[str] | None = None,
@@ -418,6 +511,7 @@ def fused_update_pass(
     points_deleted: DataFrame | None = None,
     rebuild_fraction: float = 0.15,
     stats: dict | None = None,
+    coarse_tail: bool = True,
 ) -> DataFrame:
     """Incremental pyramid maintenance in ONE shuffle + ONE Python boundary
     (the fused-build treatment applied to `update_zoom_levels`: measured
@@ -450,7 +544,17 @@ def fused_update_pass(
     rebuild of the accumulated corpus instead (identical result, pinned
     by test); ``None`` disables the dispatch. ``stats``: optional dict
     the call fills with ``path`` ("incremental" | "rebuild") and
-    ``est_fed_fraction`` for observability."""
+    ``est_fed_fraction`` for observability.
+
+    ``coarse_tail=False`` skips the coarse-tail rebuild and returns only
+    the chained levels (zoom >= the fused z_cut). The tail rebuild is the
+    one GLOBAL dependency of the incremental pass — it re-derives every
+    zoom < z_cut from the complete new z_cut level, i.e. a full scan of
+    that level per update. Callers that maintain the tail themselves
+    (PyramidStore's manifest fast path keeps it incrementally on the
+    driver via :func:`incremental_tail_local`) turn it off so an append
+    batch costs O(dirty blocks), not O(corpus). Ignored when the update
+    dispatches to a rebuild — a rebuild always returns the full pyramid."""
     metric_cols = metric_cols or []
     spark = points_old.sparkSession
     if "num_points" not in points_old.columns:
@@ -927,6 +1031,11 @@ def fused_update_pass(
         eager=True
     )
     levels: list[DataFrame] = [fused]
+    if not coarse_tail:
+        out = fused
+        if lvl_passthrough is not None:
+            out = out.unionByName(lvl_passthrough.select(*out_cols))
+        return out
     lowest = fused.filter(F.col("zoom") == z_cut)
     if lvl_passthrough is not None:
         # untouched level rows join the result Spark-side, values

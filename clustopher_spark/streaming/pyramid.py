@@ -74,12 +74,19 @@ from clustopher_spark.operators.cluster import ClusterOptions
 from clustopher_spark.operators.zoom import (
     _DRIVER_DIRTY_LIMIT,
     _fuse_cut,
+    fused_update_pass,
+    incremental_tail_local,
     materialize_zoom_levels,
     update_zoom_levels,
     write_zoom_levels,
 )
 
 _POINT_SCHEMA = "id long, lng double, lat double"
+
+# The manifest fast path reads every dirty block file back as levels_old;
+# past this many blocks the batch is broad enough that the full path's
+# single manifest-wide read is the better plan anyway.
+_FAST_DIRTY_BLOCK_LIMIT = 256
 
 
 def _pk_code(pk: str) -> int | None:
@@ -113,6 +120,10 @@ class PyramidStore:
         self.opts = opts
         self._publish_default = publish
         self._publish_zoom_default = publish_zoom
+        # observability: filled by the last apply_batch with the publish
+        # path taken ("fast" | "full" | "rebuild-full") and the fused
+        # pass's own dispatch stats
+        self.last_apply_stats: dict = {}
         os.makedirs(root, exist_ok=True)
 
     def _publish_props(self, meta: dict) -> tuple[str, int]:
@@ -211,21 +222,23 @@ class PyramidStore:
         """Publication blocks the batch can perturb: the batch positions'
         cell codes at publish_zoom, dilated ±2 in y (both the row side and
         the batch side carry a ±1-cell floor-boundary ulp vs the kernel's
-        numpy codes — operators/zoom.py's argument). Returns a sorted
-        int64 array, or None for an oversized batch (caller falls back to
-        a full write)."""
+        numpy codes — operators/zoom.py's argument). Returns
+        ``(codes, positions)`` — a sorted int64 array plus the collected
+        (lng, lat) pandas frame (the fast path's tail frontier) — or
+        ``(None, None)`` for an oversized batch (caller falls back to a
+        full write)."""
         import numpy as np
 
         code, _ = self._pk_cols(z_pb)
-        bp = batch_pos.select(code.alias("c")).limit(
+        bp = batch_pos.select("lng", "lat", code.alias("c")).limit(
             _DRIVER_DIRTY_LIMIT + 1
         ).toPandas()
         if len(bp) > _DRIVER_DIRTY_LIMIT:
-            return None
+            return None, None
         c = bp["c"].to_numpy("int64")
         return np.unique(
             np.concatenate([c - 2, c - 1, c, c + 1, c + 2])
-        )
+        ), bp
 
     def _write_levels_manifest(
         self, upd: DataFrame, version: int, z_pb: int, dirty_codes, old_manifest: dict
@@ -429,31 +442,162 @@ class PyramidStore:
             dels = self.spark.read.parquet(dels_path).select("id", "lng", "lat")
             if not dels.take(1):
                 dels = None
-        upd = update_zoom_levels(
-            self.current_levels(),
-            self.current_points(),
-            adds,
-            self.metric_cols,
-            self.opts,
-            points_deleted=dels,
-        )
         version = int(meta["latest"]) + 1
         publish, z_pb = self._publish_props(meta)
+        stats: dict = {}
         if publish == "manifest":
-            batch_pos = adds.select("lng", "lat")
-            if dels is not None:
-                batch_pos = batch_pos.unionByName(dels.select("lng", "lat"))
-            dirty = self._dirty_pb_codes(batch_pos, z_pb)
-            manifest = self._write_levels_manifest(
-                upd, version, z_pb, dirty, self._manifest(int(meta["latest"]))
-            )
+            manifest = self._apply_manifest(adds, dels, z_pb, meta, version, stats)
             self._commit_manifest(version, manifest)
         else:
+            upd = update_zoom_levels(
+                self.current_levels(),
+                self.current_points(),
+                adds,
+                self.metric_cols,
+                self.opts,
+                points_deleted=dels,
+                stats=stats,
+            )
             write_zoom_levels(upd, self._levels_path(version), self.opts)
+        self.last_apply_stats = stats
         self._commit_meta(
             {**meta, "latest": version, "last_batch": batch_id}
         )
         return True
+
+    def _apply_manifest(
+        self, adds: DataFrame, dels: DataFrame | None, z_pb: int,
+        meta: dict, version: int, stats: dict,
+    ) -> dict:
+        """Build + publish one manifest version. Fast path: an append/
+        delete batch costs O(dirty blocks), never O(corpus) —
+
+        * only the DIRTY publication-block files of the previous version
+          are read back as ``levels_old`` (the manifest names them; an
+          untouched block can neither feed the kernel nor need rewriting,
+          so reading it is pure waste);
+        * the fused update runs with ``coarse_tail=False``, skipping its
+          one global dependency (the tail rebuild scans the complete new
+          z_cut level every update);
+        * the coarse tail (zoom < z_pb) is maintained incrementally on
+          the driver from the old coarse block + the new dirty-block
+          z_pb rows (:func:`incremental_tail_local`'s containment
+          argument) — both driver-sized by construction.
+
+        Before this path, every micro-batch re-evaluated the full level
+        store 3-4x (passthrough write, z_cut count, tail rebuild):
+        measured 15.5 s for a 10k city batch onto 1M points, ~11 s of
+        which was corpus-sized scans. The guards below fall back to the
+        full path (exact same result, pinned by the store's
+        equality-to-rebuild tests): oversized batches (no driver dirty
+        set), a publish zoom that differs from the session's fused cut
+        (the dirty-block algebra needs z_pb == z_cut so chained levels
+        live entirely inside publication blocks), too many dirty blocks,
+        or a chain too short to fuse. ``stats['publish_path']`` records
+        the decision; the fused pass adds ``path``/``est_fed_fraction``."""
+        batch_pos = adds.select("lng", "lat")
+        if dels is not None:
+            batch_pos = batch_pos.unionByName(dels.select("lng", "lat"))
+        dirty, bp = self._dirty_pb_codes(batch_pos, z_pb)
+        old_manifest = self._manifest(int(meta["latest"]))
+        default_par = self.spark.sparkContext.defaultParallelism
+        dirty_set = set(int(x) for x in dirty) if dirty is not None else None
+        dirty_rels = (
+            [rel for k, rel in old_manifest.items()
+             if _pk_code(k) is not None and _pk_code(k) in dirty_set]
+            if dirty_set is not None else None
+        )
+        fast_ok = (
+            dirty is not None
+            and _fuse_cut(self.opts, default_par) == z_pb
+            and self.opts.max_zoom - z_pb >= 1
+            and len(dirty_rels) <= _FAST_DIRTY_BLOCK_LIMIT
+        )
+        if not fast_ok:
+            stats["publish_path"] = "full"
+            upd = update_zoom_levels(
+                self.current_levels(), self.current_points(), adds,
+                self.metric_cols, self.opts, points_deleted=dels, stats=stats,
+            )
+            return self._write_levels_manifest(
+                upd, version, z_pb, dirty, old_manifest
+            )
+        if dirty_rels:
+            lvl_dirty = self.spark.read.parquet(
+                *[os.path.join(self.root, rel) for rel in dirty_rels]
+            )
+        else:
+            # batch lands in a virgin region: empty levels frame with the
+            # store schema (any block file carries it; coarse always exists)
+            any_rel = next(iter(old_manifest.values()))
+            lvl_dirty = self.spark.read.parquet(
+                os.path.join(self.root, any_rel)
+            ).limit(0)
+        upd_deep = fused_update_pass(
+            lvl_dirty, self.current_points(), adds, self.metric_cols,
+            self.opts, parallelism=default_par, points_deleted=dels,
+            coarse_tail=False, stats=stats,
+        )
+        if stats.get("path") == "rebuild":
+            # cost dispatch chose a full rebuild (returns the complete
+            # pyramid, tail included) -> publish it as a full write
+            stats["publish_path"] = "rebuild-full"
+            return self._write_levels_manifest(upd_deep, version, z_pb, None, {})
+        stats["publish_path"] = "fast"
+        zooms_rest = [
+            z for z in range(self.opts.max_zoom, self.opts.min_zoom - 1, -1)
+            if z < z_pb
+        ]
+        upd = upd_deep
+        if zooms_rest:
+            import pandas as pd
+
+            zcut_new = upd_deep.filter(F.col("zoom") == z_pb).toPandas()
+            # First-tail-level coverage: the recluster inputs at z_pb - 1
+            # are the z_pb rows of every dirty cell's 2x2 children, which
+            # extend ±1 cell in x beyond the dirty-block set (that set is
+            # dilated in y only — x is JVM-exact, so x-neighbor blocks are
+            # never dirty). Their z_pb rows are therefore UNCHANGED this
+            # version: read them from the previous version's files and
+            # union them into the tail's input.
+            nb_codes = {int(c) + (dx << 32) for c in dirty for dx in (-1, 1)}
+            nb_codes -= dirty_set
+            nb_rels = [
+                rel for k, rel in old_manifest.items()
+                if _pk_code(k) is not None and _pk_code(k) in nb_codes
+            ]
+            if nb_rels:
+                nb_pdf = (
+                    self.spark.read.parquet(
+                        *[os.path.join(self.root, rel) for rel in nb_rels]
+                    )
+                    .filter(F.col("zoom") == z_pb)
+                    .toPandas()
+                )
+                zcut_new = pd.concat([zcut_new, nb_pdf], ignore_index=True)
+            coarse_rel = old_manifest.get("coarse")
+            if coarse_rel is not None:
+                coarse_old = self.spark.read.parquet(
+                    os.path.join(self.root, coarse_rel)
+                ).toPandas()
+            else:
+                coarse_old = zcut_new.iloc[0:0]
+            tail_pdf = incremental_tail_local(
+                coarse_old,
+                zcut_new.drop(columns=["zoom"]),
+                bp["lng"].to_numpy(),
+                bp["lat"].to_numpy(),
+                zooms_rest,
+                self.metric_cols,
+                self.opts,
+            )
+            if len(tail_pdf):
+                tail_df = self.spark.createDataFrame(
+                    tail_pdf[[f.name for f in upd_deep.schema.fields]],
+                    schema=upd_deep.schema,
+                )
+                upd = upd_deep.unionByName(tail_df)
+        return self._write_levels_manifest(upd, version, z_pb, dirty, old_manifest)
 
     def maintain(
         self,

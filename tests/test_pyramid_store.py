@@ -330,3 +330,63 @@ def test_store_reads_pre_provenance_logs(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_manifest_fast_path_taken_and_virgin_region(spark, tmp_path):
+    """The manifest publish must route a small localized batch through the
+    O(dirty-blocks) fast path (dirty-block-only read, coarse_tail=False,
+    driver-side incremental tail) — and a batch landing in a VIRGIN region
+    (no existing blocks) must still publish correctly through it."""
+    store = PyramidStore(
+        spark, str(tmp_path / "store"), ["value"], OPTS, publish="manifest"
+    )
+    base = _pts(spark, 2000, seed=81, west=-125, south=25, east=-65, north=49)
+    store.bootstrap(base)
+
+    b0 = _pts(spark, 200, seed=82, id_base=1_000_000,
+              west=-75, south=40, east=-73, north=42)
+    assert store.apply_batch(b0, 0) is True
+    assert store.last_apply_stats.get("publish_path") == "fast"
+    assert store.last_apply_stats.get("path") == "incremental"
+    corpus = base.unionByName(b0)
+    assert _canon(store.current_levels()) == _canon(
+        materialize_zoom_levels(corpus, ["value"], OPTS)
+    )
+
+    # virgin region: far from every existing block
+    b1 = _pts(spark, 150, seed=83, id_base=2_000_000,
+              west=100, south=-45, east=150, north=-10)
+    assert store.apply_batch(b1, 1) is True
+    assert store.last_apply_stats.get("publish_path") == "fast"
+    corpus = corpus.unionByName(b1)
+    assert _canon(store.current_levels()) == _canon(
+        materialize_zoom_levels(corpus, ["value"], OPTS)
+    )
+
+
+def test_manifest_fast_path_delete_then_readd(spark, tmp_path):
+    """Batch-ordered deletion semantics must survive the fast path: delete
+    a slice, then re-add one of its ids — the re-add wins, and every
+    version equals a rebuild of its accumulated corpus."""
+    store = PyramidStore(
+        spark, str(tmp_path / "store"), ["value"], OPTS, publish="manifest"
+    )
+    base = _pts(spark, 1500, seed=84, west=-125, south=25, east=-65, north=49)
+    store.bootstrap(base)
+
+    victims = base.filter(F.col("id") % 7 == 0)
+    assert store.apply_batch(
+        victims.withColumn("op", F.lit("delete")), 0
+    ) is True
+    assert store.last_apply_stats.get("publish_path") == "fast"
+    survivors = base.join(victims.select("id"), "id", "left_anti")
+    assert _canon(store.current_levels()) == _canon(
+        materialize_zoom_levels(survivors, ["value"], OPTS)
+    )
+
+    readd = victims.limit(20)
+    assert store.apply_batch(readd, 1) is True
+    corpus = survivors.unionByName(readd)
+    assert _canon(store.current_levels()) == _canon(
+        materialize_zoom_levels(corpus, ["value"], OPTS)
+    )
