@@ -380,12 +380,26 @@ class PyramidStore:
 
     # ---- writers ----
     def bootstrap(self, points: DataFrame) -> int:
-        """Build version 1 from an initial corpus (may be empty-store only)."""
+        """Build version 1 from an initial corpus (may be empty-store only).
+
+        The bootstrap log is written Z-ORDERED: every apply_batch's fed
+        selection scans the point log under the batch's bbox filter, and
+        on an unsorted log that filter prunes nothing (row-group lng/lat
+        stats span the world) — the one remaining corpus-sized read of
+        the manifest fast path. Morton layout makes it a stat-pruned
+        read of the batch's spatial neighborhood; ``compact`` re-applies
+        the same layout when folding batch logs in."""
         if self.current_version() != 0:
             raise ValueError("store already bootstrapped")
+        from clustopher_spark.sources.layout import write_zordered
+
         pts = points.select(*self._point_cols())
         boot = os.path.join(self.root, "batches", "bootstrap")
-        pts.write.mode("overwrite").parquet(boot)
+        write_zordered(
+            pts, boot, num_files=max(
+                self.spark.sparkContext.defaultParallelism, 8
+            ),
+        )
         levels = materialize_zoom_levels(
             self.spark.read.parquet(boot), self.metric_cols, self.opts
         )
@@ -652,11 +666,17 @@ class PyramidStore:
         final directory swap is not atomic (rmtree + rename) — run it
         between batches; a transactional table format closes that window,
         the same upgrade path as sinks.py."""
+        from clustopher_spark.sources.layout import write_zordered
+
         pts = self.current_points().localCheckpoint(eager=True)
         meta = self._meta()
         boot = os.path.join(self.root, "batches", "bootstrap")
         tmp = boot + "_compacting"
-        pts.write.mode("overwrite").parquet(tmp)
+        write_zordered(
+            pts, tmp, num_files=max(
+                self.spark.sparkContext.defaultParallelism, 8
+            ),
+        )
         for sub in ("adds", "dels"):
             d = os.path.join(self.root, "batches", sub)
             if os.path.isdir(d):
