@@ -30,7 +30,7 @@ import clustopher_spark.queries.stats  # noqa: F401
 # DuckDB gate (CORRECTNESS_r01-03, all green — zero never-checked oracles
 # remain). This round's 50 slots = 19 flagship anchors (kept in-window
 # every round so a regression in the core surface is always
-# driver-visible) + the 5 NEW round-4 oracles + the 26 STALEST re-checks
+# driver-visible) + the 6 NEW round-4 oracles + the 25 STALEST re-checks
 # (oracles last driver-checked in round 1 and not since: the TPC-H
 # battery and the window-function family — freshness rotation now that
 # coverage is total). tools/check_window_rotation.py enforces that the
@@ -73,10 +73,11 @@ _R4_ROTATION = [
     "llm_bm25_retrieval",
     "llm_random_projection",
     "llm_hybrid_retrieval_rrf",
-    # (window_above_customer_avg, window_order_gaps and
-    # window_range_frame_30d yield their re-check slots to the three
-    # oracles above: all were driver-green in round 1 and stay
-    # value-verified every run by the local replica,
+    "llm_dedup_keep_best",
+    # (window_above_customer_avg, window_order_gaps,
+    # window_range_frame_30d and window_running_spend yield their
+    # re-check slots to the four oracles above: all were driver-green in
+    # round 1 and stay value-verified every run by the local replica,
     # tests/test_oracle_parity.py + tools/strict_parity.py)
     # stalest re-checks: driver-green in round 1 only, untouched since
     "q1_pricing_summary",
@@ -103,7 +104,6 @@ _R4_ROTATION = [
     "q22_idle_rich_customers",
     "window_top3_orders_per_customer",
     "window_ranking_family",
-    "window_running_spend",
     "join_range_price_bands",
 ]
 _R4_WINDOW = set(_FLAGSHIP_ANCHORS) | set(_R4_ROTATION)

@@ -432,10 +432,10 @@ def llm_tfidf_top_terms(spark, sf_dir):
     )
 
 
-@register(
-    "llm_neardup_groups",
-    oracle=r"""
-    WITH docs AS (
+# Transitive-closure grouping of n-gram-Jaccard near-dup pairs as DuckDB
+# CTEs ending in groups(doc_id, group_id) — shared by the grouping oracle
+# and the keep-best retention oracle below.
+_NEARDUP_GROUP_CTES = r"""docs AS (
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
       FROM documents WHERE doc_id < 500
     ), sh AS (
@@ -460,11 +460,19 @@ def llm_tfidf_top_terms(spark, sf_dir):
         UNION
         SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
       ) SELECT * FROM r
-    )
-    SELECT v.doc_id, LEAST(v.doc_id, COALESCE(MIN(r.dst), v.doc_id)) AS group_id
-    FROM (SELECT DISTINCT src AS doc_id FROM edges) v
-    LEFT JOIN reach r ON r.src = v.doc_id
-    GROUP BY v.doc_id ORDER BY v.doc_id
+    ), groups AS (
+      SELECT v.doc_id, LEAST(v.doc_id, COALESCE(MIN(r.dst), v.doc_id)) AS group_id
+      FROM (SELECT DISTINCT src AS doc_id FROM edges) v
+      LEFT JOIN reach r ON r.src = v.doc_id
+      GROUP BY v.doc_id
+    )"""
+
+
+@register(
+    "llm_neardup_groups",
+    oracle=f"""
+    WITH {_NEARDUP_GROUP_CTES}
+    SELECT doc_id, group_id FROM groups ORDER BY doc_id
     """,
 )
 def llm_neardup_groups(spark, sf_dir):
@@ -2307,3 +2315,47 @@ def llm_hybrid_retrieval_rrf(spark, sf_dir):
         )
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(15)
+
+
+@register(
+    "llm_dedup_keep_best",
+    oracle=f"""
+    WITH {_NEARDUP_GROUP_CTES},
+    ranked AS (
+      SELECT g.doc_id, g.group_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY g.group_id
+                                ORDER BY d.n_chars DESC, g.doc_id) AS rn
+      FROM groups g JOIN documents d ON d.doc_id = g.doc_id)
+    SELECT doc_id, group_id, n_chars, (rn = 1) AS keep
+    FROM ranked ORDER BY doc_id
+    """,
+)
+def llm_dedup_keep_best(spark, sf_dir):
+    """The retention DECISION step of near-dup dedup: within each
+    transitive near-dup group, keep the longest document (n_chars desc,
+    doc_id tie-break) and mark the rest dropped — "keep best" rather than
+    the min-id canonical rule, the policy real corpus dedup ships with
+    (longest/highest-quality copy survives).
+
+    100 TB shape: groups come from the same inverted-index pair join +
+    star-contraction components as llm_neardup_groups (no all-pairs); the
+    metadata join is a doc_id equi-join against a column-pruned documents
+    projection; the keep rule is a row_number window PARTITIONED by
+    group_id — near-dup groups are small by construction, so the window
+    never concentrates a partition."""
+    from clustopher_spark.functions.dedup import connected_components
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = ngram_jaccard_pairs(d, threshold=0.05)
+    groups = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "group_id"
+    )
+    joined = groups.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("group_id").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id", "group_id", "n_chars", (F.col("rn") == 1).alias("keep")
+        )
+        .orderBy("doc_id")
+    )

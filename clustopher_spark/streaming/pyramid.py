@@ -41,9 +41,9 @@ and the point-log write is O(batch). Two publication modes:
   snapshot. O(pyramid) write per batch: the cost of plain-parquet
   publication, not of the algorithm. Simple, serve-ready layout.
 * ``publish="manifest"`` — levels are partitioned by a FIXED coarse
-  spatial block key ``pk`` (``z{zoom}_p{code}`` = the row's supercell at
-  the store's ``publish_zoom``; whole-level blocks ``z{zoom}_all`` below
-  it), each version writes ONLY the dirty blocks, and a per-version
+  spatial block key ``pk`` (``p{code}`` = the row's supercell at the
+  store's ``publish_zoom``, spanning every zoom >= it; one shared
+  ``coarse`` block below), each version writes ONLY the dirty blocks, and a per-version
   ``manifest.json`` maps every pk to the version directory that owns it —
   untouched blocks are shared across versions, the same idea a
   transactional table format's snapshot manifest implements. Write cost
