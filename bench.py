@@ -70,6 +70,10 @@ BENCH_QUERIES = [
     "events_anomaly_zscore",
     # round-3 addition
     "llm_ann_ivfpq_topk",
+    # round-4 additions
+    "llm_bm25_retrieval",
+    "llm_hybrid_retrieval_rrf",
+    "llm_random_projection",
 ]
 
 
