@@ -404,9 +404,16 @@ def family_pyramid_10m(spark, timings):
     claims were not committed bench entries). Isolated in its own JVM —
     its ~67M checkpointed rows were the main storage-pressure source that
     contaminated the r3 artifact."""
+    import gc
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
     from clustopher_spark.engine import Clustopher
     from clustopher_spark.operators.cluster import ClusterOptions
     from clustopher_spark.sources.generators import generate_test_points
+    from clustopher_spark.streaming.pyramid import PyramidStore
 
     pts_10m = (
         generate_test_points(spark, 10_000_000, seed=11)
@@ -416,13 +423,57 @@ def family_pyramid_10m(spark, timings):
     pts_10m.count()
     opts = ClusterOptions(radius=100.0, min_points=2, max_zoom=16)
     eng_10m = Clustopher(pts_10m, ["value"], opts=opts)
-    t0 = time.perf_counter()
-    eng_10m.materialize()
-    n_pyr10 = eng_10m._zoom_levels.count()
+    best = None
+    for i in range(2):  # best-of-2: single shots swing 58-112 s on this VM
+        t0 = time.perf_counter()
+        eng_10m.materialize()
+        n_pyr10 = eng_10m._zoom_levels.count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+        if i == 0:  # release rep-0's ~67M checkpointed rows
+            eng_10m._zoom_levels = None
+            gc.collect()
+            spark._jvm.System.gc()
     _report(
-        spark, timings, "pyramid_build_10m", time.perf_counter() - t0,
+        spark, timings, "pyramid_build_10m", best,
         f"{n_pyr10} pyramid rows, zooms 0-16",
     )
+
+    # the O(dirty-blocks) claim at 10x: the same city-batch publish as the
+    # 1M family's pyramid_store_city_publish — if the manifest fast path
+    # really is corpus-size-independent, this entry stays ~flat vs the 1M
+    # one rather than scaling 10x. Bootstrap (a second full build into the
+    # store layout) is untimed setup; release the in-memory pyramid first
+    # so the apply isn't measured under 67M rows of storage pressure.
+    eng_10m._zoom_levels = None
+    gc.collect()
+    spark._jvm.System.gc()
+    batch_city = (
+        generate_test_points(spark, 10_000, west=-74.5, south=40.2,
+                             east=-73.5, north=41.2, seed=103)
+        .select("id", "lng", "lat", "value")
+        .withColumn("id", F.col("id") + 20_000_000)
+        .localCheckpoint(eager=True)
+    )
+    batch_city.count()
+    tmp = tempfile.mkdtemp(prefix="clustopher_pstore10m_")
+    try:
+        pstore = PyramidStore(
+            spark, f"{tmp}/pyramid_store", ["value"], opts, publish="manifest"
+        )
+        pstore.bootstrap(pts_10m)
+        t0 = time.perf_counter()
+        pstore.apply_batch(batch_city, 0)
+        dt = time.perf_counter() - t0
+        man = json.load(open(pstore._manifest_path(2)))
+        n_dirty = sum(1 for rel in man.values() if f"{os.sep}v2{os.sep}" in rel)
+        _report(
+            spark, timings, "pyramid_store_city_publish_10m", dt,
+            f"{n_dirty} of {len(man)} blocks rewritten,"
+            f" path={pstore.last_apply_stats.get('publish_path')}",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def family_minhash_prod(spark, timings):
