@@ -105,6 +105,30 @@ def _cluster_level_local(
     return out
 
 
+def _empty_level_frame(metric_cols: list[str]) -> pd.DataFrame:
+    """An empty frame with the level-output schema/dtypes — the single
+    definition shared by every per-level pandas path (fused kernel,
+    incremental tail), so a schema change has one place to land."""
+    return pd.DataFrame(
+        {c: pd.Series(dtype=t) for c, t in (
+            ("cluster_id", "int64"), ("lng", "float64"), ("lat", "float64"),
+            ("point_count", "int64"), ("num_members", "int64"),
+            ("is_cluster", "bool"),
+            *[(f"sum_{m}", "float64") for m in metric_cols],
+        )}
+    )
+
+
+def _level_as_points(pdf: pd.DataFrame, metric_cols: list[str]) -> pd.DataFrame:
+    """Level-output rows back to kernel-input point form (the closure
+    step every chained level takes) — shared rename, one behavior."""
+    d = pdf.rename(
+        columns={"cluster_id": "id", "point_count": "num_points",
+                 **{f"sum_{m}": m for m in metric_cols}}
+    )
+    return d[["id", "lng", "lat", "num_points", *metric_cols]]
+
+
 def _chain_levels_local(
     pdf: pd.DataFrame, zooms: list[int], metric_cols: list[str], opts: ClusterOptions
 ) -> pd.DataFrame:
@@ -116,10 +140,7 @@ def _chain_levels_local(
     for z in zooms:
         out = _cluster_level_local(pdf, z, metric_cols, opts)
         frames.append(out.assign(zoom=z))
-        pdf = out.rename(
-            columns={"cluster_id": "id", "point_count": "num_points",
-                     **{f"sum_{m}": m for m in metric_cols}}
-        )[["id", "lng", "lat", "num_points", *metric_cols]]
+        pdf = _level_as_points(out, metric_cols)
     return pd.concat(frames, ignore_index=True)
 
 
@@ -234,8 +255,18 @@ def _tail_levels(
     for idx, zoom in enumerate(zooms_rest):
         if n_rows is not None and n_rows <= local_tail_threshold:
             pdf = current.toPandas()
+            # explicit schema: pandas inference fails on an EMPTY frame
+            # (a corpus whose deletions removed every point still needs
+            # a valid — empty — pyramid), and an explicit DDL keeps the
+            # dtypes identical to the distributed branch either way
+            metric_schema = "".join(f", sum_{m} double" for m in metric_cols)
             tail = spark.createDataFrame(
-                _chain_levels_local(pdf, zooms_rest[idx:], metric_cols, opts)
+                _chain_levels_local(pdf, zooms_rest[idx:], metric_cols, opts),
+                schema=(
+                    "cluster_id long, lng double, lat double,"
+                    " point_count long, num_members long,"
+                    f" is_cluster boolean{metric_schema}, zoom int"
+                ),
             )
             levels.append(tail)
             break
@@ -298,7 +329,6 @@ def incremental_tail_local(
         "cluster_id", "lng", "lat", "point_count", "num_members",
         "is_cluster", *[f"sum_{m}" for m in metric_cols],
     ]
-    points_cols = ["id", "lng", "lat", "num_points", *metric_cols]
     size = opts.supercell_size
 
     def cell_codes(lng, lat, zoom):
@@ -315,10 +345,7 @@ def incremental_tail_local(
         lz_mask = np.isin(
             cell_codes(lz["lng"].to_numpy(), lz["lat"].to_numpy(), z), dirty
         )
-        pl = prev.rename(
-            columns={"cluster_id": "id", "point_count": "num_points",
-                     **{f"sum_{m}": m for m in metric_cols}}
-        )[points_cols]
+        pl = _level_as_points(prev, metric_cols)
         pl_mask = np.isin(
             cell_codes(pl["lng"].to_numpy(), pl["lat"].to_numpy(), z), dirty
         )
@@ -326,14 +353,7 @@ def incremental_tail_local(
         if len(recluster_in):
             new_out = _cluster_level_local(recluster_in, z, metric_cols, opts)
         else:
-            new_out = pd.DataFrame(
-                {c: pd.Series(dtype=t) for c, t in (
-                    ("cluster_id", "int64"), ("lng", "float64"),
-                    ("lat", "float64"), ("point_count", "int64"),
-                    ("num_members", "int64"), ("is_cluster", "bool"),
-                    *[(f"sum_{m}", "float64") for m in metric_cols],
-                )}
-            )
+            new_out = _empty_level_frame(metric_cols)
         full_new = pd.concat(
             [lz[~lz_mask][out_cols], new_out[out_cols]], ignore_index=True
         )
@@ -953,11 +973,7 @@ def fused_update_pass(
 
         def to_points(level_out):
             # NEW-level rows back to kernel-input point form
-            d = level_out.rename(
-                columns={"cluster_id": "id", "point_count": "num_points",
-                         **{f"sum_{m}": m for m in mcols}}
-            )
-            return d[points_cols]
+            return _level_as_points(level_out, mcols)
 
         def to_output(level_rows):
             # old-level input rows to output form, values preserved
@@ -1002,14 +1018,7 @@ def fused_update_pass(
             if len(recluster_in):
                 new_out = _cluster_level_local(recluster_in, z, mcols, o)
             else:
-                new_out = pd.DataFrame(
-                    {c: pd.Series(dtype=t) for c, t in (
-                        ("cluster_id", "int64"), ("lng", "float64"), ("lat", "float64"),
-                        ("point_count", "int64"), ("num_members", "int64"),
-                        ("is_cluster", "bool"),
-                        *[(f"sum_{m}", "float64") for m in mcols],
-                    )}
-                )
+                new_out = _empty_level_frame(mcols)
             untouched = to_output(lz[~lz_dirty_mask])
             displaced = lz[lz_dirty_mask]
             full_new = pd.concat([untouched, new_out], ignore_index=True)

@@ -68,6 +68,11 @@ def write_zordered(
         F.min(lng_col).alias("w"), F.max(lng_col).alias("e"),
         F.min(lat_col).alias("s"), F.max(lat_col).alias("n"),
     ).collect()[0]
+    if b.w is None:
+        # empty input: min/max are NULL and the quantizer would divide by
+        # None — there is nothing to order, so write the empty frame as-is
+        df.write.mode("overwrite").option("compression", "zstd").parquet(path)
+        return
     keyed = df.withColumn(
         "_z",
         zorder_key(

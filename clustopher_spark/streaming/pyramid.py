@@ -181,6 +181,17 @@ class PyramidStore:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
+    def _empty_levels_df(self) -> DataFrame:
+        """An empty frame with the store's levels schema (column order =
+        the written block order) — for a store whose corpus deletions
+        emptied every block out of the manifest."""
+        metric_schema = "".join(f", sum_{m} double" for m in self.metric_cols)
+        return self.spark.createDataFrame(
+            [],
+            "cluster_id long, lng double, lat double, point_count long,"
+            f" num_members long, is_cluster boolean{metric_schema}, zoom int",
+        )
+
     def current_levels(self) -> DataFrame:
         meta = self._meta()
         v = int(meta.get("latest", 0))
@@ -192,6 +203,8 @@ class PyramidStore:
                 os.path.join(self.root, rel)
                 for rel in self._manifest(v).values()
             ]
+            if not paths:
+                return self._empty_levels_df()
             return self.spark.read.parquet(*paths)
         return self.spark.read.parquet(self._levels_path(v))
 
@@ -388,7 +401,10 @@ class PyramidStore:
         stats span the world) — the one remaining corpus-sized read of
         the manifest fast path. Morton layout makes it a stat-pruned
         read of the batch's spatial neighborhood; ``compact`` re-applies
-        the same layout when folding batch logs in."""
+        the same layout when folding batch logs in. The Z-order write
+        evaluates ``points`` twice (a bounds aggregate, then the write) —
+        hand over a materialized/checkpointed frame when the lineage is
+        expensive (every in-repo caller does)."""
         if self.current_version() != 0:
             raise ValueError("store already bootstrapped")
         from clustopher_spark.sources.layout import write_zordered
@@ -541,12 +557,9 @@ class PyramidStore:
                 *[os.path.join(self.root, rel) for rel in dirty_rels]
             )
         else:
-            # batch lands in a virgin region: empty levels frame with the
-            # store schema (any block file carries it; coarse always exists)
-            any_rel = next(iter(old_manifest.values()))
-            lvl_dirty = self.spark.read.parquet(
-                os.path.join(self.root, any_rel)
-            ).limit(0)
+            # batch lands in a virgin region (or the store was emptied):
+            # empty levels frame with the store schema
+            lvl_dirty = self._empty_levels_df()
         upd_deep = fused_update_pass(
             lvl_dirty, self.current_points(), adds, self.metric_cols,
             self.opts, parallelism=default_par, points_deleted=dels,
@@ -568,13 +581,21 @@ class PyramidStore:
 
             zcut_new = upd_deep.filter(F.col("zoom") == z_pb).toPandas()
             # First-tail-level coverage: the recluster inputs at z_pb - 1
-            # are the z_pb rows of every dirty cell's 2x2 children, which
-            # extend ±1 cell in x beyond the dirty-block set (that set is
-            # dilated in y only — x is JVM-exact, so x-neighbor blocks are
-            # never dirty). Their z_pb rows are therefore UNCHANGED this
-            # version: read them from the previous version's files and
-            # union them into the tail's input.
-            nb_codes = {int(c) + (dx << 32) for c in dirty for dx in (-1, 1)}
+            # are the z_pb rows of every dirty cell's 2x2 children. In
+            # JVM block coordinates those reach ±1 cell in x (x codes are
+            # JVM/numpy-exact on both the batch and the row side) and up
+            # to ±3 in y: the numpy child cell is within ±1 of the numpy
+            # batch cell, and BOTH the batch's and the row's JVM codes
+            # carry an independent ±1-cell floor-boundary ulp vs their
+            # numpy codes. The dirty-block set only spans y±2 (and x±0),
+            # so take its x±1/y±1 neighborhood. Neighbor blocks are never
+            # dirty — their z_pb rows are UNCHANGED this version: read
+            # them from the previous version's files and union them into
+            # the tail's input.
+            nb_codes = {
+                int(c) + (dx << 32) + dy
+                for c in dirty for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            }
             nb_codes -= dirty_set
             nb_rels = [
                 rel for k, rel in old_manifest.items()

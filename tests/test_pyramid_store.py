@@ -390,3 +390,27 @@ def test_manifest_fast_path_delete_then_readd(spark, tmp_path):
     assert _canon(store.current_levels()) == _canon(
         materialize_zoom_levels(corpus, ["value"], OPTS)
     )
+
+
+def test_store_survives_delete_everything_then_readd(spark, tmp_path):
+    """Deletions can empty the store entirely: the manifest may reference
+    zero blocks, compact must fold an EMPTY corpus through the Z-order
+    writer, and a later re-add into the emptied store must still equal a
+    rebuild (regression: empty-input crashes in write_zordered's bounds
+    aggregate and _tail_levels' schema inference)."""
+    store = PyramidStore(
+        spark, str(tmp_path / "store"), ["value"], OPTS, publish="manifest"
+    )
+    base = _pts(spark, 400, seed=95)
+    store.bootstrap(base)
+    assert store.apply_batch(base.withColumn("op", F.lit("delete")), 0) is True
+    assert store.current_levels().count() == 0
+    assert store.current_points().count() == 0
+    store.compact()
+    assert store.current_points().count() == 0
+
+    readd = _pts(spark, 50, seed=96, id_base=1_000_000)
+    assert store.apply_batch(readd, 1) is True
+    assert _canon(store.current_levels()) == _canon(
+        materialize_zoom_levels(readd, ["value"], OPTS)
+    )
