@@ -30,7 +30,7 @@ import clustopher_spark.queries.stats  # noqa: F401
 # DuckDB gate (CORRECTNESS_r01-03, all green — zero never-checked oracles
 # remain). This round's 50 slots = 19 flagship anchors (kept in-window
 # every round so a regression in the core surface is always
-# driver-visible) + the 6 NEW round-4 oracles + the 25 STALEST re-checks
+# driver-visible) + the 8 NEW round-4 oracles + the 23 STALEST re-checks
 # (oracles last driver-checked in round 1 and not since: the TPC-H
 # battery and the window-function family — freshness rotation now that
 # coverage is total). tools/check_window_rotation.py enforces that the
@@ -74,10 +74,13 @@ _R4_ROTATION = [
     "llm_random_projection",
     "llm_hybrid_retrieval_rrf",
     "llm_dedup_keep_best",
+    "llm_token_zipf_fit",
+    "llm_cross_corpus_overlap",
     # (window_above_customer_avg, window_order_gaps,
-    # window_range_frame_30d and window_running_spend yield their
-    # re-check slots to the four oracles above: all were driver-green in
-    # round 1 and stay value-verified every run by the local replica,
+    # window_range_frame_30d, window_running_spend, window_top3_orders_
+    # per_customer and window_ranking_family yield their re-check slots
+    # to the six oracles above: all were driver-green in round 1 and
+    # stay value-verified every run by the local replica,
     # tests/test_oracle_parity.py + tools/strict_parity.py)
     # stalest re-checks: driver-green in round 1 only, untouched since
     "q1_pricing_summary",
@@ -102,8 +105,6 @@ _R4_ROTATION = [
     "q20_promotion_suppliers",
     "q21_waiting_suppliers",
     "q22_idle_rich_customers",
-    "window_top3_orders_per_customer",
-    "window_ranking_family",
     "join_range_price_bands",
 ]
 _R4_WINDOW = set(_FLAGSHIP_ANCHORS) | set(_R4_ROTATION)

@@ -2359,3 +2359,141 @@ def llm_dedup_keep_best(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "llm_token_zipf_fit",
+    oracle=r"""
+    WITH toks AS (
+      SELECT lower(tok) AS term FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents) WHERE tok <> ''),
+    counts AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rnk
+      FROM counts),
+    top AS (SELECT * FROM ranked WHERE rnk <= 1000)
+    SELECT COUNT(*) AS n_terms,
+           ROUND(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4) AS zipf_slope,
+           ROUND(regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4) AS zipf_intercept,
+           ROUND(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4) AS fit_r2
+    FROM top
+    """,
+)
+def llm_token_zipf_fit(spark, sf_dir):
+    """Vocabulary Zipf fit: regress ln(frequency) on ln(rank) over the
+    top-1000 terms — slope near -1 with high r2 is the natural-language
+    signature; a flat or broken fit flags synthetic/templated or
+    boilerplate-heavy corpora (corpus-health telemetry a curation
+    pipeline tracks per snapshot).
+
+    100 TB shape: term counts are ONE hash aggregate (vocabulary
+    cardinality, map-side combined); ranking the top-1000 is
+    TakeOrderedAndProject + a 1000-row window; the regression aggregates
+    are built-in JVM regr_* over 1000 rows. Corpus touched once."""
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(F.lower("tok").alias("term"))
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        counts.orderBy(F.desc("c"), "term").limit(1000)
+        .withColumn(
+            "rnk", F.row_number().over(W.orderBy(F.desc("c"), "term"))
+        )
+    )
+    ln_c = F.log(F.col("c").cast("double"))
+    ln_r = F.log(F.col("rnk").cast("double"))
+    return top.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(ln_c, ln_r), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(ln_c, ln_r), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2(ln_c, ln_r), 4).alias("fit_r2"),
+    )
+
+
+@register(
+    "llm_cross_corpus_overlap",
+    oracle=r"""
+    WITH docs AS (
+      SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT source, sh FROM (
+        SELECT source,
+               unnest(list_transform(generate_series(1, greatest(len(toks) - 4, 1)),
+                      i -> array_to_string(toks[i:i+4], ' '))) AS sh
+        FROM docs)),
+    sizes AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.source <> b.source
+      GROUP BY 1, 2)
+    SELECT c.src_a, c.src_b, s.n_sh AS n_a, c.n_common,
+           ROUND(CAST(c.n_common AS DOUBLE) / s.n_sh, 4) AS overlap_frac
+    FROM common c JOIN sizes s ON s.source = c.src_a
+    ORDER BY c.src_a, c.src_b
+    """,
+)
+def llm_cross_corpus_overlap(spark, sf_dir):
+    """Cross-corpus contamination matrix: for every ordered source pair
+    (a, b), the fraction of a's distinct 5-word shingles that also occur
+    in b — the pairwise decontamination telemetry that decides which
+    sources must be deduped against which before training
+    (llm_contamination_check is the one-benchmark form of the same
+    inverted-index idea).
+
+    100 TB shape: the shingle explode is a map stage; DISTINCT (source,
+    shingle) is one shuffle keyed by content; the pair join is an
+    inverted-index equi-join on the shingle (fan-out bounded by
+    sources-per-shingle, never all-pairs over documents); the matrix
+    aggregate is sources^2-sized. Same scaling family as the dedup
+    pipelines."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
+    )
+    n_sh = F.greatest(F.size("toks") - 4, F.lit(1))
+    sh = (
+        toks.select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n_sh),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("toks", i, 5)
+                    ),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.source") != F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"),
+                                     F.col("n_sh").alias("n_a"))),
+            "src_a",
+        )
+        .select(
+            "src_a", "src_b", "n_a", "n_common",
+            F.round(F.col("n_common").cast("double") / F.col("n_a"), 4)
+            .alias("overlap_frac"),
+        )
+        .orderBy("src_a", "src_b")
+    )
