@@ -105,6 +105,17 @@ def _cluster_level_local(
     return out
 
 
+def levels_schema_ddl(metric_cols: list[str]) -> str:
+    """The zoom_levels DDL (column order = the written/kernel order) —
+    the single definition shared by the fused build, the fused update,
+    the driver tail, and the store's empty-levels frame."""
+    metric_schema = "".join(f", sum_{m} double" for m in metric_cols)
+    return (
+        "cluster_id long, lng double, lat double, point_count long,"
+        f" num_members long, is_cluster boolean{metric_schema}, zoom int"
+    )
+
+
 def _empty_level_frame(metric_cols: list[str]) -> pd.DataFrame:
     """An empty frame with the level-output schema/dtypes — the single
     definition shared by every per-level pandas path (fused kernel,
@@ -214,11 +225,7 @@ def fused_zoom_pass(
     )
     parts = parallelism or max(spark.sparkContext.defaultParallelism, 8)
     binned = binned.repartition(parts, "scx", "scy")
-    metric_schema = "".join(f", sum_{m} double" for m in metric_cols)
-    schema = (
-        "cluster_id long, lng double, lat double, point_count long,"
-        f" num_members long, is_cluster boolean{metric_schema}, zoom int"
-    )
+    schema = levels_schema_ddl(metric_cols)
     out_cols = [
         "cluster_id", "lng", "lat", "point_count", "num_members", "is_cluster",
         *[f"sum_{m}" for m in metric_cols], "zoom",
@@ -259,14 +266,9 @@ def _tail_levels(
             # (a corpus whose deletions removed every point still needs
             # a valid — empty — pyramid), and an explicit DDL keeps the
             # dtypes identical to the distributed branch either way
-            metric_schema = "".join(f", sum_{m} double" for m in metric_cols)
             tail = spark.createDataFrame(
                 _chain_levels_local(pdf, zooms_rest[idx:], metric_cols, opts),
-                schema=(
-                    "cluster_id long, lng double, lat double,"
-                    " point_count long, num_members long,"
-                    f" is_cluster boolean{metric_schema}, zoom int"
-                ),
+                schema=levels_schema_ddl(metric_cols),
             )
             levels.append(tail)
             break
@@ -306,10 +308,13 @@ def incremental_tail_local(
     Inputs: ``coarse_old`` — the previous version's tail rows (output form
     + zoom column; bounded by local_tail_threshold at build time);
     ``prev_new`` — the NEW ``zooms_rest[0] + 1`` level rows (output form,
-    no zoom) covering at least every cell that can have changed at
-    ``zooms_rest[0]`` (the caller hands the dirty-block slice: changed
-    rows live in batch-ancestry cells, whose (z+1)-children sit within
-    ±1 of a batch cell, inside the ±2-dilated dirty-block set);
+    no zoom) covering EVERY (z+1)-child cell of every dirty cell at
+    ``zooms_rest[0]``. Supplying that coverage is the caller's contract:
+    the children sit within ±1 numpy cell of a batch cell in both axes,
+    which in JVM block coordinates reaches x±1/y±3 (two independent
+    ±1-cell floor ulps on top of the child offset) — BEYOND the
+    y±2-dilated dirty-block set, which is why PyramidStore's fast path
+    unions the dirty blocks' x±1/y±1 neighbor blocks into this input;
     ``dirty_lng``/``dirty_lat`` — the batch positions (adds + deletes).
 
     Why batch positions are a sufficient dirty frontier at EVERY level:
@@ -445,7 +450,16 @@ def write_zoom_levels(zoom_levels: DataFrame, path: str, opts: ClusterOptions = 
     The (floor(lng), floor(lat)) sort key gives parquet row-group min/max
     stats that prune viewport bbox filters — the Spark-native replacement
     for the reference's KD-tree AABB pruning (cluster/cluster.go:1026-1029).
+
+    An EMPTY pyramid (a corpus whose deletions removed every point) is
+    written as a plain un-partitioned parquet: partitionBy of an empty
+    frame emits no readable footer, and every later read would raise
+    UNABLE_TO_INFER_SCHEMA — bricking a snapshot-mode store with no way
+    to recover (the next apply_batch reads current_levels first).
     """
+    if not zoom_levels.take(1):
+        zoom_levels.write.mode("overwrite").parquet(path)
+        return
     (
         zoom_levels.repartition("zoom")
         .sortWithinPartitions(F.floor("lng"), F.floor("lat"))
@@ -937,11 +951,7 @@ def fused_update_pass(
         "scy", F.floor(py / F.lit(size))
     ).repartition(parts, "scx", "scy")
 
-    metric_schema = "".join(f", sum_{m} double" for m in metric_cols)
-    out_schema = (
-        "cluster_id long, lng double, lat double, point_count long,"
-        f" num_members long, is_cluster boolean{metric_schema}, zoom int"
-    )
+    out_schema = levels_schema_ddl(metric_cols)
     out_cols = [
         "cluster_id", "lng", "lat", "point_count", "num_members", "is_cluster",
         *[f"sum_{m}" for m in metric_cols], "zoom",

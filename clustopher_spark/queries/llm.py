@@ -2421,7 +2421,7 @@ def llm_token_zipf_fit(spark, sf_dir):
     oracle=r"""
     WITH docs AS (
       SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
     sh AS (
       SELECT DISTINCT source, sh FROM (
         SELECT source,
@@ -2453,7 +2453,14 @@ def llm_cross_corpus_overlap(spark, sf_dir):
     sources-per-shingle, never all-pairs over documents); the matrix
     aggregate is sources^2-sized. Same scaling family as the dedup
     pipelines."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").filter(
+        # NULL/blank hygiene must match the oracle EXACTLY: Spark's
+        # concat_ws folds a null shingle to '' (it never returns null)
+        # while DuckDB's array_to_string yields NULL — an unguarded null
+        # text would join every other source's ''-shingle on the Spark
+        # side only and silently diverge
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
     toks = d.select(
         "source",
         F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),

@@ -185,11 +185,10 @@ class PyramidStore:
         """An empty frame with the store's levels schema (column order =
         the written block order) — for a store whose corpus deletions
         emptied every block out of the manifest."""
-        metric_schema = "".join(f", sum_{m} double" for m in self.metric_cols)
+        from clustopher_spark.operators.zoom import levels_schema_ddl
+
         return self.spark.createDataFrame(
-            [],
-            "cluster_id long, lng double, lat double, point_count long,"
-            f" num_members long, is_cluster boolean{metric_schema}, zoom int",
+            [], levels_schema_ddl(self.metric_cols)
         )
 
     def current_levels(self) -> DataFrame:

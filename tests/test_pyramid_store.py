@@ -414,3 +414,22 @@ def test_store_survives_delete_everything_then_readd(spark, tmp_path):
     assert _canon(store.current_levels()) == _canon(
         materialize_zoom_levels(readd, ["value"], OPTS)
     )
+
+
+def test_snapshot_store_survives_delete_everything(spark, tmp_path):
+    """Snapshot mode has the same delete-everything hole the manifest fix
+    covered: partitionBy of an EMPTY pyramid wrote no readable footer and
+    every later current_levels() raised UNABLE_TO_INFER_SCHEMA, bricking
+    the store. write_zoom_levels now writes empties un-partitioned."""
+    store = PyramidStore(spark, str(tmp_path / "store"), ["value"], OPTS)
+    base = _pts(spark, 300, seed=97)
+    store.bootstrap(base)
+    assert store.apply_batch(base.withColumn("op", F.lit("delete")), 0) is True
+    assert store.current_levels().count() == 0
+    assert store.current_points().count() == 0
+
+    readd = _pts(spark, 40, seed=98, id_base=1_000_000)
+    assert store.apply_batch(readd, 1) is True
+    assert _canon(store.current_levels()) == _canon(
+        materialize_zoom_levels(readd, ["value"], OPTS)
+    )
