@@ -2081,7 +2081,17 @@ _BM25_SCORED_SQL = rf"""
 def _bm25_scored(spark, sf_dir):
     """(doc_id, bm25) for the fixed ``_BM25_TERMS`` query — the scoring
     core shared by llm_bm25_retrieval and llm_hybrid_retrieval_rrf; scale
-    argument in llm_bm25_retrieval's docstring."""
+    argument in llm_bm25_retrieval's docstring.
+
+    The corpus tokenize is ONE pass: per-doc length AND the per-query-term
+    tf columns come out of the same hash aggregate (dl = count of all
+    tokens, tf_i = conditional count of term i), so the 3 consumers below
+    (corpus stats, df, the score join) read the docs-sized ``per_doc``
+    cache — not 3 replays of the full-corpus explode (r4 verdict: the
+    un-cached ``toks`` ran the tokenize map twice here and 4x via RRF).
+    ``per_doc`` is one row per document (~60 B), the cacheable projection;
+    the exploded token stream itself is never cached. Carrying ``dl`` on
+    the unpivoted qtf rows also removes the former dl equi-join."""
     d = table(spark, sf_dir, "documents")
     toks = (
         d.select(
@@ -2091,20 +2101,28 @@ def _bm25_scored(spark, sf_dir):
         .filter(F.col("tok") != "")
         .select("doc_id", F.lower("tok").alias("term"))
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    corpus = dl.agg(
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum((F.col("term") == F.lit(t)).cast("long")).alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    ).cache()
+    corpus = per_doc.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
     )
+    stack_expr = "stack({}, {}) as (term, tf)".format(
+        len(_BM25_TERMS),
+        ", ".join(f"'{t}', tf_{i}" for i, t in enumerate(_BM25_TERMS)),
+    )
     qtf = (
-        toks.filter(F.col("term").isin(_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        per_doc.select("doc_id", "dl", F.expr(stack_expr))
+        .filter(F.col("tf") > 0)
     )
     df_ = qtf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     contrib = (
         qtf.join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .select(
             "doc_id",
@@ -2140,13 +2158,13 @@ def llm_bm25_retrieval(spark, sf_dir):
     retrieval primitive a decontamination / curation pipeline scores
     candidate documents with.
 
-    100 TB shape: the query-term filter is a broadcast IN-list applied at
-    the tokenize map stage (only query-term postings survive, so the
-    shuffled volume is O(n_docs x |query|), not O(corpus tokens)); doc
-    lengths are one hash aggregate; df and the corpus stats are
-    vocabulary-/scalar-sized broadcasts; the top-20 is
-    TakeOrderedAndProject. No all-pairs anywhere, one shuffled agg over
-    postings + one over doc lengths."""
+    100 TB shape: ONE tokenize pass — doc length and the per-query-term
+    tf columns share a single hash aggregate (map-side partial combine, so
+    the shuffled volume is O(n_docs), not O(corpus tokens)), cached at one
+    docs-sized row each for the df/corpus/score branches; df and the
+    corpus stats are query-/scalar-sized broadcasts; the top-20 is
+    TakeOrderedAndProject. No all-pairs anywhere, one corpus scan, one
+    shuffled agg."""
     return (
         _bm25_scored(spark, sf_dir)
         .orderBy(F.desc("bm25"), "doc_id")
