@@ -1363,16 +1363,32 @@ def llm_incremental_ingest_dedup(spark, sf_dir):
     """Daily-ingest dedup: a new batch (every fifth doc — an SF-independent split) is admitted only
     where its normalized fingerprint is absent from the historical corpus
     — the anti-join every incremental training-data
-    pipeline runs before append.  100 TB shape: history is touched only as
-    a DISTINCT fingerprint projection (16 bytes/doc); the join is a hash
-    equi-join on the digest and with a bloom/bucketed fingerprint store
-    the probe side never rescans raw history.  Streaming twin:
-    ``dedup_within_watermark`` bounds the same state by time."""
+    pipeline runs before append.  100 TB shape: the exchange is O(batch),
+    never O(history) — the batch's fingerprint set is broadcast and the
+    HISTORY scan is semi-join-reduced against it map-side (the DPP-style
+    runtime-filter plan; an exact broadcast set here because a micro-batch
+    always fits, a Bloom filter + recheck join when it would not), so the
+    only shuffled rows are the <= O(batch) surviving history fingerprints;
+    the former plan DISTINCTed the full 16 B/doc history projection
+    through an exchange before probing.  Streaming twin:
+    ``incremental_minhash_dedup`` applies the same reduction per
+    micro-batch; ``dedup_within_watermark`` bounds the same state by
+    time."""
     d = table(spark, sf_dir, "documents")
     fp = fingerprint(F.col("text")).alias("fp")
-    hist = d.filter(F.col("doc_id") % 5 != 4).select(fp).distinct()
     batch = d.filter(F.col("doc_id") % 5 == 4).select("doc_id", "source", fp)
-    j = batch.join(hist.withColumnRenamed("fp", "hfp"), F.col("fp") == F.col("hfp"), "left")
+    batch_fps = batch.select("fp").distinct()
+    hist = (
+        d.filter(F.col("doc_id") % 5 != 4)
+        .select(fp)
+        .join(F.broadcast(batch_fps), "fp", "left_semi")
+        .distinct()
+    )
+    j = batch.join(
+        F.broadcast(hist.withColumnRenamed("fp", "hfp")),
+        F.col("fp") == F.col("hfp"),
+        "left",
+    )
     return (
         j.groupBy("source")
         .agg(

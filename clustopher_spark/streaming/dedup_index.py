@@ -18,11 +18,17 @@ Per micro-batch (foreachBatch):
    re-indexed, so one representative per near-dup cluster accumulates,
    and index growth tracks UNIQUE content, not ingest volume.
 
-Scale shape: the index is touched only as a (band_idx, band_hash) semi-join
-(two small ints per band — 64 B/doc at 8 bands), the same key a bucketed
-or bloom-filtered store would serve without the scan. Exactly-once comes
-from the streaming checkpoint (availableNow replays only failed batches;
-a replayed batch re-flags identically because flagging is deterministic).
+Scale shape: the exchange is O(batch), never O(index) — the batch's
+(band_idx, band_hash) key set is broadcast and the INDEX scan is
+semi-join-reduced against it map-side (the DPP-style runtime-filter
+plan: an exact broadcast set, since a micro-batch's key set always
+fits; a Bloom filter + recheck join is the fallback when it would
+not), so no index row is ever shuffled — only the <= O(batch)
+surviving keys flow back, themselves broadcast onto the batch. The
+index itself stays a 16 B/key projection (two small ints per band).
+Exactly-once comes from the streaming checkpoint (availableNow replays
+only failed batches; a replayed batch re-flags identically because
+flagging is deterministic).
 
 Within-batch near-dups are intentionally NOT flagged here — that is the
 batch operator ``lsh_candidate_pairs`` run on the same signatures (one
@@ -85,8 +91,19 @@ def incremental_minhash_dedup(
         )
         if have_index:
             idx = spark.read.parquet(index_path)
+            # semi-join reduction (module docstring): broadcast the batch's
+            # key set, prune the index scan map-side — zero index rows
+            # shuffled; then broadcast the (<= batch-sized) surviving keys
+            # back onto the batch to flag colliding docs
+            batch_keys = bands_df.select("band_idx", "band_hash").distinct()
+            hit_keys = (
+                idx.join(F.broadcast(batch_keys), ["band_idx", "band_hash"], "left_semi")
+                .distinct()
+            )
             dup_ids = (
-                bands_df.join(idx, ["band_idx", "band_hash"], "left_semi")
+                bands_df.join(
+                    F.broadcast(hit_keys), ["band_idx", "band_hash"], "left_semi"
+                )
                 .select("id")
                 .distinct()
                 .localCheckpoint(eager=True)

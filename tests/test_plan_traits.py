@@ -150,3 +150,60 @@ def test_winnowing_substring_dedup_shuffle_shape(spark):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "Join" not in p
     assert n_nodes(p, "Scan parquet") == 1
+
+
+def test_incremental_ingest_dedup_history_never_shuffled(spark):
+    """The batch-vs-history dedup must be the semi-join-reduction plan
+    (r4 verdict item 3): the batch's fingerprint set is broadcast and the
+    HISTORY scan is pruned map-side — no SortMergeJoin, both the prune and
+    the probe are broadcast hash joins, so no exchange ever carries
+    O(history) rows (every hashpartitioning exchange in the plan sits on
+    a batch-derived or post-prune side)."""
+    p = plan_of("llm_incremental_ingest_dedup", spark)
+    assert "SortMergeJoin" not in p
+    assert re.search(r"BroadcastHashJoin LeftSemi", p), p
+    # history prune + final probe: two broadcast joins (the tree line
+    # carries the join type, so count those lines, not n_nodes' bare form)
+    assert len(re.findall(r"BroadcastHashJoin \w+ Build", p)) == 2, p
+    assert "ShuffledHashJoin" not in p
+
+
+def test_streaming_dedup_index_scan_pruned_broadcast(spark, tmp_path):
+    """The streaming LSH index's per-batch dup-detection join (replicated
+    here as its static plan — foreachBatch closures can't be explained
+    from outside): the INDEX parquet scan must feed broadcast hash joins
+    only, never a shuffle — the exchange is O(batch), not O(index)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from clustopher_spark.functions.dedup import minhash_signatures
+    from clustopher_spark.streaming.dedup_index import band_table
+
+    rng = random.Random(3)
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{rng.randrange(200)}" for _ in range(40)))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    bands_df = band_table(minhash_signatures(docs), 8, 4)
+    idx_path = str(tmp_path / "band_idx")
+    bands_df.write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    # the exact join chain process_batch builds (dedup_index.py)
+    batch_keys = bands_df.select("band_idx", "band_hash").distinct()
+    hit_keys = (
+        idx.join(F.broadcast(batch_keys), ["band_idx", "band_hash"], "left_semi")
+        .distinct()
+    )
+    dup_ids = (
+        bands_df.join(F.broadcast(hit_keys), ["band_idx", "band_hash"], "left_semi")
+        .select("id").distinct()
+    )
+    p = fmt(dup_ids)
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert re.search(r"BroadcastHashJoin LeftSemi", p), p
+    assert len(re.findall(r"BroadcastHashJoin \w+ Build", p)) == 2, p
+    # and the pruned plan still flags every colliding doc
+    assert dup_ids.count() == 30  # self-join vs own index: all collide
