@@ -522,6 +522,7 @@ def winnow_fingerprints(
     k: int = 20,
     w: int = 8,
     segment_chars: int = 1 << 16,
+    portable: bool = True,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
     hash every k-char gram (stride 1), keep the minimum hash of each
@@ -540,7 +541,16 @@ def winnow_fingerprints(
     before exploding — an 80 MB spike for a 10 MB document; segmenting
     bounds the in-flight array at ``segment_chars`` longs per row while
     emitting the identical (pos, gram) stream.
+
+    ``portable=True`` (default) hashes grams with :func:`portable_hash60`
+    so the DuckDB oracle can replay the pipeline verbatim; ``False`` is
+    the production twin on ``xxhash64`` (codegen'd, no md5 round-trip per
+    gram — the hash only has to be uniform for the winnowing guarantee,
+    which is positional, to hold). Same flag contract as MinHash/SimHash.
     """
+    gram_hash = (
+        portable_hash60 if portable else (lambda c: F.xxhash64(c))
+    )
     d = df.filter(F.length(text_col) >= k + w - 1)
     n_pos = (F.length(text_col) - F.lit(k - 1)).cast("long")  # grams: 1..n_pos
     seg = F.lit(int(segment_chars)).cast("long")
@@ -569,7 +579,7 @@ def winnow_fingerprints(
         .select(
             id_col,
             "pos",
-            portable_hash60(
+            gram_hash(
                 F.expr(f"substring({text_col}, CAST(pos AS INT), {k})")
             ).alias("h"),
         )
@@ -596,6 +606,7 @@ def substring_neardup_pairs(
     w: int = 8,
     min_common: int = 2,
     max_fp_df: int = 64,
+    portable: bool = True,
 ) -> DataFrame:
     """Candidate pairs of documents sharing >= ``min_common`` winnowing
     fingerprints — i.e. sharing that many (not necessarily contiguous)
@@ -609,7 +620,7 @@ def substring_neardup_pairs(
     ubiquitous boilerplate is not a near-dup signal; the cap is a stated
     recall trade (same pattern as ngram_jaccard_pairs' hot-shingle cap).
     """
-    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w, portable=portable)
     capped = (
         fps.withColumn(
             "fp_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))

@@ -536,11 +536,27 @@ class PyramidStore:
              if _pk_code(k) is not None and _pk_code(k) in dirty_set]
             if dirty_set is not None else None
         )
+        # the fast path's driver tail also collects the x±1/y±1 NEIGHBOR
+        # blocks' z_pb rows (see below) — a batch adjacent to many dense
+        # blocks would otherwise collect an unbounded frame, so the block
+        # budget gates dirty + neighbor blocks TOGETHER (r4 advice)
+        if dirty is not None:
+            nb_codes = {
+                int(c) + (dx << 32) + dy
+                for c in dirty for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            }
+            nb_codes -= dirty_set
+            nb_rels = [
+                rel for k, rel in old_manifest.items()
+                if _pk_code(k) is not None and _pk_code(k) in nb_codes
+            ]
+        else:
+            nb_rels = []
         fast_ok = (
             dirty is not None
             and _fuse_cut(self.opts, default_par) == z_pb
             and self.opts.max_zoom - z_pb >= 1
-            and len(dirty_rels) <= _FAST_DIRTY_BLOCK_LIMIT
+            and len(dirty_rels) + len(nb_rels) <= _FAST_DIRTY_BLOCK_LIMIT
         )
         if not fast_ok:
             stats["publish_path"] = "full"
@@ -590,16 +606,8 @@ class PyramidStore:
             # so take its x±1/y±1 neighborhood. Neighbor blocks are never
             # dirty — their z_pb rows are UNCHANGED this version: read
             # them from the previous version's files and union them into
-            # the tail's input.
-            nb_codes = {
-                int(c) + (dx << 32) + dy
-                for c in dirty for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-            }
-            nb_codes -= dirty_set
-            nb_rels = [
-                rel for k, rel in old_manifest.items()
-                if _pk_code(k) is not None and _pk_code(k) in nb_codes
-            ]
+            # the tail's input. (nb_rels precomputed above, inside the
+            # fast-path block budget.)
             if nb_rels:
                 nb_pdf = (
                     self.spark.read.parquet(
@@ -657,8 +665,18 @@ class PyramidStore:
         (never the latest). In manifest mode a version directory whose
         blocks are still referenced by any KEPT version's manifest is
         retained regardless of age (blocks are shared across versions).
-        Pinned readers of dropped versions lose them — same contract as
-        the catalog's vacuum."""
+
+        Concurrent-reader snapshot guarantee (asserted by
+        test_vacuum_concurrent_reader_snapshot_safety): blocks are
+        immutable and version directories are never mutated, so a reader
+        pinned (via ``current_levels()``) at any version INSIDE the kept
+        window reads exactly its original content after vacuum — every
+        block its manifest references is owned by a directory the
+        referenced-scan below retains. A reader pinned BELOW the window
+        either still reads its original content (all its blocks shared
+        with kept versions) or fails fast on a deleted file; it can never
+        silently observe different data. Same contract as the catalog's
+        vacuum."""
         meta = self._meta()
         latest = int(meta.get("latest", 0))
         publish, _ = self._publish_props(meta)

@@ -847,6 +847,44 @@ def test_winnowing_guarantee_sweep_random_offsets(spark):
     assert got == want, f"spurious pairs: {got - want}"
 
 
+def test_winnowing_production_xxhash_twin_equivalent(spark):
+    """portable=False swaps the gram hash from md5-derived portable_hash60
+    to codegen'd xxhash64 (the deployment path benched as
+    llm_winnow_production_xxhash). The winnowing guarantee is positional,
+    not hash-specific, so BOTH modes must detect every planted shared span
+    and nothing else — same planted-span corpus as the sweep above."""
+    import random
+
+    from clustopher_spark.functions.dedup import substring_neardup_pairs
+
+    rng = random.Random(59)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    rand = lambda n: "".join(rng.choice(alpha) for _ in range(n))  # noqa: E731
+    rows, want = [], set()
+    for fam in range(8):
+        span = rand(27)
+        a_id, b_id = 100 * fam, 100 * fam + 1
+        rows.append((a_id, rand(rng.randint(0, 50)) + span + rand(rng.randint(0, 50))))
+        rows.append((b_id, rand(rng.randint(0, 50)) + span + rand(rng.randint(0, 50))))
+        want.add((a_id, b_id))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_prod = {
+        (r.id_a, r.id_b)
+        for r in substring_neardup_pairs(df, min_common=1, portable=False).collect()
+    }
+    got_port = {
+        (r.id_a, r.id_b)
+        for r in substring_neardup_pairs(df, min_common=1, portable=True).collect()
+    }
+    assert got_prod == want, f"production-hash mismatch: {got_prod ^ want}"
+    assert got_port == want
+    # and the production plan carries no md5: the gram hash is xxhash64
+    import re as _re
+
+    plan = substring_neardup_pairs(df, min_common=1, portable=False)._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan and not _re.search(r"\bmd5\b", plan)
+
+
 def test_winnow_fingerprints_segmented_generation_identical(spark):
     """The two-level (segment, offset) position generation — which bounds
     the in-flight sequence array for multi-MB documents — must emit the

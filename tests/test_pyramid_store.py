@@ -433,3 +433,49 @@ def test_snapshot_store_survives_delete_everything(spark, tmp_path):
     assert _canon(store.current_levels()) == _canon(
         materialize_zoom_levels(readd, ["value"], OPTS)
     )
+
+
+def test_vacuum_concurrent_reader_snapshot_safety(spark, tmp_path):
+    """The vacuum snapshot guarantee (vacuum docstring; r4 verdict item 5):
+    a reader pinned at a version inside the kept window survives a
+    concurrent publish + vacuum bit-identically (its manifest's blocks are
+    retained by the referenced-scan even when owned by older version
+    dirs); a reader pinned below the window either reads its original
+    content or fails fast — immutable blocks make silently-different data
+    impossible, and this test distinguishes the two outcomes exactly."""
+    store = PyramidStore(
+        spark, str(tmp_path / "store"), ["value"], OPTS, publish="manifest"
+    )
+    store.bootstrap(_pts(spark, 2000, seed=81))
+    city = dict(west=-74.5, south=40.2, east=-73.5, north=41.2)
+    # three same-city batches: each supersedes the previous version's
+    # dirty blocks, so v2 becomes unreferenced once v3/v4 are the window
+    store.apply_batch(_pts(spark, 150, seed=82, id_base=1_000_000, **city), 0)
+    reader_v2 = store.current_levels()          # pinned at v2
+    snap_v2 = _canon(reader_v2)
+    store.apply_batch(_pts(spark, 150, seed=83, id_base=2_000_000, **city), 1)
+    reader_v3 = store.current_levels()          # pinned at v3 (oldest kept)
+    snap_v3 = _canon(reader_v3)
+    store.apply_batch(_pts(spark, 150, seed=84, id_base=3_000_000, **city), 2)
+    assert store.current_version() == 4
+
+    removed = store.vacuum(keep_last=2)         # window = {v3, v4}
+    assert 2 in removed, f"v2 should be superseded and dropped, got {removed}"
+    assert 1 not in removed, "v1 owns blocks shared into kept manifests"
+
+    # in-window reader: bit-identical after vacuum, including its blocks
+    # owned by the retained-by-reference v1 directory
+    assert _canon(reader_v3) == snap_v3
+    # below-window reader: original content or fail-fast — never different
+    try:
+        assert _canon(reader_v2) == snap_v2
+    except Exception as e:  # deleted-file fail-fast is the allowed outcome
+        msg = str(e)
+        assert "FileNotFound" in msg or "does not exist" in msg or (
+            e.__class__.__name__ in ("AnalysisException", "Py4JJavaError")
+        ), msg
+    # and the store itself still serves + advances
+    assert store.apply_batch(
+        _pts(spark, 50, seed=85, id_base=4_000_000, **city), 3
+    ) is True
+    assert store.current_version() == 5
