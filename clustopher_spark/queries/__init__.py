@@ -26,15 +26,16 @@ import clustopher_spark.queries.events  # noqa: F401
 import clustopher_spark.queries.stats  # noqa: F401
 
 
-# Round-4 window: rounds 1-3 drove ALL 134 oracles through the driver's
-# DuckDB gate (CORRECTNESS_r01-03, all green — zero never-checked oracles
-# remain). This round's 50 slots = 19 flagship anchors (kept in-window
-# every round so a regression in the core surface is always
-# driver-visible) + the 8 NEW round-4 oracles + the 23 STALEST re-checks
-# (oracles last driver-checked in round 1 and not since: the TPC-H
-# battery and the window-function family — freshness rotation now that
-# coverage is total). tools/check_window_rotation.py enforces that the
-# union of all rounds' windows covers every registered oracle.
+# Round-5 window: all 142 oracles are cumulatively driver-checked green
+# (CORRECTNESS_r01-04 — zero never-checked oracles). This round's 50
+# slots = 19 flagship anchors (kept in-window every round so a
+# regression in the core surface is always driver-visible) + the 26
+# STALEST re-checks (every oracle last driver-checked in round 1 and
+# not since: the sql_features galleries, the set/join/agg families, and
+# the window-function family — freshness rotation, max staleness after
+# this round <= 3) + the 5 stalest round-2-only entries (the ones
+# rotated out in r4's seating). tools/check_window_rotation.py enforces
+# that the union of all rounds' windows covers every registered oracle.
 _FLAGSHIP_ANCHORS = [
     "spatial_cluster_invariants",   # greedy kernel conservation laws
     "spatial_grid_centroids",       # A2 weighted-centroid algebra
@@ -66,49 +67,46 @@ _FLAGSHIP_ANCHORS = [
     "llm_substring_dedup",          # winnowing duplicated-span detection
     "window_gaps_islands",          # round-1 FAIL; stays pinned
 ]
-_R4_ROTATION = [
-    # new this round — must be driver-checked in the round they land
-    "llm_token_pmi_pairs",
-    "join_salted_skew_agg",
-    "llm_bm25_retrieval",
-    "llm_random_projection",
-    "llm_hybrid_retrieval_rrf",
-    "llm_dedup_keep_best",
-    "llm_token_zipf_fit",
-    "llm_cross_corpus_overlap",
-    # (window_above_customer_avg, window_order_gaps,
-    # window_range_frame_30d, window_running_spend, window_top3_orders_
-    # per_customer and window_ranking_family yield their re-check slots
-    # to the six oracles above: all were driver-green in round 1 and
-    # stay value-verified every run by the local replica,
-    # tests/test_oracle_parity.py + tools/strict_parity.py)
+_R5_ROTATION = [
     # stalest re-checks: driver-green in round 1 only, untouched since
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority_check",
-    "q5_revenue_by_nation",
-    "q6_forecast_revenue",
-    "q7_volume_shipping_pairs",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_by_quantity_band",
-    "q13_customer_order_distribution",
-    "q14_brand_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_predicates",
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "join_range_price_bands",
+    # (the TPC-H battery took r4's slots; this is the whole remaining
+    # r1-only cohort — 26 entries)
+    "agg_argmin_argmax",
+    "agg_cube_status_priority",
+    "agg_distinct_parts_per_supplier",
+    "agg_having_string_agg",
+    "agg_rollup_flag_status",
+    "cross_join_report_grid",
+    "hof_array_gallery",
+    "join_anti_customers_without_orders",
+    "join_full_outer_nation_presence",
+    "join_left_order_counts",
+    "join_right_supplier_items",
+    "join_semi_customers_with_open_orders",
+    "lateral_explode_tokens",
+    "null_semantics_gallery",
+    "pivot_order_status_by_priority",
+    "scalar_function_gallery",
+    "setop_multiset_except_all",
+    "setop_priority_customers",
+    "setop_union_all_keys",
+    "topk_orders",
+    "window_above_customer_avg",
+    "window_order_gaps",
+    "window_range_frame_30d",
+    "window_ranking_family",
+    "window_running_spend",
+    "window_top3_orders_per_customer",
+    # next-stalest (round-2-only) picks for the spare slots — the five
+    # entries r4's seating comments rotated out
+    "events_tumbling_hourly",
+    "events_json_props",
+    "stats_correlation",
+    "llm_knn_cosine",
+    "spatial_mercator_projection",
 ]
-_R4_WINDOW = set(_FLAGSHIP_ANCHORS) | set(_R4_ROTATION)
-assert len(_R4_WINDOW) == 50, len(_R4_WINDOW)
+_R5_WINDOW = set(_FLAGSHIP_ANCHORS) | set(_R5_ROTATION)
+assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
 
 
 def _window_priority(name: str) -> int:
@@ -117,15 +115,15 @@ def _window_priority(name: str) -> int:
 
     Tiering (oracle-backed only; rows-only queries go last so they never
     displace an oracle from the window):
-      0. the round-4 window (_R4_WINDOW): flagship anchors, new oracles,
-         and the stalest re-checks
+      0. the round-5 window (_R5_WINDOW): flagship anchors and the
+         stalest re-checks
       1. every other oracle (all driver-green in round 1 or 2 and still
          locally oracle-verified by test_oracle_parity)
       2. rows-only queries
     """
     if name not in ORACLES:
         return 2
-    if name in _R4_WINDOW:
+    if name in _R5_WINDOW:
         return 0
     return 1
 
