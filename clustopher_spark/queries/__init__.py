@@ -97,13 +97,16 @@ _R5_ROTATION = [
     "window_ranking_family",
     "window_running_spend",
     "window_top3_orders_per_customer",
-    # next-stalest (round-2-only) picks for the spare slots — the five
-    # entries r4's seating comments rotated out
+    # new round-5 oracles — must be driver-checked the round they land
+    "llm_dedup_savings_report",
+    "llm_domain_cap_sample",
+    # next-stalest (round-2-only) picks for the remaining spare slots
+    # (llm_knn_cosine and spatial_mercator_projection yield theirs to the
+    # two new oracles; both stay value-verified every run by the local
+    # replica, tests/test_oracle_parity.py + tools/strict_parity.py)
     "events_tumbling_hourly",
     "events_json_props",
     "stats_correlation",
-    "llm_knn_cosine",
-    "spatial_mercator_projection",
 ]
 _R5_WINDOW = set(_FLAGSHIP_ANCHORS) | set(_R5_ROTATION)
 assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)

@@ -2396,6 +2396,116 @@ def llm_dedup_keep_best(spark, sf_dir):
 
 
 @register(
+    "llm_dedup_savings_report",
+    oracle=f"""
+    WITH {_NEARDUP_GROUP_CTES},
+    ranked AS (
+      SELECT g.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY g.group_id
+                                ORDER BY d.n_chars DESC, g.doc_id) AS rn
+      FROM groups g JOIN documents d ON d.doc_id = g.doc_id),
+    dropped AS (SELECT doc_id FROM ranked WHERE rn > 1)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(d.n_chars) AS BIGINT) AS chars_total,
+           CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_dropped,
+           ROUND(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN d.n_chars ELSE 0 END) * 1.0
+                 / SUM(d.n_chars), 4) AS pct_chars_saved
+    FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+    WHERE d.doc_id < 500
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def llm_dedup_savings_report(spark, sf_dir):
+    """Dedup IMPACT telemetry: per source, how many documents and how
+    many characters the keep-longest retention policy would drop — the
+    report a curation pipeline publishes per dedup run to decide whether
+    a source's duplication level warrants tightening its ingest (and the
+    number storage/compute planning actually consumes: bytes saved).
+
+    100 TB shape: reuses the near-dup groups' bounded inverted-index
+    join + star-contraction components (no all-pairs); the drop decision
+    is the same group-partitioned row_number as llm_dedup_keep_best;
+    the report itself is one broadcast flag join (dropped ids are a
+    near-dup-volume-sized set, tiny vs the corpus) + one hash aggregate
+    on source."""
+    from clustopher_spark.functions.dedup import connected_components
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", "source", "n_chars")
+    )
+    pairs = ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500),
+        threshold=0.05,
+    )
+    groups = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "group_id"
+    )
+    w = Window.partitionBy("group_id").orderBy(F.desc("n_chars"), "doc_id")
+    dropped = (
+        groups.join(d.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", F.lit(True).alias("_dropped"))
+    )
+    flagged = d.join(F.broadcast(dropped), "doc_id", "left")
+    dropped_chars = F.when(F.col("_dropped"), F.col("n_chars")).otherwise(0)
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("_dropped"), 1).otherwise(0))
+            .cast("long").alias("n_dropped"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+            F.sum(dropped_chars).cast("long").alias("chars_dropped"),
+            F.round(
+                F.sum(dropped_chars) * 1.0 / F.sum("n_chars"), 4
+            ).alias("pct_chars_saved"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "llm_domain_cap_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents)
+    SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 10 ORDER BY doc_id
+    """,
+)
+def llm_domain_cap_sample(spark, sf_dir):
+    """Per-domain document cap: keep at most 10 documents per source,
+    preferring the longest (n_chars desc, doc_id tie-break) — the
+    anti-domain-dominance sampling rule web-scale corpus curation applies
+    so a single crawled domain cannot swamp the training mix.
+
+    100 TB shape: ONE row_number window partitioned by source over a
+    column-pruned projection — domains are numerous, so the window
+    parallelizes across them, and each partition's work is a streaming
+    top-N (rank column needed, else it would be a per-key
+    TakeOrdered); no join, no all-pairs. A pathological mega-domain
+    concentrates one partition: the standard fix is pre-aggregation to
+    per-partition top-N then a merge, which this plan's map-side window
+    already approximates under AQE skew splitting."""
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "llm_token_zipf_fit",
     oracle=r"""
     WITH toks AS (
