@@ -503,3 +503,41 @@ def test_serving_live_update(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         post_update({"add": [{"lng": 0.0, "lat": 0.0}]})
     assert e.value.code == 400
+
+
+def test_cache_zoom_frames_restricted_band(spark):
+    """cache_zoom_frames(zooms=[...]) — the deep-corpus serving knob the
+    30M bench family uses — must cache ONLY the listed levels, serve a
+    cached zoom through the tile path bit-equal to the Spark filter
+    path, and still answer un-cached zooms via the fallback."""
+    from clustopher_spark.engine import Clustopher
+    from clustopher_spark.operators.cluster import ClusterOptions
+    from clustopher_spark.sources.generators import generate_test_points
+
+    opts = ClusterOptions(radius=100.0, min_points=2, max_zoom=6)
+    pts = generate_test_points(spark, 3000, seed=61).select(
+        "id", "lng", "lat", "value"
+    )
+    eng = Clustopher(pts, ["value"], opts=opts)
+    eng.materialize()
+    counts = eng.cache_zoom_frames(zooms=[5])
+    assert set(counts) == {5}
+    assert set(eng._zoom_frames) == {5}
+
+    bbox = (-100, 30, -80, 45)
+    via_tiles = eng.get_clusters_local(*bbox, 5)
+    want = eng.get_clusters(*bbox, 5).toPandas()
+
+    def canon(pdf):
+        return sorted(
+            (int(r.cluster_id), round(r.lng, 9), round(r.lat, 9),
+             int(r.point_count))
+            for r in pdf.itertuples()
+        )
+
+    assert canon(via_tiles) == canon(want)
+    # an un-cached zoom answers through the Spark fallback path
+    fallback = eng.get_clusters_local(*bbox, 4)
+    want4 = eng.get_clusters(*bbox, 4).toPandas()
+    assert canon(fallback) == canon(want4)
+    eng.release_caches()

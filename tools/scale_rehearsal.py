@@ -24,6 +24,11 @@ Paths and the predictions under test (SCALE.md):
    COMBINE: the one shuffle carries per-partition distinct (token,
    partial-count) rows, bounded by vocab x map partitions, NOT the ~50M
    corpus tokens.
+4. batch-vs-history ingest dedup (round-5 semi-join reduction) — a 1k
+   batch gated against the 500k-doc history: the batch's fingerprint
+   set is broadcast and the history scan is semi-join-reduced map-side,
+   so TOTAL shuffle records are O(batch), never O(history) — the
+   history's 500k fingerprints stay off the wire entirely.
 
 Usage: python tools/scale_rehearsal.py [--docs N]
 Prints a per-stage table per path plus a PASS/FAIL line per prediction.
@@ -226,6 +231,57 @@ def main():
             f"measured {tot['swr']:,} vs bound {vocab_bound:,};"
             f" corpus tokens {n_tokens:,}"
             f" ({tot['swr'] / n_tokens:.1%} of tokens reach the wire)",
+        ))
+
+        # ---- 4. batch-vs-history ingest dedup (semi-join reduction) ------
+        from clustopher_spark.functions.text import fingerprint
+
+        n_batch = 1_000
+        # batch: 1k fresh docs, every 10th a planted copy of a history doc
+        batch = spark.range(0, n_batch, 1, 8).selectExpr(
+            f"id + {n_docs} as doc_id",
+            f"if(pmod(id, 10) = 0, pmod(id, {n_docs}), id + {n_docs}) as base",
+        ).selectExpr(
+            "doc_id",
+            "concat_ws(' ', transform(sequence(1, 100), j -> "
+            " if(pmod(base + j, 8) = 0,"
+            "    concat('h', pmod(abs(hash(base * 31 + j)), 64)),"
+            "    concat('t', pmod(abs(hash(base * 1009 + j)), 50000))"
+            " ))) as text",
+        ).localCheckpoint(eager=True)
+        batch.count()
+        meter._snapshot()
+
+        def ingest_gate():
+            # the llm_incremental_ingest_dedup plan shape on this corpus
+            fp = fingerprint(F.col("text")).alias("fp")
+            b = batch.select("doc_id", fp)
+            batch_fps = b.select("fp").distinct()
+            hist = (
+                docs.select(fp)
+                .join(F.broadcast(batch_fps), "fp", "left_semi")
+                .distinct()
+            )
+            flagged = b.join(
+                F.broadcast(hist.withColumnRenamed("fp", "hfp")),
+                F.col("fp") == F.col("hfp"), "left",
+            )
+            return flagged.agg(
+                F.sum(F.when(F.col("hfp").isNotNull(), 1).otherwise(0))
+            ).collect()[0][0]
+
+        dt, tot, _ = meter.measure(
+            "ingest_dedup (broadcast batch keys -> semi-join-reduced"
+            " history scan)",
+            ingest_gate,
+        )
+        results.append(check(
+            "ingest-dedup shuffle records O(batch), history fingerprints"
+            " never shuffled",
+            tot["swr"] <= 20 * n_batch and tot["swr"] < 0.05 * n_actual,
+            f"measured {tot['swr']:,} vs batch {n_batch:,},"
+            f" history {n_actual:,}"
+            f" ({tot['swr'] / n_actual:.2%} of history size)",
         ))
 
         print(f"\n{'ALL PREDICTIONS HOLD' if all(results) else 'PREDICTION FAILED'}"
