@@ -155,6 +155,42 @@ def _timed(fn, n: int) -> tuple[list[float], object]:
     return times, out
 
 
+def _pinned_rdd_ids(spark) -> set:
+    """Ids of currently-pinned RDDs (localCheckpoint blocks included)."""
+    jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = jmap.iterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
+def _unpersist_new(spark, before: set) -> None:
+    """Blocking-unpersist every RDD pinned since the ``before`` snapshot.
+
+    Releasing checkpointed pyramids via `df = None; gc.collect();
+    System.gc()` is GC roulette: the python ref drop must propagate
+    through py4j finalizers to the JVM and then through the async
+    ContextCleaner before blocks actually free, and when that chain
+    stalls the next entry runs with ~10 GB of dead blocks squeezing
+    execution memory. That is r4's committed 20 s store-publish artifact
+    — reproduced in the r5 validation run as a CONSISTENT 22-24 s on
+    both reps with the 67M-row build pyramid still resident (the same
+    publish is ~6-8 s once released). Snapshot-diff unpersist makes the
+    release deterministic; only frames provably never used again are
+    bracketed this way (their lineage is truncated, so a release is
+    final)."""
+    jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = jmap.iterator()
+    doomed = []
+    while it.hasNext():
+        t = it.next()
+        if t._1() not in before:
+            doomed.append(t._2())
+    for rdd in doomed:
+        rdd.unpersist(True)
+
+
 # --------------------------------------------------------------------------
 # entry families — each runs in its own subprocess/JVM
 # --------------------------------------------------------------------------
@@ -312,21 +348,20 @@ def family_dbscan(spark, timings, reps):
 
 
 def _build_pyramid_reps(spark, eng, n_reps: int = 2):
-    """Best-of-N full pyramid builds, releasing each rep's checkpointed
-    pyramid before the next (storage-pressure hygiene)."""
-    import gc
-
+    """Best-of-N full pyramid builds, deterministically unpersisting each
+    rep's checkpointed pyramid before the next (storage-pressure
+    hygiene — see _unpersist_new)."""
     times = []
     n_pyr = 0
     for i in range(n_reps):
+        before = _pinned_rdd_ids(spark)
         t0 = time.perf_counter()
         eng.materialize()
         n_pyr = eng._zoom_levels.count()
         times.append(time.perf_counter() - t0)
         if i < n_reps - 1:  # release this rep's pyramid checkpoints
             eng._zoom_levels = None
-            gc.collect()
-            spark._jvm.System.gc()
+            _unpersist_new(spark, before)
     return times, n_pyr
 
 
@@ -370,7 +405,6 @@ def family_pyramid_1m(spark, timings, reps):
     """The baseline-comparable 1M-point pyramid build (BASELINE.md '~30 s /
     1M points': full 17-level pyramid, zooms 0-16) plus the incremental-
     maintenance entries that reuse its output."""
-    import gc
     import shutil
     import tempfile
 
@@ -388,9 +422,14 @@ def family_pyramid_1m(spark, timings, reps):
         .localCheckpoint(eager=True)
     )
     pts_1m.count()
+    pts_ids = _pinned_rdd_ids(spark)
     opts_1m = ClusterOptions(radius=100.0, min_points=2, max_zoom=16)
     eng_1m = Clustopher(pts_1m, ["value"], opts=opts_1m)
+    pre_build = _pinned_rdd_ids(spark)
     times, n_pyr = _build_pyramid_reps(spark, eng_1m)
+    # snapshot the build's checkpoint ids NOW — anything pinned later
+    # (batch, base_levels) must not be classified as a build artifact
+    build_ids = _pinned_rdd_ids(spark) - pre_build
     _report(
         spark, timings, reps, "pyramid_build_1m_points", times,
         f"{n_pyr} pyramid rows, zooms 0-16",
@@ -414,17 +453,16 @@ def family_pyramid_1m(spark, timings, reps):
     # the update entries read the checkpointed copy only — release the
     # build's own pyramid so they don't run under double storage
     eng_1m._zoom_levels = None
-    gc.collect()
-    spark._jvm.System.gc()
+    _unpersist_new(spark, _pinned_rdd_ids(spark) - build_ids)
 
     def run_update(batch):
+        before = _pinned_rdd_ids(spark)
         upd = update_zoom_levels(base_levels, pts_1m, batch, ["value"], opts_1m)
         n = upd.count()
         # each run checkpoints an 8.4M-row output; release it before the
         # next rep or storage pressure distorts later entries
         del upd
-        gc.collect()
-        spark._jvm.System.gc()
+        _unpersist_new(spark, before)
         return n
 
     times, n_upd = _timed(lambda: run_update(batch_1m), 2)
@@ -443,12 +481,13 @@ def family_pyramid_1m(spark, timings, reps):
         f"{n_city} pyramid rows",
     )
 
-    # release the in-memory 1M pyramid checkpoints BEFORE the store
-    # entry: it reads its levels from its own parquet, and holding
-    # ~17M checkpointed rows alongside inflates its timing several-x
-    del base_levels, batch_1m, eng_1m
-    gc.collect()
-    spark._jvm.System.gc()
+    # release everything but pts_1m BEFORE the store entry: it reads
+    # its levels from its own parquet, and holding ~17M checkpointed
+    # rows alongside inflates its timing several-x. The publish batches
+    # are created AFTER this point — the id-diff release is final
+    # (truncated lineage), so no frame created before it may be reused.
+    del base_levels, batch_1m, batch_city, eng_1m
+    _unpersist_new(spark, pts_ids)
 
     # the durable streaming form of the same update: a PyramidStore in
     # manifest mode applies the city batch AND publishes it durably —
@@ -467,7 +506,8 @@ def family_pyramid_1m(spark, timings, reps):
         pstore.bootstrap(pts_1m)
         times, n_dirty, n_blocks = _store_publish_reps(
             spark, pstore,
-            [batch_city, _city_batch(spark, 10_000, seed=105, id_base=4_000_000)],
+            [_city_batch(spark, 10_000, seed=101, id_base=3_000_000),
+             _city_batch(spark, 10_000, seed=105, id_base=4_000_000)],
         )
         _report(
             spark, timings, reps, "pyramid_store_city_publish", times,
@@ -482,7 +522,6 @@ def family_pyramid_10m(spark, timings, reps):
     claims were not committed bench entries). Isolated in its own JVM —
     its ~67M checkpointed rows were the main storage-pressure source that
     contaminated the r3 artifact."""
-    import gc
     import shutil
     import tempfile
 
@@ -497,6 +536,7 @@ def family_pyramid_10m(spark, timings, reps):
         .localCheckpoint(eager=True)
     )
     pts_10m.count()
+    pts_ids = _pinned_rdd_ids(spark)
     opts = ClusterOptions(radius=100.0, min_points=2, max_zoom=16)
     eng_10m = Clustopher(pts_10m, ["value"], opts=opts)
     times, n_pyr10 = _build_pyramid_reps(spark, eng_10m)
@@ -512,8 +552,7 @@ def family_pyramid_10m(spark, timings, reps):
     # store layout) is untimed setup; release the in-memory pyramid first
     # so the apply isn't measured under 67M rows of storage pressure.
     eng_10m._zoom_levels = None
-    gc.collect()
-    spark._jvm.System.gc()
+    _unpersist_new(spark, pts_ids)
     tmp = tempfile.mkdtemp(prefix="clustopher_pstore10m_")
     try:
         pstore = PyramidStore(
@@ -542,7 +581,6 @@ def family_pyramid_30m(spark, timings, reps):
     and the serve-tier viewport latency against the 30M store (tile LRU
     over one cached zoom frame — per-level rows are bounded by occupied
     r-cells, so the serve tier is corpus-size-independent too)."""
-    import gc
     import shutil
     import tempfile
 
@@ -557,6 +595,7 @@ def family_pyramid_30m(spark, timings, reps):
         .localCheckpoint(eager=True)
     )
     pts_30m.count()
+    pts_ids = _pinned_rdd_ids(spark)
     opts = ClusterOptions(radius=100.0, min_points=2, max_zoom=16)
     eng_30m = Clustopher(pts_30m, ["value"], opts=opts)
     times, n_pyr30 = _build_pyramid_reps(spark, eng_30m)
@@ -566,8 +605,7 @@ def family_pyramid_30m(spark, timings, reps):
     )
     eng_30m._zoom_levels = None
     del eng_30m
-    gc.collect()
-    spark._jvm.System.gc()
+    _unpersist_new(spark, pts_ids)
 
     tmp = tempfile.mkdtemp(prefix="clustopher_pstore30m_")
     try:
