@@ -32,10 +32,15 @@ def main() -> int:
     window = set(oracle_names[:WINDOW])
 
     checked: set[str] = set()
+    last_round: dict[str, int] = {}
     rounds = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
     for path in rounds:
+        rnd = int(os.path.basename(path).split("_r")[1][:2])
         with open(path) as f:
-            checked |= set(json.load(f))
+            names = set(json.load(f))
+        checked |= names
+        for n in names:
+            last_round[n] = max(last_round.get(n, 0), rnd)
 
     uncovered = [n for n in oracle_names if n not in checked and n not in window]
     covered_after = len([n for n in oracle_names if n in checked or n in window])
@@ -44,6 +49,27 @@ def main() -> int:
         f"history_rounds={len(rounds)} already_checked={len(checked & set(oracle_names))} "
         f"covered_after_this_round={covered_after}"
     )
+    # freshness telemetry: staleness AFTER the pending round runs (a
+    # windowed oracle becomes staleness 0). The rotation discipline keeps
+    # max <= 3 rounds (r4 verdict item 7 done-criterion).
+    pending = len(rounds) + 1
+    staleness = {
+        n: 0 if n in window else pending - last_round.get(n, 0)
+        for n in oracle_names
+    }
+    by_stale: dict[int, int] = {}
+    for s in staleness.values():
+        by_stale[s] = by_stale.get(s, 0) + 1
+    worst = max(staleness.values()) if staleness else 0
+    print(
+        "staleness after this round: "
+        + ", ".join(f"{s}r x{by_stale[s]}" for s in sorted(by_stale))
+        + f" (max {worst})"
+    )
+    if worst > 3:
+        stalest = sorted(n for n, s in staleness.items() if s == worst)
+        print(f"WARN: {len(stalest)} oracle(s) exceed 3-round staleness: "
+              + ", ".join(stalest[:8]) + ("..." if len(stalest) > 8 else ""))
     if uncovered:
         print(f"FAIL: {len(uncovered)} oracle(s) neither driver-checked in any "
               f"round nor in the current window:", file=sys.stderr)
