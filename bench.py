@@ -47,8 +47,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # the 10M-point pyramid family holds ~67M checkpointed rows; headroom keeps
 # it in memory instead of spilling (overridable like everything else)
-_USER_SET_MEM = "CLUSTOPHER_DRIVER_MEM" in os.environ
+# A worker subprocess inherits the driver's defaulted value, so presence
+# alone cannot distinguish "user pinned it" from "driver defaulted it" —
+# the DEFAULTED marker travels with the default so per-family overrides
+# still apply in driver mode (code-review finding, round 5).
+_USER_SET_MEM = (
+    "CLUSTOPHER_DRIVER_MEM" in os.environ
+    and os.environ.get("CLUSTOPHER_DRIVER_MEM_DEFAULTED") != "1"
+)
 os.environ.setdefault("CLUSTOPHER_DRIVER_MEM", "24g")
+if not _USER_SET_MEM:
+    os.environ["CLUSTOPHER_DRIVER_MEM_DEFAULTED"] = "1"
 # the pyramid ladder families (1M/10M/30M) all run at the same heap so
 # the corpus-size-independence claim for the store publish is measured
 # under identical execution-memory conditions (methodology note in
@@ -210,6 +219,10 @@ def family_registry(spark, timings, reps):
         # best-of-3: steady-state, damps scheduler/GC noise
         times, n = _timed(lambda: fn(spark, SF_DIR).count(), 3)
         _report(spark, timings, reps, name, times, f"{n} rows")
+        # entries must be independent: a query that caches an intermediate
+        # (BM25's per_doc) would otherwise hand later plan-equal entries a
+        # pre-warmed CacheManager hit (RRF's tokenize would never be timed)
+        spark.catalog.clearCache()
 
 
 def family_materialize_serve(spark, timings, reps):

@@ -539,8 +539,17 @@ class PyramidStore:
         # the fast path's driver tail also collects the x±1/y±1 NEIGHBOR
         # blocks' z_pb rows (see below) — a batch adjacent to many dense
         # blocks would otherwise collect an unbounded frame, so the block
-        # budget gates dirty + neighbor blocks TOGETHER (r4 advice)
-        if dirty is not None:
+        # budget gates dirty + neighbor blocks TOGETHER (r4 advice). The
+        # 9x code expansion + second manifest scan only run once the
+        # cheap scalar guards pass AND a tail exists to consume them
+        # (z_pb > min_zoom); a store that can never take the fast path
+        # pays nothing extra per batch.
+        fast_guards = (
+            dirty is not None
+            and _fuse_cut(self.opts, default_par) == z_pb
+            and self.opts.max_zoom - z_pb >= 1
+        )
+        if fast_guards and z_pb > self.opts.min_zoom:
             nb_codes = {
                 int(c) + (dx << 32) + dy
                 for c in dirty for dx in (-1, 0, 1) for dy in (-1, 0, 1)
@@ -553,9 +562,7 @@ class PyramidStore:
         else:
             nb_rels = []
         fast_ok = (
-            dirty is not None
-            and _fuse_cut(self.opts, default_par) == z_pb
-            and self.opts.max_zoom - z_pb >= 1
+            fast_guards
             and len(dirty_rels) + len(nb_rels) <= _FAST_DIRTY_BLOCK_LIMIT
         )
         if not fast_ok:

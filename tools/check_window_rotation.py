@@ -52,7 +52,9 @@ def main() -> int:
     # freshness telemetry: staleness AFTER the pending round runs (a
     # windowed oracle becomes staleness 0). The rotation discipline keeps
     # max <= 3 rounds (r4 verdict item 7 done-criterion).
-    pending = len(rounds) + 1
+    # derive the pending round from the parsed round NUMBERS, not the file
+    # count — a missing historical file must not shift every staleness
+    pending = (max(last_round.values()) if last_round else 0) + 1
     staleness = {
         n: 0 if n in window else pending - last_round.get(n, 0)
         for n in oracle_names
