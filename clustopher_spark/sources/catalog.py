@@ -26,6 +26,12 @@ _EXT_FORMATS = {
     ".ndjson": "json",
     ".orc": "orc",
     ".tsv": "csv",
+    ".xml": "xml",
+    # Dispatches to the spark-avro module when its jar is on the
+    # classpath (any real cluster); this container's pyspark bundle
+    # ships only avro-core, so the format errors here — documented as
+    # an environment limitation in COVERAGE.md.
+    ".avro": "avro",
 }
 
 
@@ -37,12 +43,13 @@ def read_any(
     **options,
 ) -> DataFrame:
     """Format-dispatching ingest edge (S6 breadth beyond the reference's one
-    binary format): parquet / csv / json(lines) / orc, inferred from the
-    extension when ``fmt`` is omitted. CSV defaults to header+inferSchema
-    unless an explicit ``schema`` is given (always give one in production —
-    inference is an extra full scan). Parquet/ORC carry their own schema
-    and column-pruned, predicate-pushed scans; CSV/JSON are ingest edges to
-    convert from, not to serve from."""
+    binary format): parquet / csv / json(lines) / orc / xml (built into
+    Spark 4 sql-core) / avro (when the spark-avro jar is deployed),
+    inferred from the extension when ``fmt`` is omitted. CSV defaults to
+    header+inferSchema unless an explicit ``schema`` is given (always give
+    one in production — inference is an extra full scan). Parquet/ORC
+    carry their own schema and column-pruned, predicate-pushed scans;
+    CSV/JSON/XML are ingest edges to convert from, not to serve from."""
     if fmt is None:
         ext = os.path.splitext(path.rstrip("/"))[1].lower()
         fmt = _EXT_FORMATS.get(ext, "parquet")
@@ -55,13 +62,15 @@ def read_any(
             options.setdefault("sep", "\t")
         if schema is None:
             options.setdefault("inferSchema", "true")
+    if fmt == "xml":
+        options.setdefault("rowTag", "row")
     return reader.format(fmt).options(**options).load(path)
 
 
 def write_any(df: DataFrame, path: str, fmt: str | None = None, **options) -> None:
     """Format-dispatching export edge (S5 breadth): parquet stays the
-    canonical serving layout (zstd, columnar, stats); csv/json/orc exist
-    for interchange."""
+    canonical serving layout (zstd, columnar, stats); csv/json/orc/xml
+    exist for interchange."""
     if fmt is None:
         ext = os.path.splitext(path.rstrip("/"))[1].lower()
         fmt = _EXT_FORMATS.get(ext, "parquet")
@@ -70,6 +79,9 @@ def write_any(df: DataFrame, path: str, fmt: str | None = None, **options) -> No
         options.setdefault("compression", "zstd")
     if fmt == "csv":
         options.setdefault("header", "true")
+    if fmt == "xml":
+        options.setdefault("rootTag", "rows")
+        options.setdefault("rowTag", "row")
     writer.format(fmt).options(**options).save(path)
 
 

@@ -116,7 +116,7 @@ def test_serving_bad_requests(server):
 
 
 def test_read_write_any_roundtrip(spark, tmp_path):
-    """CSV/JSON/ORC ingest-export edges round-trip the points schema."""
+    """CSV/JSON/ORC/XML ingest-export edges round-trip the points schema."""
     from clustopher_spark.sources.catalog import read_any, write_any
     from clustopher_spark.sources.generators import generate_test_points
 
@@ -128,7 +128,7 @@ def test_read_write_any_roundtrip(spark, tmp_path):
         for r in pts.collect()
     )
     schema = "id long, lng double, lat double, value double, category string"
-    for fmt in ("csv", "json", "orc", "parquet"):
+    for fmt in ("csv", "json", "orc", "parquet", "xml"):
         path = str(tmp_path / f"pts_{fmt}")
         write_any(pts, path, fmt)
         back = read_any(spark, path, fmt, schema=schema)
