@@ -78,3 +78,116 @@ def test_vector_index_partition_prunes(spark, tmp_path):
     plan = idx.topk(q, k=3, n_probe=2)._jdf.queryExecution().executedPlan().toString()
     # the probed list ids must reach the scan as a partition filter
     assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def _stream_embeddings(spark, src, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def test_streaming_vector_index_bootstrap_append_query(spark, tmp_path):
+    """availableNow drain bootstraps the index from batch 0, appends the
+    rest with frozen quantizers, keeps drift telemetry per batch, and a
+    vector inserted by the LAST batch is immediately queryable."""
+    from clustopher_spark.streaming.vector_index import (
+        drift_report,
+        incremental_vector_index,
+    )
+
+    e = _embeddings(spark, n=300, seed=7)
+    src = str(tmp_path / "src")
+    # three single-file batches; the last plants an exact dup of query 2
+    e.filter(F.col("vec_id") < 200).coalesce(1).write.parquet(src + "/b0")
+    e.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300)).coalesce(
+        1
+    ).write.parquet(src + "/b1")
+    target = e.filter(F.col("vec_id") == 2).first().embedding
+    spark.createDataFrame(
+        [(9000, [float(x) + 0.0005 for x in target])],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.parquet(src + "/b2")
+
+    root = str(tmp_path / "vidx")
+    incremental_vector_index(
+        _stream_embeddings(spark, src + "/b*", e.schema),
+        root,
+        n_lists=8,
+        m_subvectors=4,
+        n_codes=32,
+    )
+
+    idx = IVFPQIndex(spark, root)
+    meta = idx._meta()
+    assert meta is not None and int(meta["last_batch"]) >= 2
+    total = idx._table(meta).count()
+    assert total == 301  # 300 corpus rows + the planted late arrival
+
+    q = e.filter(F.col("vec_id") < 5)
+    got = idx.topk(q, k=5, n_probe=4, refine=4).collect()
+    assert any(
+        r.query_id == 2 and r.neighbor_id == 9000 and r.rank == 1 for r in got
+    )
+
+    # drift: a base row plus one per appended batch, ratios near 1 for
+    # same-distribution data (same generator, disjoint ids)
+    rep = drift_report(spark, root).collect()
+    labels = [r.batch for r in rep]
+    assert labels[0] == "base" and len(rep) >= 3
+    by = {r.batch: r for r in rep}
+    assert by["base"].n == 200
+    appended = [r for r in rep if r.batch != "base"]
+    assert sum(r.n for r in appended) == 101
+    same_dist = [r for r in appended if r.n == 100]
+    assert same_dist and abs(same_dist[0].mean_ratio - 1.0) < 0.25
+
+
+def test_streaming_vector_index_replay_is_exactly_once(spark, tmp_path):
+    """A full re-drain with a FRESH checkpoint (worst-case replay: every
+    file again, batch ids restarting at 0) adds no rows and leaves the
+    drift log without duplicates."""
+    import shutil
+
+    from clustopher_spark.streaming.vector_index import (
+        drift_report,
+        incremental_vector_index,
+    )
+
+    e = _embeddings(spark, n=120, seed=9)
+    src = str(tmp_path / "src")
+    e.filter(F.col("vec_id") < 60).coalesce(1).write.parquet(src + "/b0")
+    e.filter(F.col("vec_id") >= 60).coalesce(1).write.parquet(src + "/b1")
+
+    root = str(tmp_path / "vidx")
+    incremental_vector_index(
+        _stream_embeddings(spark, src + "/b*", e.schema),
+        root,
+        n_lists=8,
+        m_subvectors=4,
+        n_codes=32,
+        query_name="vidx_first",
+    )
+    idx = IVFPQIndex(spark, root)
+    before = idx._table(idx._meta()).count()
+    assert before == 120
+    drift_before = sorted(
+        (r.batch, r.n) for r in drift_report(spark, root).collect()
+    )
+
+    shutil.rmtree(root + "_checkpoint")  # force the full replay
+    incremental_vector_index(
+        _stream_embeddings(spark, src + "/b*", e.schema),
+        root,
+        n_lists=8,
+        m_subvectors=4,
+        n_codes=32,
+        query_name="vidx_replay",
+    )
+    idx2 = IVFPQIndex(spark, root)
+    assert idx2._table(idx2._meta()).count() == before
+    drift_after = sorted(
+        (r.batch, r.n) for r in drift_report(spark, root).collect()
+    )
+    assert drift_after == drift_before
