@@ -735,6 +735,28 @@ def family_vector_index(spark, timings, reps):
             spark, timings, reps, "vector_index_topk", times,
             f"{n_hits} rows, 4/16 lists probed",
         )
+
+        # incremental maintenance cost (streaming/vector_index.py's append
+        # path): encode a 10k batch with the FROZEN quantizers and land it
+        # under its batch-addressed partition — O(batch), index never
+        # rescanned. Best-of-2 over distinct same-shape batches (append is
+        # idempotent per batch id, so reps must differ), like the store
+        # publish entries.
+        a_times = []
+        n_batch = 0
+        for i in (1, 2):
+            batch = emb.filter(F.col("vec_id") < 10_000).select(
+                (F.col("vec_id") + 1_000_000 * i).alias("vec_id"),
+                "embedding",
+            ).localCheckpoint(eager=True)
+            n_batch = batch.count()
+            t0 = time.perf_counter()
+            assert vidx.append(batch, i) is True
+            a_times.append(time.perf_counter() - t0)
+        _report(
+            spark, timings, reps, "vector_index_stream_append", a_times,
+            f"{n_batch} vectors/batch onto the built index",
+        )
     finally:
         shutil.rmtree(vroot, ignore_errors=True)
 
