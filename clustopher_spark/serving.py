@@ -82,16 +82,127 @@ class DatasetCache:
             gate.wait()
 
 
+class VectorService:
+    """ANN search over persisted IVF-PQ indexes (LLM-pipeline extension
+    surface — the reference has no vector queries). One root directory
+    holds many indexes (``{root}/{index_id}/meta.json``); opened instances
+    are cached — they hold only the small quantizers, the encoded lists
+    stay on disk and every search partition-prunes to the probed lists.
+
+    Query ids are synthetic negatives (``-(i+1)``), so the rerank's
+    self-exclusion (``query_id != neighbor_id``) can never suppress a
+    legitimate neighbor of a non-negative corpus id."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        # index_id -> (IVFPQIndex, vec spark-type, dim)
+        self._indexes: dict[str, tuple] = {}
+        self._lock = threading.Lock()
+
+    def _index(self, index_id: str):
+        import os
+
+        with self._lock:
+            hit = self._indexes.get(index_id)
+        if hit is not None:
+            return hit
+        from clustopher_spark.sources.vector_index import IVFPQIndex
+
+        path = os.path.join(self.root, index_id)
+        if not os.path.isfile(os.path.join(path, "meta.json")):
+            raise FileNotFoundError(index_id)
+        idx = IVFPQIndex(self.spark, path)
+        meta = idx._meta()
+        # the stored vector type (array<float> vs array<double>) decides
+        # what incoming JSON vectors are cast to; schema-only read
+        vec_type = idx._table(meta).schema["vec"].dataType.simpleString()
+        dim = len(meta["centroids"][0])
+        entry = (idx, vec_type, dim)
+        with self._lock:
+            self._indexes[index_id] = entry
+        return entry
+
+    def _frame(self, ids, vectors, meta, vec_type, dim):
+        bad = [i for i, v in enumerate(vectors) if len(v) != dim]
+        if bad:
+            raise ValueError(
+                f"vector {bad[0]} has dim {len(vectors[bad[0]])}, index has {dim}"
+            )
+        df = self.spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in zip(ids, vectors)],
+            f"{meta['id_col']} long, {meta['vec_col']} array<double>",
+        )
+        return df.withColumn(
+            meta["vec_col"], F.col(meta["vec_col"]).cast(vec_type)
+        )
+
+    def list_indexes(self) -> list[dict]:
+        import os
+
+        out = []
+        for d in sorted(os.listdir(self.root)) if os.path.isdir(self.root) else []:
+            meta_path = os.path.join(self.root, d, "meta.json")
+            if not os.path.isfile(meta_path):
+                continue
+            with open(meta_path) as f:
+                meta = json.load(f)
+            out.append(
+                {
+                    "index_id": d,
+                    "n_lists": meta["n_lists"],
+                    "dim": len(meta["centroids"][0]),
+                    "last_batch": meta.get("last_batch", -1),
+                }
+            )
+        return out
+
+    def search(self, index_id: str, vectors, k: int = 5, n_probe: int = 4) -> dict:
+        if not vectors:
+            raise ValueError("vectors required")
+        idx, vec_type, dim = self._index(index_id)
+        meta = idx._meta()
+        q = self._frame(
+            [-(i + 1) for i in range(len(vectors))], vectors, meta, vec_type, dim
+        )
+        rows = idx.topk(q, k=int(k), n_probe=int(n_probe)).collect()
+        return {
+            "hits": [
+                {
+                    "query_idx": int(-r.query_id) - 1,
+                    "neighbor_id": r.neighbor_id,
+                    "cos_sim": r.cos_sim,
+                    "rank": r.rank,
+                }
+                for r in rows
+            ]
+        }
+
+    def append(self, index_id: str, ids, vectors, batch_id: int) -> dict:
+        if not ids or len(ids) != len(vectors):
+            raise ValueError("ids and vectors must be same-length and non-empty")
+        idx, vec_type, dim = self._index(index_id)
+        meta = idx._meta()
+        batch = self._frame(ids, vectors, meta, vec_type, dim)
+        ok = idx.append(batch, int(batch_id))
+        return {"appended": bool(ok), "rows": len(ids) if ok else 0}
+
+
 class ClusterService:
     """The RPC surface (List/Create/Update/GetClusters/GetMetadata) minus
-    HTTP."""
+    HTTP. ``vector_root`` additionally exposes the ANN index surface
+    (:class:`VectorService`) under /api/vectors."""
 
     def __init__(self, spark: SparkSession, catalog_root: str,
-                 opts: ClusterOptions = ClusterOptions(radius=100.0, min_points=2, max_zoom=10)):
+                 opts: ClusterOptions = ClusterOptions(radius=100.0, min_points=2, max_zoom=10),
+                 vector_root: str | None = None):
         self.spark = spark
         self.catalog = ClusterCatalog(spark, catalog_root)
         self.cache = DatasetCache()
         self.opts = opts
+        self.vectors = (
+            VectorService(spark, vector_root) if vector_root is not None else None
+        )
         self._update_locks: dict[str, threading.Lock] = {}
         self._update_locks_guard = threading.Lock()
 
@@ -270,6 +381,12 @@ def make_handler(service: ClusterService):
             try:
                 if parts == ["api", "clusters"]:
                     return self._json(service.list_clusters())
+                if parts == ["api", "vectors"]:
+                    if service.vectors is None:
+                        return self._json(
+                            {"error": "vector serving not configured"}, 404
+                        )
+                    return self._json(service.vectors.list_indexes())
                 if len(parts) == 3 and parts[:2] == ["api", "clusters"]:
                     return self._json(
                         service.get_clusters(
@@ -324,6 +441,39 @@ def make_handler(service: ClusterService):
                     return self._json({"error": "not found"}, 404)
                 except ValueError as e:
                     return self._json({"error": str(e)}, 400)
+            if (
+                len(parts) == 4
+                and parts[:2] == ["api", "vectors"]
+                and parts[3] in ("search", "append")
+            ):
+                if service.vectors is None:
+                    return self._json(
+                        {"error": "vector serving not configured"}, 404
+                    )
+                try:
+                    if parts[3] == "search":
+                        return self._json(
+                            service.vectors.search(
+                                parts[2],
+                                payload.get("vectors") or [],
+                                k=int(payload.get("k", 5)),
+                                n_probe=int(payload.get("n_probe", 4)),
+                            )
+                        )
+                    return self._json(
+                        service.vectors.append(
+                            parts[2],
+                            payload.get("ids") or [],
+                            payload.get("vectors") or [],
+                            batch_id=int(payload.get("batch", 0)),
+                        )
+                    )
+                except FileNotFoundError:
+                    return self._json({"error": "index not found"}, 404)
+                except (TypeError, ValueError) as e:
+                    return self._json({"error": f"bad request: {e}"}, 400)
+                except Exception as e:
+                    return self._json({"error": str(e)[:500]}, 500)
             self._json({"error": "not found"}, 404)
 
     return Handler

@@ -541,3 +541,95 @@ def test_cache_zoom_frames_restricted_band(spark):
     want4 = eng.get_clusters(*bbox, 4).toPandas()
     assert canon(fallback) == canon(want4)
     eng.release_caches()
+
+
+@pytest.fixture(scope="module")
+def vector_server(spark, tmp_path_factory):
+    """A server with vector serving configured: one IVF-PQ index built
+    from the real embeddings table under the vector root."""
+    from conftest import SF_DIR
+
+    from clustopher_spark.operators.cluster import ClusterOptions
+    from clustopher_spark.serving import ClusterService, serve
+    from clustopher_spark.sources.vector_index import IVFPQIndex
+
+    base = tmp_path_factory.mktemp("vector_serving")
+    vroot = str(base / "vectors")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = IVFPQIndex(
+        spark, f"{vroot}/docs", n_lists=8, m_subvectors=4, n_codes=32
+    )
+    idx.build(emb)
+    svc = ClusterService(
+        spark,
+        str(base / "catalog"),
+        ClusterOptions(radius=100.0, min_points=2, max_zoom=6),
+        vector_root=vroot,
+    )
+    httpd = serve(svc, port=18735)
+    yield "http://127.0.0.1:18735", emb
+    httpd.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode(),
+        method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+
+def test_vector_serving_end_to_end(vector_server):
+    server, emb = vector_server
+    listed = _get(f"{server}/api/vectors")
+    assert [ix["index_id"] for ix in listed] == ["docs"]
+    dim = listed[0]["dim"]
+
+    # search with a vector that exists in the index: its source id must
+    # come back rank-1 with cosine ~1 (synthetic negative query ids mean
+    # self-exclusion cannot suppress it)
+    rows = emb.orderBy("vec_id").limit(2).collect()
+    got = _post(
+        f"{server}/api/vectors/docs/search",
+        {"vectors": [[float(x) for x in r.embedding] for r in rows], "k": 3},
+    )
+    top1 = {h["query_idx"]: h for h in got["hits"] if h["rank"] == 1}
+    assert top1[0]["neighbor_id"] == rows[0].vec_id
+    assert top1[1]["neighbor_id"] == rows[1].vec_id
+    assert top1[0]["cos_sim"] > 0.999
+
+    # live append through the API, then the new vector is queryable
+    v = [float(x) for x in rows[0].embedding]
+    shifted = [x + 0.0005 for x in v]
+    res = _post(
+        f"{server}/api/vectors/docs/append",
+        {"ids": [777000], "vectors": [shifted], "batch": 1},
+    )
+    assert res == {"appended": True, "rows": 1}
+    # idempotent: committed batch replay is a no-op
+    res2 = _post(
+        f"{server}/api/vectors/docs/append",
+        {"ids": [777000], "vectors": [shifted], "batch": 1},
+    )
+    assert res2["appended"] is False
+    got2 = _post(
+        f"{server}/api/vectors/docs/search", {"vectors": [shifted], "k": 2}
+    )
+    assert got2["hits"][0]["neighbor_id"] == 777000
+
+    # error paths: wrong dim -> 400, unknown index -> 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/api/vectors/docs/search", {"vectors": [[1.0] * (dim + 1)]})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/api/vectors/nope/search", {"vectors": [[1.0] * dim]})
+    assert e.value.code == 404
+
+
+def test_vector_serving_not_configured(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/api/vectors")
+    assert e.value.code == 404
