@@ -29,6 +29,11 @@ Paths and the predictions under test (SCALE.md):
    set is broadcast and the history scan is semi-join-reduced map-side,
    so TOTAL shuffle records are O(batch), never O(history) — the
    history's 500k fingerprints stay off the wire entirely.
+5. vector-index append (the streaming ANN maintenance path) — a 2k
+   batch appended to a 200k-vector IVF-PQ index: encode is map-only
+   (broadcast quantizers), the only exchange is the batch's
+   repartition("list_id"), so shuffle records are O(batch) and NO
+   stage reads the existing index (input records stay O(batch) too).
 
 Usage: python tools/scale_rehearsal.py [--docs N]
 Prints a per-stage table per path plus a PASS/FAIL line per prediction.
@@ -282,6 +287,42 @@ def main():
             f"measured {tot['swr']:,} vs batch {n_batch:,},"
             f" history {n_actual:,}"
             f" ({tot['swr'] / n_actual:.2%} of history size)",
+        ))
+
+        # ---- 5. vector-index append (streaming ANN maintenance) ----------
+        from clustopher_spark.sources.vector_index import IVFPQIndex
+
+        n_vecs, n_vbatch, dim = 200_000, 2_000, 32
+        vec_expr = (
+            "cast(transform(sequence(1, {d}), j -> "
+            " pmod(abs(hash(id * 37 + j)), 1000) / 500.0 - 1.0)"
+            " as array<double>) as embedding"
+        ).format(d=dim)
+        vecs = spark.range(0, n_vecs, 1, 32).selectExpr("id as vec_id", vec_expr)
+        vpath = f"{tmp}/embeddings_large"
+        vecs.write.mode("overwrite").parquet(vpath)
+        vecs = spark.read.parquet(vpath)
+        vidx = IVFPQIndex(spark, f"{tmp}/vidx", n_lists=16, m_subvectors=4,
+                          n_codes=64)
+        vidx.build(vecs)  # untimed setup: the once-per-corpus cost
+        vbatch = spark.range(n_vecs, n_vecs + n_vbatch, 1, 8).selectExpr(
+            "id as vec_id", vec_expr
+        ).localCheckpoint(eager=True)
+        vbatch.count()
+        meter._snapshot()
+
+        dt, tot, fresh = meter.measure(
+            "vector_index_append (frozen-quantizer encode -> "
+            "repartition(list_id) write)",
+            lambda: vidx.append(vbatch, 1),
+        )
+        in_rec = sum(s["inputRecords"] for s in fresh)
+        results.append(check(
+            "vector-append shuffle records O(batch); index never read",
+            tot["swr"] <= 3 * n_vbatch and in_rec <= 3 * n_vbatch,
+            f"measured shuffle {tot['swr']:,} / input {in_rec:,} vs batch"
+            f" {n_vbatch:,}, index {n_vecs:,}"
+            f" ({tot['swr'] / n_vecs:.2%} of index size shuffled)",
         ))
 
         print(f"\n{'ALL PREDICTIONS HOLD' if all(results) else 'PREDICTION FAILED'}"
