@@ -98,7 +98,13 @@ class IVFPQIndex:
 
     @property
     def _data_path(self) -> str:
-        return os.path.join(self.root, "lists")
+        # versioned data roots (compact() repoints): v absent/None is the
+        # original "lists" dir, so pre-compaction indexes read unchanged
+        meta = self._meta()
+        v = (meta or {}).get("data_version")
+        return os.path.join(
+            self.root, "lists" if v is None else f"lists_v{v}"
+        )
 
     def _coded(self, df: DataFrame, cents, books, id_col, vec_col) -> DataFrame:
         assign_one = ivf_lists_udf(cents, 1)
@@ -188,6 +194,62 @@ class IVFPQIndex:
             json.dump(meta, f)
         os.replace(tmp, self._meta_path)
         return True
+
+    # ---- maintenance ----
+    def compact(self) -> int:
+        """Fold every committed batch directory into one fresh ``batch=base``
+        under a NEW versioned data root, then atomically repoint meta — the
+        small-files answer for a long-appending stream (one tiny directory
+        per micro-batch otherwise accumulates forever). ``last_batch`` is
+        preserved, so replays of pre-compaction batch ids stay no-ops.
+        Readers opened before the repoint keep reading the old version's
+        files until :meth:`vacuum` removes them (same snapshot contract as
+        the pyramid store: pinned in-window readers see original content;
+        post-vacuum stale readers fail fast rather than read mixed data).
+        Returns the compacted row count."""
+        _, _, meta = self._quantizers()
+        cur = self._table(meta)
+        v = int(meta.get("data_version", 0)) + 1
+        new_base = os.path.join(self.root, f"lists_v{v}", "batch=base")
+        (
+            cur.select("neighbor_id", "list_id", "codes", "vec")
+            .repartition("list_id")
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(new_base)
+        )
+        n = self.spark.read.parquet(new_base).count()
+        meta["data_version"] = v
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path)
+        return n
+
+    def vacuum(self, keep_previous: bool = False) -> list[str]:
+        """Delete data roots other than the current version's (the
+        pre-compaction ``lists`` dir and superseded ``lists_v*`` dirs — a
+        crashed compact's orphan next-version dir is also removed since
+        meta never pointed at it). ``keep_previous`` retains the
+        immediately-superseded root as a grace window for readers that
+        planned a scan just before the repoint (the streaming binding's
+        default). Returns the removed directory names."""
+        import shutil
+
+        meta = self._meta()
+        if meta is None:
+            return []
+        keep = {os.path.basename(self._data_path)}
+        if keep_previous:
+            v = meta.get("data_version")
+            if v is not None:
+                keep.add("lists" if int(v) == 1 else f"lists_v{int(v) - 1}")
+        removed = []
+        for d in sorted(os.listdir(self.root)):
+            if d not in keep and (d == "lists" or d.startswith("lists_v")):
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+                removed.append(d)
+        return removed
 
     def _table(self, meta: dict) -> DataFrame:
         last = int(meta.get("last_batch", -1))

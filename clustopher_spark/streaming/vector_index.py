@@ -126,11 +126,16 @@ def incremental_vector_index(
     n_codes: int = 64,
     seed: int = 42,
     bootstrap: bool = True,
+    compact_every: int | None = None,
     query_name: str = "vector_index_sink",
 ):
     """Drain ``embeddings_stream`` (availableNow) into the IVF-PQ index at
     ``index_root``, bootstrapping it from the first batch when empty and
-    ``bootstrap`` is set. Returns the finished StreamingQuery."""
+    ``bootstrap`` is set. ``compact_every=N`` folds the accumulated batch
+    directories into a fresh base every N batches and vacuums superseded
+    data roots (the long-running stream's small-files maintenance; skip it
+    when an external scheduler owns maintenance). Returns the finished
+    StreamingQuery."""
     spark = embeddings_stream.sparkSession
     index = IVFPQIndex(
         spark,
@@ -171,6 +176,11 @@ def incremental_vector_index(
         # then completes the append the committed-batch filter was hiding
         _write_drift(index, batch_df, vec_col, f"b{batch_id}")
         index.append(batch_df, batch_id)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            index.compact()
+            # grace window: the just-superseded root survives one more
+            # cycle so a reader that planned its scan pre-repoint finishes
+            index.vacuum(keep_previous=True)
 
     q = (
         embeddings_stream.writeStream.foreachBatch(process_batch)

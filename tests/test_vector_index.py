@@ -191,3 +191,86 @@ def test_streaming_vector_index_replay_is_exactly_once(spark, tmp_path):
         (r.batch, r.n) for r in drift_report(spark, root).collect()
     )
     assert drift_after == drift_before
+
+
+def test_vector_index_compact_vacuum(spark, tmp_path):
+    """compact() folds batch dirs into one fresh versioned base with
+    identical answers and a preserved replay watermark; vacuum() removes
+    superseded roots (keep_previous grace honored); appends keep working
+    against the compacted root."""
+    import os
+
+    e = _embeddings(spark, n=200, seed=13)
+    root = str(tmp_path / "idx")
+    idx = IVFPQIndex(spark, root, n_lists=8, m_subvectors=4, n_codes=32)
+    idx.build(e.filter(F.col("vec_id") < 150))
+    for i, lo in enumerate((150, 170), start=1):
+        idx.append(
+            e.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 20)), i
+        )
+    q = e.filter(F.col("vec_id") < 3)
+    before = sorted(map(tuple, idx.topk(q, k=5, n_probe=4).collect()))
+    assert idx._table(idx._meta()).count() == 190
+
+    n = idx.compact()
+    assert n == 190
+    meta = idx._meta()
+    assert meta["data_version"] == 1 and meta["last_batch"] == 2
+    # one base dir only in the new root; old root still on disk pre-vacuum
+    assert sorted(os.listdir(os.path.join(root, "lists_v1"))) == ["batch=base"]
+    assert os.path.isdir(os.path.join(root, "lists"))
+    after = sorted(map(tuple, idx.topk(q, k=5, n_probe=4).collect()))
+    assert after == before
+    # replay of a pre-compaction batch id stays a no-op
+    assert idx.append(e.filter(F.col("vec_id") >= 190), 2) is False
+    # a NEW append lands in the compacted root and is queryable
+    assert idx.append(e.filter(F.col("vec_id") >= 190), 3) is True
+    assert idx._table(idx._meta()).count() == 200
+    assert any(
+        d.startswith("batch=b3") for d in os.listdir(os.path.join(root, "lists_v1"))
+    )
+
+    # vacuum(keep_previous=True) keeps the grace root; plain vacuum drops it
+    assert idx.vacuum(keep_previous=True) == []
+    idx.compact()  # -> v2; v1 is now previous, "lists" is older
+    assert idx.vacuum(keep_previous=True) == ["lists"]
+    assert idx.vacuum() == ["lists_v1"]
+    # a reopened instance answers identically from the compacted root
+    idx2 = IVFPQIndex(spark, root)
+    assert idx2._table(idx2._meta()).count() == 200
+    got = sorted(map(tuple, idx2.topk(q, k=5, n_probe=4).collect()))
+    # batch 3 added 10 more vectors after `before` was taken, so only
+    # compare the invariant: answers equal a fresh query on idx
+    assert got == sorted(map(tuple, idx.topk(q, k=5, n_probe=4).collect()))
+
+
+def test_streaming_vector_index_compact_every(spark, tmp_path):
+    """compact_every folds the stream's batch dirs; answers unchanged."""
+    import os
+
+    from clustopher_spark.streaming.vector_index import incremental_vector_index
+
+    e = _embeddings(spark, n=180, seed=17)
+    src = str(tmp_path / "src")
+    for i, (lo, hi) in enumerate(((0, 100), (100, 140), (140, 180))):
+        e.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).coalesce(
+            1
+        ).write.parquet(f"{src}/b{i}")
+    root = str(tmp_path / "vidx")
+    incremental_vector_index(
+        _stream_embeddings(spark, src + "/b*", e.schema),
+        root,
+        n_lists=8,
+        m_subvectors=4,
+        n_codes=32,
+        compact_every=2,
+    )
+    idx = IVFPQIndex(spark, root)
+    meta = idx._meta()
+    assert meta["data_version"] == 1  # compacted at batch 2
+    assert idx._table(meta).count() == 180
+    # batch 1's dir was folded into the v1 base; batch 2 appends after? no:
+    # compaction ran AFTER batch 2's append, so v1 base holds everything
+    assert sorted(os.listdir(os.path.join(root, "lists_v1"))) == ["batch=base"]
+    # grace window kept the pre-compaction root
+    assert os.path.isdir(os.path.join(root, "lists"))
