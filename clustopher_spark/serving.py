@@ -157,6 +157,19 @@ class VectorService:
             )
         return out
 
+    def drift(self, index_id: str) -> list[dict]:
+        """Per-batch quantization drift vs the bootstrap baseline (the
+        rebuild-when signal from streaming maintenance); empty when the
+        index has no drift log (built offline, never streamed into)."""
+        import os
+
+        idx, _, _ = self._index(index_id)
+        if not os.path.isdir(os.path.join(idx.root, "drift")):
+            return []
+        from clustopher_spark.streaming.vector_index import drift_report
+
+        return [r.asDict() for r in drift_report(self.spark, idx.root).collect()]
+
     def search(self, index_id: str, vectors, k: int = 5, n_probe: int = 4) -> dict:
         if not vectors:
             raise ValueError("vectors required")
@@ -387,6 +400,16 @@ def make_handler(service: ClusterService):
                             {"error": "vector serving not configured"}, 404
                         )
                     return self._json(service.vectors.list_indexes())
+                if (
+                    len(parts) == 4
+                    and parts[:2] == ["api", "vectors"]
+                    and parts[3] == "drift"
+                ):
+                    if service.vectors is None:
+                        return self._json(
+                            {"error": "vector serving not configured"}, 404
+                        )
+                    return self._json(service.vectors.drift(parts[2]))
                 if len(parts) == 3 and parts[:2] == ["api", "clusters"]:
                     return self._json(
                         service.get_clusters(

@@ -620,6 +620,13 @@ def test_vector_serving_end_to_end(vector_server):
     )
     assert got2["hits"][0]["neighbor_id"] == 777000
 
+    # drift endpoint: offline-built index has no drift log -> []; unknown
+    # index -> 404
+    assert _get(f"{server}/api/vectors/docs/drift") == []
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/api/vectors/nope/drift")
+    assert e.value.code == 404
+
     # error paths: wrong dim -> 400, unknown index -> 404
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(f"{server}/api/vectors/docs/search", {"vectors": [[1.0] * (dim + 1)]})
