@@ -200,6 +200,15 @@ class VectorService:
         ok = idx.append(batch, int(batch_id))
         return {"appended": bool(ok), "rows": len(ids) if ok else 0}
 
+    def delete(self, index_id: str, ids, batch_id: int) -> dict:
+        """Tombstone ids (idempotent per batch id); physically purged at
+        the next compact — the serving right-to-be-forgotten."""
+        if not ids:
+            raise ValueError("ids required")
+        idx, _, _ = self._index(index_id)
+        ok = idx.delete([int(i) for i in ids], int(batch_id))
+        return {"deleted": bool(ok), "rows": len(ids) if ok else 0}
+
 
 class ClusterService:
     """The RPC surface (List/Create/Update/GetClusters/GetMetadata) minus
@@ -467,7 +476,7 @@ def make_handler(service: ClusterService):
             if (
                 len(parts) == 4
                 and parts[:2] == ["api", "vectors"]
-                and parts[3] in ("search", "append")
+                and parts[3] in ("search", "append", "delete")
             ):
                 if service.vectors is None:
                     return self._json(
@@ -481,6 +490,14 @@ def make_handler(service: ClusterService):
                                 payload.get("vectors") or [],
                                 k=int(payload.get("k", 5)),
                                 n_probe=int(payload.get("n_probe", 4)),
+                            )
+                        )
+                    if parts[3] == "delete":
+                        return self._json(
+                            service.vectors.delete(
+                                parts[2],
+                                payload.get("ids") or [],
+                                batch_id=int(payload.get("batch", 0)),
                             )
                         )
                     return self._json(

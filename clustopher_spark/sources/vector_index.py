@@ -206,9 +206,14 @@ class IVFPQIndex:
         files until :meth:`vacuum` removes them (same snapshot contract as
         the pyramid store: pinned in-window readers see original content;
         post-vacuum stale readers fail fast rather than read mixed data).
-        Returns the compacted row count."""
+        Tombstoned rows are physically absent from the new base, and the
+        tombstone log is cleared (the ``last_delete_batch`` watermark
+        survives, so replayed delete batches stay no-ops). Returns the
+        compacted row count."""
+        import shutil
+
         _, _, meta = self._quantizers()
-        cur = self._table(meta)
+        cur = self._table(meta)  # committed rows minus tombstones
         v = int(meta.get("data_version", 0)) + 1
         new_base = os.path.join(self.root, f"lists_v{v}", "batch=base")
         (
@@ -220,10 +225,20 @@ class IVFPQIndex:
         )
         n = self.spark.read.parquet(new_base).count()
         meta["data_version"] = v
+        # base rows' provenance for tombstone ordering: everything folded
+        # in is at-or-before this point, so only LATER deletes can hide it
+        meta["base_batch"] = max(
+            int(meta.get("last_batch", -1)),
+            int(meta.get("last_delete_batch", -1)),
+        )
         tmp = self._meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, self._meta_path)
+        # deletes are physical in the new base; a crash before this rmtree
+        # leaves the tombstones applied as a harmless no-op anti-join
+        # (provenance ordering keeps them from touching post-compaction rows)
+        shutil.rmtree(os.path.join(self.root, "tombstones"), ignore_errors=True)
         return n
 
     def vacuum(self, keep_previous: bool = False) -> list[str]:
@@ -251,6 +266,67 @@ class IVFPQIndex:
                 removed.append(d)
         return removed
 
+    def delete(self, ids, batch_id: int) -> bool:
+        """Tombstone ``ids`` (a list or a one-column DataFrame of
+        neighbor ids) so they stop answering queries immediately; the
+        rows are purged PHYSICALLY at the next :meth:`compact` — the
+        right-to-be-forgotten path, mirroring the pyramid store's
+        streaming deletions. Tombstones are batch-addressed and gated by
+        their own ``last_delete_batch`` watermark, so replays are no-ops;
+        within one micro-batch, deletes apply after appends (delete
+        wins). The live tombstone set is bounded by deletes since the
+        last compaction — it rides a broadcast anti-join at read time, so
+        compact on a cadence that keeps it small."""
+        meta = self._meta()
+        if meta is None:
+            raise ValueError("index is empty — build() it first")
+        if batch_id <= int(meta.get("last_delete_batch", -1)):
+            return False
+        if isinstance(ids, DataFrame):
+            tomb = ids.select(F.col(ids.columns[0]).cast("long").alias("neighbor_id"))
+        else:
+            tomb = self.spark.createDataFrame(
+                [(int(i),) for i in ids], "neighbor_id long"
+            )
+        if not tomb.take(1):
+            return False
+        tomb.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.root, "tombstones", f"batch=b{batch_id}")
+        )
+        meta["last_delete_batch"] = batch_id
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path)
+        return True
+
+    def _tombstones(self, meta: dict) -> DataFrame | None:
+        """Committed tombstones as (neighbor_id, _del_b = latest deleting
+        batch), or None when nothing is tombstoned (files from a crashed
+        delete — batch id past the watermark — are excluded, like orphan
+        append dirs)."""
+        tpath = os.path.join(self.root, "tombstones")
+        if not os.path.isdir(tpath):
+            return None
+        last = int(meta.get("last_delete_batch", -1))
+        committed = [
+            d[len("batch="):]
+            for d in os.listdir(tpath)
+            if d.startswith("batch=b") and int(d[len("batch=b"):]) <= last
+        ]
+        if not committed:
+            return None
+        return (
+            self.spark.read.parquet(tpath)
+            .filter(F.col("batch").isin(committed))
+            .select(
+                "neighbor_id",
+                F.expr("cast(substring(batch, 2, 18) as long)").alias("_del_b"),
+            )
+            .groupBy("neighbor_id")
+            .agg(F.max("_del_b").alias("_del_b"))
+        )
+
     def _table(self, meta: dict) -> DataFrame:
         last = int(meta.get("last_batch", -1))
         committed = ["base"] + [
@@ -263,9 +339,30 @@ class IVFPQIndex:
         # one root read: (batch, list_id) are partition columns, so both
         # the committed-batch filter (excludes a crashed append's orphan
         # directory) and the probe filter prune at the directory level
-        return self.spark.read.parquet(self._data_path).filter(
+        rows = self.spark.read.parquet(self._data_path).filter(
             F.col("batch").isin(committed)
         )
+        tomb = self._tombstones(meta)
+        if tomb is not None:
+            # provenance-ordered delete (the pyramid store's rule): a
+            # tombstone hides only rows appended AT OR BEFORE the deleting
+            # batch, so delete-then-re-append resurfaces the id. Base rows
+            # carry the compaction point (base_batch) as their provenance;
+            # the tombstone set is bounded by deletes since the last
+            # compaction, so it rides a broadcast — no index shuffle.
+            base_b = int(meta.get("base_batch", -1))
+            rows = (
+                rows.withColumn(
+                    "_row_b",
+                    F.when(F.col("batch") == "base", F.lit(base_b)).otherwise(
+                        F.expr("cast(substring(batch, 2, 18) as long)")
+                    ),
+                )
+                .join(F.broadcast(tomb), "neighbor_id", "left")
+                .filter(F.col("_del_b").isNull() | (F.col("_del_b") < F.col("_row_b")))
+                .drop("_del_b", "_row_b")
+            )
+        return rows
 
     # ---- query ----
     def topk(

@@ -127,6 +127,7 @@ def incremental_vector_index(
     seed: int = 42,
     bootstrap: bool = True,
     compact_every: int | None = None,
+    op_col: str | None = None,
     query_name: str = "vector_index_sink",
 ):
     """Drain ``embeddings_stream`` (availableNow) into the IVF-PQ index at
@@ -134,7 +135,12 @@ def incremental_vector_index(
     ``bootstrap`` is set. ``compact_every=N`` folds the accumulated batch
     directories into a fresh base every N batches and vacuums superseded
     data roots (the long-running stream's small-files maintenance; skip it
-    when an external scheduler owns maintenance). Returns the finished
+    when an external scheduler owns maintenance). ``op_col`` names a column
+    carrying ``'del'`` for deletion rows (anything else is an append) —
+    the streaming right-to-be-forgotten, same contract as the pyramid
+    store: within a batch deletes apply after appends, tombstones hide
+    only rows appended at-or-before the deleting batch, and the next
+    compaction purges them physically. Returns the finished
     StreamingQuery."""
     spark = embeddings_stream.sparkSession
     index = IVFPQIndex(
@@ -150,16 +156,23 @@ def incremental_vector_index(
         if not batch_df.take(1):
             return
         batch_df = batch_df.localCheckpoint(eager=True)
+        if op_col is not None:
+            adds = batch_df.filter(F.col(op_col) != "del").drop(op_col)
+            dels = batch_df.filter(F.col(op_col) == "del").select(id_col)
+        else:
+            adds, dels = batch_df, None
         if index._meta() is None:
             if not bootstrap:
                 raise ValueError(
                     f"index at {index_root} is empty and bootstrap=False — "
                     "build() it offline first"
                 )
-            index.build(batch_df, id_col=id_col, vec_col=vec_col)
+            if not adds.take(1):
+                return  # delete-only batch on an empty index: nothing to do
+            index.build(adds, id_col=id_col, vec_col=vec_col)
             # the baseline the drift ratios divide by; written after build
             # so the quantizers exist, keyed 'base' so replay overwrites
-            _write_drift(index, batch_df, vec_col, "base")
+            _write_drift(index, adds, vec_col, "base")
             # bootstrap consumed this batch as the base table; record the
             # batch id so a replay of it is not ALSO appended
             meta = index._meta()
@@ -168,14 +181,20 @@ def incremental_vector_index(
             with open(tmp, "w") as f:
                 json.dump(meta, f)
             os.replace(tmp, index._meta_path)
+            if dels is not None:
+                index.delete(dels, batch_id)  # delete wins within the batch
             return
-        if batch_id <= int(index._meta().get("last_batch", -1)):
-            return  # committed replay: append would skip; keep drift in sync
-        # drift is written before the append commit: on a crash between
-        # the two, replay re-lands the identical stats (overwrite) and
-        # then completes the append the committed-batch filter was hiding
-        _write_drift(index, batch_df, vec_col, f"b{batch_id}")
-        index.append(batch_df, batch_id)
+        # append and delete each self-guard on their own watermark, so a
+        # replayed batch whose append committed but whose delete crashed
+        # still completes the delete — drift writes only with the append
+        if adds.take(1) and batch_id > int(index._meta().get("last_batch", -1)):
+            # drift is written before the append commit: on a crash between
+            # the two, replay re-lands identical stats (overwrite) and then
+            # completes the append the committed-batch filter was hiding
+            _write_drift(index, adds, vec_col, f"b{batch_id}")
+            index.append(adds, batch_id)
+        if dels is not None:
+            index.delete(dels, batch_id)
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             index.compact()
             # grace window: the just-superseded root survives one more

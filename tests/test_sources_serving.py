@@ -620,6 +620,20 @@ def test_vector_serving_end_to_end(vector_server):
     )
     assert got2["hits"][0]["neighbor_id"] == 777000
 
+    # right-to-be-forgotten: delete the appended vector, it stops answering
+    res3 = _post(
+        f"{server}/api/vectors/docs/delete", {"ids": [777000], "batch": 2}
+    )
+    assert res3 == {"deleted": True, "rows": 1}
+    res4 = _post(  # replay no-op
+        f"{server}/api/vectors/docs/delete", {"ids": [777000], "batch": 2}
+    )
+    assert res4["deleted"] is False
+    got3 = _post(
+        f"{server}/api/vectors/docs/search", {"vectors": [shifted], "k": 2}
+    )
+    assert not any(h["neighbor_id"] == 777000 for h in got3["hits"])
+
     # drift endpoint: offline-built index has no drift log -> []; unknown
     # index -> 404
     assert _get(f"{server}/api/vectors/docs/drift") == []

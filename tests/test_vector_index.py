@@ -274,3 +274,99 @@ def test_streaming_vector_index_compact_every(spark, tmp_path):
     assert sorted(os.listdir(os.path.join(root, "lists_v1"))) == ["batch=base"]
     # grace window kept the pre-compaction root
     assert os.path.isdir(os.path.join(root, "lists"))
+
+
+def test_vector_index_delete_tombstones_and_purge(spark, tmp_path):
+    """delete() hides ids immediately (provenance-ordered: a later
+    re-append resurfaces the id), replays are no-ops, and compact()
+    purges tombstoned rows physically and clears the tombstone log."""
+    import os
+
+    e = _embeddings(spark, n=100, seed=19)
+    root = str(tmp_path / "idx")
+    idx = IVFPQIndex(spark, root, n_lists=8, m_subvectors=4, n_codes=32)
+    idx.build(e)
+
+    # foreign-id queries carrying the exact vectors of ids 0 and 2
+    q = e.filter(F.col("vec_id").isin(0, 2)).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    got = idx.topk(q, k=3, n_probe=4).collect()
+    assert any(r.neighbor_id == 0 and r.rank == 1 for r in got)
+
+    # delete id 0 (list form): gone from counts and answers immediately
+    assert idx.delete([0], 1) is True
+    assert idx.delete([0], 1) is False  # replay no-op
+    assert idx._table(idx._meta()).count() == 99
+    got = idx.topk(q, k=3, n_probe=4).collect()
+    assert not any(r.neighbor_id == 0 for r in got)
+    assert any(r.neighbor_id == 2 and r.rank == 1 for r in got)
+
+    # DataFrame form + provenance order: re-append id 0's vector under the
+    # same id in a LATER batch — the older tombstone must not hide it
+    assert idx.append(e.filter(F.col("vec_id") == 0), 2) is True
+    assert idx._table(idx._meta()).count() == 100
+    got = idx.topk(q, k=3, n_probe=4).collect()
+    assert any(r.neighbor_id == 0 and r.rank == 1 for r in got)
+    # ...and a LATER delete hides the re-appended row again
+    assert idx.delete(e.filter(F.col("vec_id") == 0).select("vec_id"), 3) is True
+    assert idx._table(idx._meta()).count() == 99
+
+    # compact: physical purge, tombstone log cleared, answers stable
+    n = idx.compact()
+    assert n == 99
+    assert not os.path.isdir(os.path.join(root, "tombstones"))
+    got2 = idx.topk(q, k=3, n_probe=4).collect()
+    assert not any(r.neighbor_id == 0 for r in got2)
+    # replayed old delete batches stay no-ops after the purge
+    assert idx.delete([0], 3) is False
+    # fresh append after compaction is visible (stale-tombstone hazard
+    # covered by base_batch provenance)
+    assert idx.append(e.filter(F.col("vec_id") == 0), 4) is True
+    assert idx._table(idx._meta()).count() == 100
+
+
+def test_streaming_vector_index_op_column_deletes(spark, tmp_path):
+    """op_col routes 'del' rows to tombstones: bootstrap batch, mixed
+    add+delete batch (delete wins within batch), delete-only batch."""
+    from clustopher_spark.streaming.vector_index import incremental_vector_index
+
+    e = _embeddings(spark, n=120, seed=23)
+    src = str(tmp_path / "src")
+    schema = "vec_id long, embedding array<double>, op string"
+    # b0: bootstrap 100 adds
+    e.filter(F.col("vec_id") < 100).withColumn("op", F.lit("add")).coalesce(
+        1
+    ).write.parquet(src + "/b0")
+    # b1: add 100..120 AND delete 5 plus same-batch-added 100 (del wins)
+    adds = e.filter(F.col("vec_id") >= 100).withColumn("op", F.lit("add"))
+    dels = e.filter(F.col("vec_id").isin(5, 100)).select(
+        "vec_id", "embedding"
+    ).withColumn("op", F.lit("del"))
+    adds.unionByName(dels).coalesce(1).write.parquet(src + "/b1")
+    # b2: delete-only batch
+    e.filter(F.col("vec_id") == 7).select("vec_id", "embedding").withColumn(
+        "op", F.lit("del")
+    ).coalesce(1).write.parquet(src + "/b2")
+
+    root = str(tmp_path / "vidx")
+    incremental_vector_index(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*"),
+        root,
+        n_lists=8,
+        m_subvectors=4,
+        n_codes=32,
+        op_col="op",
+    )
+    idx = IVFPQIndex(spark, root)
+    live = {r.neighbor_id for r in idx._table(idx._meta()).select("neighbor_id").collect()}
+    assert len(live) == 117  # 120 - {5, 100, 7}
+    assert not {5, 100, 7} & live
+    # deleted vectors don't answer queries
+    q = e.filter(F.col("vec_id") == 5).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    got = idx.topk(q, k=3, n_probe=4).collect()
+    assert not any(r.neighbor_id == 5 for r in got)
