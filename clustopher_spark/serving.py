@@ -99,6 +99,20 @@ class VectorService:
         # index_id -> (IVFPQIndex, vec spark-type, dim)
         self._indexes: dict[str, tuple] = {}
         self._lock = threading.Lock()
+        # ThreadingHTTPServer runs handlers concurrently, and append/delete
+        # both read-modify-write the index's meta.json — without a
+        # per-index writer lock, interleaved writers restore each other's
+        # stale watermark snapshots (a committed append's batch dir would
+        # fail the committed filter, or a delete's tombstone would be
+        # silently un-applied). Same pattern as ClusterService._update_locks.
+        self._write_locks: dict[str, threading.Lock] = {}
+        # index_id -> (meta.json mtime, listing row) — list_indexes must
+        # not re-parse the full quantizer arrays on every GET
+        self._list_cache: dict[str, tuple[float, dict]] = {}
+
+    def _write_lock(self, index_id: str) -> threading.Lock:
+        with self._lock:
+            return self._write_locks.setdefault(index_id, threading.Lock())
 
     def _index(self, index_id: str):
         import os
@@ -145,16 +159,22 @@ class VectorService:
             meta_path = os.path.join(self.root, d, "meta.json")
             if not os.path.isfile(meta_path):
                 continue
+            mtime = os.path.getmtime(meta_path)
+            cached = self._list_cache.get(d)
+            if cached is not None and cached[0] == mtime:
+                out.append(cached[1])
+                continue
             with open(meta_path) as f:
                 meta = json.load(f)
-            out.append(
-                {
-                    "index_id": d,
-                    "n_lists": meta["n_lists"],
-                    "dim": len(meta["centroids"][0]),
-                    "last_batch": meta.get("last_batch", -1),
-                }
-            )
+            row = {
+                "index_id": d,
+                "n_lists": meta["n_lists"],
+                "dim": len(meta["centroids"][0]),
+                "last_batch": meta.get("last_batch", -1),
+            }
+            with self._lock:
+                self._list_cache[d] = (mtime, row)
+            out.append(row)
         return out
 
     def drift(self, index_id: str) -> list[dict]:
@@ -195,9 +215,10 @@ class VectorService:
         if not ids or len(ids) != len(vectors):
             raise ValueError("ids and vectors must be same-length and non-empty")
         idx, vec_type, dim = self._index(index_id)
-        meta = idx._meta()
-        batch = self._frame(ids, vectors, meta, vec_type, dim)
-        ok = idx.append(batch, int(batch_id))
+        with self._write_lock(index_id):
+            meta = idx._meta()
+            batch = self._frame(ids, vectors, meta, vec_type, dim)
+            ok = idx.append(batch, int(batch_id))
         return {"appended": bool(ok), "rows": len(ids) if ok else 0}
 
     def delete(self, index_id: str, ids, batch_id: int) -> dict:
@@ -206,7 +227,8 @@ class VectorService:
         if not ids:
             raise ValueError("ids required")
         idx, _, _ = self._index(index_id)
-        ok = idx.delete([int(i) for i in ids], int(batch_id))
+        with self._write_lock(index_id):
+            ok = idx.delete([int(i) for i in ids], int(batch_id))
         return {"deleted": bool(ok), "rows": len(ids) if ok else 0}
 
 
@@ -426,7 +448,11 @@ def make_handler(service: ClusterService):
                             float(q["south"]), float(q["east"]), float(q["north"]),
                         )
                     )
-                if len(parts) == 4 and parts[3] == "metadata":
+                if (
+                    len(parts) == 4
+                    and parts[:2] == ["api", "clusters"]
+                    and parts[3] == "metadata"
+                ):
                     return self._json(
                         service.get_metadata(
                             parts[2], int(q["zoom"]), float(q["west"]),
@@ -492,12 +518,22 @@ def make_handler(service: ClusterService):
                                 n_probe=int(payload.get("n_probe", 4)),
                             )
                         )
+                    # batch is the client's idempotence token (monotonic
+                    # per index) — a silent default of 0 would make every
+                    # call after the first a watermark no-op
+                    if "batch" not in payload:
+                        return self._json(
+                            {"error": "bad request: 'batch' is required — "
+                             "a monotonically increasing id per index; "
+                             "replays of a committed batch are no-ops"},
+                            400,
+                        )
                     if parts[3] == "delete":
                         return self._json(
                             service.vectors.delete(
                                 parts[2],
                                 payload.get("ids") or [],
-                                batch_id=int(payload.get("batch", 0)),
+                                batch_id=int(payload["batch"]),
                             )
                         )
                     return self._json(
@@ -505,7 +541,7 @@ def make_handler(service: ClusterService):
                             parts[2],
                             payload.get("ids") or [],
                             payload.get("vectors") or [],
-                            batch_id=int(payload.get("batch", 0)),
+                            batch_id=int(payload["batch"]),
                         )
                     )
                 except FileNotFoundError:

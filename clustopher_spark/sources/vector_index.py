@@ -96,15 +96,21 @@ class IVFPQIndex:
         books = np.array(meta["codebooks"], dtype=np.float64)
         return cents, books, meta
 
-    @property
-    def _data_path(self) -> str:
+    def _data_path_for(self, meta: dict | None) -> str:
         # versioned data roots (compact() repoints): v absent/None is the
-        # original "lists" dir, so pre-compaction indexes read unchanged
-        meta = self._meta()
+        # original "lists" dir, so pre-compaction indexes read unchanged.
+        # Resolve ONCE per operation from a meta dict already in hand —
+        # re-reading meta per access would both re-parse the quantizers
+        # (hundreds of KB at production sizes) and open a TOCTOU where a
+        # concurrent compact repoints between two resolutions.
         v = (meta or {}).get("data_version")
         return os.path.join(
             self.root, "lists" if v is None else f"lists_v{v}"
         )
+
+    @property
+    def _data_path(self) -> str:
+        return self._data_path_for(self._meta())
 
     def _coded(self, df: DataFrame, cents, books, id_col, vec_col) -> DataFrame:
         assign_one = ivf_lists_udf(cents, 1)
@@ -127,9 +133,13 @@ class IVFPQIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         sample_fraction: float | None = None,
+        initial_last_batch: int = -1,
     ) -> int:
         """Train quantizers, encode the corpus, write the list-partitioned
-        table. Returns the number of rows indexed."""
+        table. Returns the number of rows indexed. ``initial_last_batch``
+        seeds the append watermark in build's ONE atomic meta commit — a
+        streaming bootstrap passes its batch id here so a crash right
+        after build cannot replay the bootstrap batch as an append."""
         if self._meta() is not None:
             raise ValueError("index already built — use append() for new rows")
         p = self._defaults
@@ -160,7 +170,7 @@ class IVFPQIndex:
             "vec_col": vec_col,
             "centroids": cents.tolist(),
             "codebooks": books.tolist(),
-            "last_batch": -1,
+            "last_batch": int(initial_last_batch),
         }
         tmp = self._meta_path + ".tmp"
         with open(tmp, "w") as f:
@@ -186,7 +196,9 @@ class IVFPQIndex:
             coded.repartition("list_id")
             .write.mode("overwrite")
             .partitionBy("list_id")
-            .parquet(os.path.join(self._data_path, f"batch=b{batch_id}"))
+            .parquet(
+                os.path.join(self._data_path_for(meta), f"batch=b{batch_id}")
+            )
         )
         meta["last_batch"] = batch_id
         tmp = self._meta_path + ".tmp"
@@ -254,7 +266,7 @@ class IVFPQIndex:
         meta = self._meta()
         if meta is None:
             return []
-        keep = {os.path.basename(self._data_path)}
+        keep = {os.path.basename(self._data_path_for(meta))}
         if keep_previous:
             v = meta.get("data_version")
             if v is not None:
@@ -328,10 +340,11 @@ class IVFPQIndex:
         )
 
     def _table(self, meta: dict) -> DataFrame:
+        data_path = self._data_path_for(meta)  # one resolution, no TOCTOU
         last = int(meta.get("last_batch", -1))
         committed = ["base"] + [
             d[len("batch="):]
-            for d in os.listdir(self._data_path)
+            for d in os.listdir(data_path)
             if d.startswith("batch=b")
             and d != "batch=base"
             and int(d[len("batch=b"):]) <= last
@@ -339,7 +352,7 @@ class IVFPQIndex:
         # one root read: (batch, list_id) are partition columns, so both
         # the committed-batch filter (excludes a crashed append's orphan
         # directory) and the probe filter prune at the directory level
-        rows = self.spark.read.parquet(self._data_path).filter(
+        rows = self.spark.read.parquet(data_path).filter(
             F.col("batch").isin(committed)
         )
         tomb = self._tombstones(meta)

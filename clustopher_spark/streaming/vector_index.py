@@ -41,7 +41,6 @@ batch.
 
 from __future__ import annotations
 
-import json
 import os
 
 import numpy as np
@@ -88,14 +87,22 @@ def _write_drift(
 
 
 def drift_report(spark, index_root: str) -> DataFrame:
-    """Per-batch quantization drift vs the bootstrap baseline.
+    """Per-batch quantization drift vs the baseline.
 
     Returns (batch, n, mean_dist, p95_dist, mean_ratio) where mean_ratio
-    is mean_dist / base mean_dist — the rebuild signal (ratios near 1.0
-    mean the frozen centroids still fit the incoming distribution)."""
+    is mean_dist / baseline mean_dist — the rebuild signal (ratios near
+    1.0 mean the frozen centroids still fit the incoming distribution).
+    The baseline is the bootstrap's 'base' row when one exists; an index
+    built OFFLINE and then streamed into has no base row, so the earliest
+    appended batch stands in (its ratio reads 1.0 by construction)."""
     drift = spark.read.parquet(os.path.join(index_root, "drift"))
-    base = drift.filter(F.col("batch") == "base").select(
-        F.col("mean_dist").alias("_base_mean")
+    order = F.when(F.col("batch") == "base", F.lit(-1)).otherwise(
+        F.expr("cast(substring(batch, 2, 18) as long)")
+    )
+    base = (
+        drift.orderBy(order)
+        .limit(1)
+        .select(F.col("mean_dist").alias("_base_mean"))
     )
     return (
         drift.crossJoin(F.broadcast(base))
@@ -157,8 +164,11 @@ def incremental_vector_index(
             return
         batch_df = batch_df.localCheckpoint(eager=True)
         if op_col is not None:
-            adds = batch_df.filter(F.col(op_col) != "del").drop(op_col)
-            dels = batch_df.filter(F.col(op_col) == "del").select(id_col)
+            # eqNullSafe: a NULL op is "anything else", i.e. an append —
+            # plain != would silently drop NULL-op rows from BOTH sides
+            is_del = F.col(op_col).eqNullSafe("del")
+            adds = batch_df.filter(~is_del).drop(op_col)
+            dels = batch_df.filter(is_del).select(id_col)
         else:
             adds, dels = batch_df, None
         if index._meta() is None:
@@ -169,18 +179,18 @@ def incremental_vector_index(
                 )
             if not adds.take(1):
                 return  # delete-only batch on an empty index: nothing to do
-            index.build(adds, id_col=id_col, vec_col=vec_col)
+            # the bootstrap batch id seeds the append watermark inside
+            # build's ONE atomic meta commit — a crash after build cannot
+            # replay this batch as an append (no second meta write exists)
+            index.build(
+                adds, id_col=id_col, vec_col=vec_col,
+                initial_last_batch=batch_id,
+            )
             # the baseline the drift ratios divide by; written after build
             # so the quantizers exist, keyed 'base' so replay overwrites
+            # (a crash before this write is healed by drift_report's
+            # earliest-batch baseline fallback)
             _write_drift(index, adds, vec_col, "base")
-            # bootstrap consumed this batch as the base table; record the
-            # batch id so a replay of it is not ALSO appended
-            meta = index._meta()
-            meta["last_batch"] = batch_id
-            tmp = index._meta_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(meta, f)
-            os.replace(tmp, index._meta_path)
             if dels is not None:
                 index.delete(dels, batch_id)  # delete wins within the batch
             return

@@ -648,6 +648,15 @@ def test_vector_serving_end_to_end(vector_server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(f"{server}/api/vectors/nope/search", {"vectors": [[1.0] * dim]})
     assert e.value.code == 404
+    # batch is the idempotence token: omitting it must be a 400, not a
+    # silent default-0 watermark no-op
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/api/vectors/docs/delete", {"ids": [1]})
+    assert e.value.code == 400 and "batch" in json.loads(e.value.read())["error"]
+    # the clusters metadata route must not swallow the vectors namespace
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/api/vectors/docs/metadata?zoom=3&west=0&south=0&east=1&north=1")
+    assert e.value.code == 404
 
 
 def test_vector_serving_not_configured(server):

@@ -334,10 +334,11 @@ def test_streaming_vector_index_op_column_deletes(spark, tmp_path):
     e = _embeddings(spark, n=120, seed=23)
     src = str(tmp_path / "src")
     schema = "vec_id long, embedding array<double>, op string"
-    # b0: bootstrap 100 adds
-    e.filter(F.col("vec_id") < 100).withColumn("op", F.lit("add")).coalesce(
-        1
-    ).write.parquet(src + "/b0")
+    # b0: bootstrap 100 adds with op=NULL — "anything else is an append"
+    # must include NULL (CDC streams often mark only deletes)
+    e.filter(F.col("vec_id") < 100).withColumn(
+        "op", F.lit(None).cast("string")
+    ).coalesce(1).write.parquet(src + "/b0")
     # b1: add 100..120 AND delete 5 plus same-batch-added 100 (del wins)
     adds = e.filter(F.col("vec_id") >= 100).withColumn("op", F.lit("add"))
     dels = e.filter(F.col("vec_id").isin(5, 100)).select(
@@ -361,7 +362,11 @@ def test_streaming_vector_index_op_column_deletes(spark, tmp_path):
         op_col="op",
     )
     idx = IVFPQIndex(spark, root)
-    live = {r.neighbor_id for r in idx._table(idx._meta()).select("neighbor_id").collect()}
+    meta = idx._meta()
+    # bootstrap's ONE atomic meta commit already carries its batch id
+    # (crash right after build cannot replay the bootstrap as an append)
+    assert int(meta["last_batch"]) >= 0
+    live = {r.neighbor_id for r in idx._table(meta).select("neighbor_id").collect()}
     assert len(live) == 117  # 120 - {5, 100, 7}
     assert not {5, 100, 7} & live
     # deleted vectors don't answer queries
@@ -370,3 +375,35 @@ def test_streaming_vector_index_op_column_deletes(spark, tmp_path):
     )
     got = idx.topk(q, k=3, n_probe=4).collect()
     assert not any(r.neighbor_id == 5 for r in got)
+
+
+def test_drift_report_offline_built_baseline_fallback(spark, tmp_path):
+    """An index built OFFLINE then streamed into has no 'base' drift row;
+    the earliest appended batch stands in as the baseline (ratio 1.0)."""
+    from clustopher_spark.streaming.vector_index import (
+        drift_report,
+        incremental_vector_index,
+    )
+
+    e = _embeddings(spark, n=160, seed=29)
+    root = str(tmp_path / "idx")
+    idx = IVFPQIndex(spark, root, n_lists=8, m_subvectors=4, n_codes=32)
+    idx.build(e.filter(F.col("vec_id") < 100))  # offline build, no drift log
+
+    src = str(tmp_path / "src")
+    e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 130)).coalesce(
+        1
+    ).write.parquet(src + "/b0")
+    e.filter(F.col("vec_id") >= 130).coalesce(1).write.parquet(src + "/b1")
+    incremental_vector_index(
+        _stream_embeddings(spark, src + "/b*", e.schema),
+        root,
+        n_lists=8,
+        m_subvectors=4,
+        n_codes=32,
+    )
+    rep = drift_report(spark, root).collect()
+    assert len(rep) == 2 and all(r.batch != "base" for r in rep)
+    assert rep[0].mean_ratio == 1.0  # earliest batch IS the baseline
+    assert rep[1].mean_ratio > 0
+    assert IVFPQIndex(spark, root)._table(idx._meta()).count() == 160
