@@ -407,3 +407,56 @@ def test_drift_report_offline_built_baseline_fallback(spark, tmp_path):
     assert rep[0].mean_ratio == 1.0  # earliest batch IS the baseline
     assert rep[1].mean_ratio > 0
     assert IVFPQIndex(spark, root)._table(idx._meta()).count() == 160
+
+
+def test_vector_index_delete_semantics_state_machine(spark, tmp_path):
+    """Randomized add/delete/compact sequences vs a driver-side reference
+    model of the provenance rule (a tombstone hides exactly the rows
+    appended at-or-before the deleting batch; compact rebases every
+    surviving row to the compaction point and clears tombstones). Pins
+    the visibility algebra independent of the implementation."""
+    import random
+
+    e = _embeddings(spark, n=40, seed=31)
+    by_id = {r.vec_id: r.embedding for r in e.collect()}
+
+    def frame(ids):
+        return spark.createDataFrame(
+            [(int(i), by_id[i]) for i in ids],
+            "vec_id long, embedding array<double>",
+        )
+
+    for seed in (0, 1):
+        rng = random.Random(seed)
+        root = str(tmp_path / f"sm{seed}")
+        idx = IVFPQIndex(spark, root, n_lists=4, m_subvectors=4, n_codes=16)
+        idx.build(frame(range(10)))
+        # model: multiset of visible rows as (id, provenance batch);
+        # build rows carry provenance -1 (base_batch default)
+        rows = [(i, -1) for i in range(10)]
+        batch_id = 0
+        for _ in range(6):
+            batch_id += 1
+            op = rng.choice(["add", "add", "del", "del", "compact"])
+            if op == "add":
+                ids = rng.sample(range(40), 3)
+                assert idx.append(frame(ids), batch_id) is True
+                rows += [(i, batch_id) for i in ids]
+            elif op == "del":
+                ids = rng.sample(range(40), 2)
+                idx.delete(ids, batch_id)
+                rows = [
+                    (i, b) for (i, b) in rows
+                    if not (i in ids and batch_id >= b)
+                ]
+            else:
+                n = idx.compact()
+                assert n == len(rows)
+                meta = idx._meta()
+                rows = [(i, int(meta["base_batch"])) for (i, b) in rows]
+            got = idx._table(idx._meta())
+            want_count = len(rows)
+            want_live = {i for (i, b) in rows}
+            assert got.count() == want_count, f"seed {seed} batch {batch_id} {op}"
+            live = {r.neighbor_id for r in got.select("neighbor_id").collect()}
+            assert live == want_live, f"seed {seed} batch {batch_id} {op}"
