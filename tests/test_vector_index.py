@@ -460,3 +460,47 @@ def test_vector_index_delete_semantics_state_machine(spark, tmp_path):
             assert got.count() == want_count, f"seed {seed} batch {batch_id} {op}"
             live = {r.neighbor_id for r in got.select("neighbor_id").collect()}
             assert live == want_live, f"seed {seed} batch {batch_id} {op}"
+
+
+def test_vector_index_compact_concurrent_reader_snapshot(spark, tmp_path):
+    """Same snapshot contract the pyramid store's vacuum asserts: a reader
+    planned before compact keeps reading bit-identical content while the
+    grace window holds; once its root is vacuumed it fails fast or reads
+    original content — never silently-different data."""
+    e = _embeddings(spark, n=150, seed=37)
+    idx = IVFPQIndex(spark, str(tmp_path / "idx"), n_lists=8,
+                     m_subvectors=4, n_codes=32)
+    idx.build(e.filter(F.col("vec_id") < 120))
+    idx.append(e.filter(F.col("vec_id") >= 120), 1)
+
+    reader = idx._table(idx._meta())  # plan pinned over the v0 root
+    before = sorted(
+        (r.neighbor_id, r.batch) for r in reader.select("neighbor_id", "batch").collect()
+    )
+    assert len(before) == 150
+
+    # compact + grace-window vacuum: the pinned reader's files survive
+    idx.compact()
+    idx.vacuum(keep_previous=True)  # keeps v1 (current) + "lists" (previous)
+    again = sorted(
+        (r.neighbor_id, r.batch) for r in reader.select("neighbor_id", "batch").collect()
+    )
+    assert again == before  # bit-identical within the grace window
+
+    # second compact + FULL vacuum drops the reader's root: the stale
+    # reader must fail fast or still see original content
+    idx.compact()
+    removed = idx.vacuum()
+    assert "lists" in removed
+    try:
+        stale = sorted(
+            (r.neighbor_id, r.batch)
+            for r in reader.select("neighbor_id", "batch").collect()
+        )
+        assert stale == before  # page-cache / open-handle survival is fine
+    except Exception:
+        pass  # fail-fast is the documented acceptable outcome
+
+    # a freshly planned reader over the compacted root answers in full
+    fresh = IVFPQIndex(spark, str(tmp_path / "idx"))
+    assert fresh._table(fresh._meta()).count() == 150
