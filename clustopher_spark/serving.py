@@ -177,6 +177,12 @@ class VectorService:
             out.append(row)
         return out
 
+    def stats(self, index_id: str) -> dict:
+        """List-occupancy balance (the IVF skew signal; see
+        IVFPQIndex.list_stats)."""
+        idx, _, _ = self._index(index_id)
+        return idx.list_stats()
+
     def drift(self, index_id: str) -> list[dict]:
         """Per-batch quantization drift vs the bootstrap baseline (the
         rebuild-when signal from streaming maintenance); empty when the
@@ -434,12 +440,14 @@ def make_handler(service: ClusterService):
                 if (
                     len(parts) == 4
                     and parts[:2] == ["api", "vectors"]
-                    and parts[3] == "drift"
+                    and parts[3] in ("drift", "stats")
                 ):
                     if service.vectors is None:
                         return self._json(
                             {"error": "vector serving not configured"}, 404
                         )
+                    if parts[3] == "stats":
+                        return self._json(service.vectors.stats(parts[2]))
                     return self._json(service.vectors.drift(parts[2]))
                 if len(parts) == 3 and parts[:2] == ["api", "clusters"]:
                     return self._json(

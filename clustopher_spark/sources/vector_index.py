@@ -253,6 +253,33 @@ class IVFPQIndex:
         shutil.rmtree(os.path.join(self.root, "tombstones"), ignore_errors=True)
         return n
 
+    def list_stats(self) -> dict:
+        """Occupancy balance across the IVF lists. The IVF scale hazard is
+        a skewed list — each probed list rides ONE task, so the hottest
+        list bounds query latency no matter how many executors exist.
+        ``balance_factor`` = max list rows / mean list rows; a factor
+        drifting well past ~2-3 (or ``occupied_lists`` falling) says the
+        frozen centroids no longer partition the data — retrain with more
+        lists into a fresh root and swap, same cycle the drift telemetry
+        triggers. One groupBy over the partition column (n_lists result
+        rows)."""
+        meta = self._meta()
+        if meta is None:
+            raise ValueError("index is empty — build() it first")
+        per = [
+            r["count"]
+            for r in self._table(meta).groupBy("list_id").count().collect()
+        ]
+        total = sum(per)
+        mean = total / len(per) if per else 0
+        return {
+            "rows": total,
+            "n_lists": int(meta["n_lists"]),
+            "occupied_lists": len(per),
+            "max_list_rows": max(per) if per else 0,
+            "balance_factor": round(max(per) / mean, 4) if per else None,
+        }
+
     def vacuum(self, keep_previous: bool = False) -> list[str]:
         """Delete data roots other than the current version's (the
         pre-compaction ``lists`` dir and superseded ``lists_v*`` dirs — a

@@ -634,6 +634,11 @@ def test_vector_serving_end_to_end(vector_server):
     )
     assert not any(h["neighbor_id"] == 777000 for h in got3["hits"])
 
+    # stats endpoint: list-occupancy balance over the live rows
+    stats = _get(f"{server}/api/vectors/docs/stats")
+    assert stats["n_lists"] == 8 and stats["rows"] > 0
+    assert stats["balance_factor"] >= 1.0
+
     # drift endpoint: offline-built index has no drift log -> []; unknown
     # index -> 404
     assert _get(f"{server}/api/vectors/docs/drift") == []

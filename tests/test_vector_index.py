@@ -504,3 +504,33 @@ def test_vector_index_compact_concurrent_reader_snapshot(spark, tmp_path):
     # a freshly planned reader over the compacted root answers in full
     fresh = IVFPQIndex(spark, str(tmp_path / "idx"))
     assert fresh._table(fresh._meta()).count() == 150
+
+
+def test_vector_index_list_stats_detects_skew(spark, tmp_path):
+    """list_stats reports occupancy balance; a planted hot cluster (many
+    near-copies of one vector land in one list) drives the factor up."""
+    e = _embeddings(spark, n=200, seed=41)
+    idx = IVFPQIndex(spark, str(tmp_path / "idx"), n_lists=8,
+                     m_subvectors=4, n_codes=32)
+    idx.build(e)
+    s0 = idx.list_stats()
+    assert s0["rows"] == 200 and s0["n_lists"] == 8
+    assert 1 <= s0["occupied_lists"] <= 8
+    assert s0["balance_factor"] >= 1.0
+
+    # plant a hot cluster: 400 jittered copies of vector 0 -> one list
+    import numpy as np
+    rng = np.random.default_rng(43)
+    v0 = e.filter(F.col("vec_id") == 0).first().embedding
+    hot = spark.createDataFrame(
+        [
+            (10_000 + i, [float(x + rng.normal(scale=0.001)) for x in v0])
+            for i in range(400)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    idx.append(hot, 1)
+    s1 = idx.list_stats()
+    assert s1["rows"] == 600
+    assert s1["max_list_rows"] >= 400  # the hot list absorbed the cluster
+    assert s1["balance_factor"] > s0["balance_factor"] * 2
