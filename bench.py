@@ -761,6 +761,70 @@ def family_vector_index(spark, timings, reps):
         shutil.rmtree(vroot, ignore_errors=True)
 
 
+def family_merge_table(spark, timings, reps):
+    """Copy-on-write MERGE table (sources/merge_table.py): the mutable-table
+    maintenance path. Times (a) the initial bulk load into the manifest
+    layout and (b) a 10k-row mixed merge (update/insert/delete) against
+    the ~600k-row table — the commit that must stay O(touched files +
+    batch), never O(table). Merge reps apply successive same-shape batches
+    (a merge mutates the table, so reps must differ — the store-publish
+    protocol)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clustopher_spark.sources.merge_table import MergeTable
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").withColumn(
+        "row_key", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    root = tempfile.mkdtemp(prefix="clustopher_mergetbl_")
+    try:
+        n_rows = li.count()
+        b_times = []
+        for i in (1, 2):  # best-of-2 into fresh roots (create is a bulk load)
+            t0 = time.perf_counter()
+            MergeTable(spark, f"{root}/t{i}").create(li, ["row_key"], num_files=32)
+            b_times.append(time.perf_counter() - t0)
+        _report(
+            spark, timings, reps, "merge_table_build", b_times,
+            f"{n_rows} rows -> 32 key-ranged files",
+        )
+
+        tbl = MergeTable(spark, f"{root}/t2")
+        b = li.agg(F.min("row_key").alias("lo"), F.max("row_key").alias("hi")).collect()[0]
+        cut = b.lo + (b.hi - b.lo) // 40  # batch confined to ~2.5% of keyspace
+        hist = None
+        m_times = []
+        for i in (1, 2):
+            base = li.filter(F.col("row_key") <= cut).limit(10_000)
+            batch = (
+                base.filter(F.col("row_key") % 3 == 0)
+                .withColumn("l_quantity", F.col("l_quantity") + F.lit(1.0))
+                .withColumn("op", F.lit("upsert"))
+                .unionByName(
+                    base.filter(F.col("row_key") % 3 == 1)
+                    .withColumn("row_key", F.col("row_key") + F.lit(b.hi * 10 * i))
+                    .withColumn("op", F.lit("upsert"))
+                )
+                .unionByName(
+                    base.filter(F.col("row_key") % 3 == 2).withColumn("op", F.lit("delete"))
+                )
+                .localCheckpoint(eager=True)  # batch prep untimed
+            )
+            t0 = time.perf_counter()
+            tbl.merge(batch, op_col="op", batch_id=i)
+            m_times.append(time.perf_counter() - t0)
+            hist = tbl.history()[-1]
+        _report(
+            spark, timings, reps, "merge_table_merge_10k", m_times,
+            f"{hist['files_rewritten']} files rewritten / {hist['files_carried']} carried, CDF recorded",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def family_streaming(spark, timings, reps):
     """Streaming drain: file source -> watermarked tumbling agg -> memory
     sink with trigger(availableNow) — the end-to-end micro-batch path
@@ -804,6 +868,7 @@ FAMILIES = {
     "pyramid_30m": family_pyramid_30m,
     "minhash_prod": family_prod_hash,
     "vector_index": family_vector_index,
+    "merge_table": family_merge_table,
     "streaming": family_streaming,
 }
 

@@ -24,6 +24,7 @@ import clustopher_spark.queries.spatial  # noqa: F401
 import clustopher_spark.queries.llm  # noqa: F401
 import clustopher_spark.queries.events  # noqa: F401
 import clustopher_spark.queries.stats  # noqa: F401
+import clustopher_spark.queries.tables  # noqa: F401
 
 
 # Round-5 window: all 142 oracles are cumulatively driver-checked green
@@ -100,12 +101,15 @@ _R5_ROTATION = [
     # new round-5 oracles — must be driver-checked the round they land
     "llm_dedup_savings_report",
     "llm_domain_cap_sample",
-    # next-stalest (round-2-only) picks for the remaining spare slots
-    # (llm_knn_cosine and spatial_mercator_projection yield theirs to the
-    # two new oracles; both stay value-verified every run by the local
-    # replica, tests/test_oracle_parity.py + tools/strict_parity.py)
-    "events_tumbling_hourly",
-    "events_json_props",
+    # late-round-5 additions: the MERGE/CDF algebra (queries/tables.py).
+    # They take the two spare slots events_tumbling_hourly /
+    # events_json_props briefly held (both r2-green, staleness 3 after
+    # this round — still within the <=3 freshness rule; both stay
+    # value-verified every run by tests/test_oracle_parity.py +
+    # tools/strict_parity.py)
+    "catalog_merge_upsert",
+    "catalog_change_feed",
+    # next-stalest (round-2-only) pick for the remaining spare slot
     "stats_correlation",
 ]
 _R5_WINDOW = set(_FLAGSHIP_ANCHORS) | set(_R5_ROTATION)

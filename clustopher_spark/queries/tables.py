@@ -1,0 +1,127 @@
+"""Mutable-table queries: the MERGE (upsert/delete) algebra and its
+write-time change-data-feed, oracle-checked against plain-SQL derivations.
+
+The reference's only update story is re-saving a whole dataset
+(cluster/storage.go — save-whole/load-whole blobs); `sources/merge_table.py`
+replaces that with copy-on-write MERGE + CDF. These registry entries check
+the ALGEBRA those commits apply (`merge_frames` / `change_feed_frames`,
+the same functions `MergeTable.merge` calls) as pure dataframes over the
+driver's tables, so the driver's DuckDB gate value-verifies the semantics
+while tests/test_merge_table.py pins the persistence/pruning/vacuum side.
+
+Batch derivation (deterministic from `orders`): target = keys with
+``o_orderkey % 4 != 1``; the batch updates keys ``%4==2`` (price +1000),
+inserts keys ``%4==1`` (absent from the target), deletes keys ``%4==3``.
+All three MERGE arms (matched-update, not-matched-insert, matched-delete)
+are therefore non-empty at every sf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clustopher_spark.queries.base import register, table
+from clustopher_spark.sources.merge_table import change_feed_frames, merge_frames
+
+DEC = "decimal(18,2)"
+
+_ORDER_COLS = (
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+)
+_BATCH_CTES = f"""
+    target AS (SELECT * FROM orders WHERE o_orderkey % 4 <> 1),
+    updates AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 1000.0 AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 4 = 2),
+    inserts AS (SELECT {_ORDER_COLS} FROM orders WHERE o_orderkey % 4 = 1),
+    deletes AS (SELECT {_ORDER_COLS} FROM orders WHERE o_orderkey % 4 = 3)
+"""
+
+
+def _target_and_batch(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 4 != 1)
+    updates = (
+        orders.filter(F.col("o_orderkey") % 4 == 2)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("op", F.lit("upsert"))
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 4 == 1).withColumn(
+        "op", F.lit("upsert")
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 4 == 3).withColumn(
+        "op", F.lit("delete")
+    )
+    return target, updates.unionByName(inserts).unionByName(deletes)
+
+
+@register(
+    "catalog_merge_upsert",
+    oracle=f"""
+    WITH {_BATCH_CTES},
+    merged AS (
+        SELECT * FROM target
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM inserts)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM deletes)
+        UNION ALL SELECT * FROM updates
+        UNION ALL SELECT * FROM inserts)
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def catalog_merge_upsert(spark, sf_dir):
+    """MERGE semantics (matched-update / not-matched-insert /
+    matched-delete in one batch) via the broadcast anti-join + union plan
+    `MergeTable.merge` commits — the target side is never shuffled."""
+    target, batch = _target_and_batch(spark, sf_dir)
+    merged = merge_frames(target, batch, ["o_orderkey"], op_col="op")
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "catalog_change_feed",
+    oracle=f"""
+    WITH {_BATCH_CTES},
+    cdf AS (
+        SELECT {_ORDER_COLS}, 'update_pre' AS _change_type
+        FROM orders WHERE o_orderkey % 4 = 2
+        UNION ALL SELECT {_ORDER_COLS}, 'update_post' FROM updates
+        UNION ALL SELECT {_ORDER_COLS}, 'insert' FROM inserts
+        UNION ALL SELECT {_ORDER_COLS}, 'delete' FROM deletes)
+    SELECT _change_type,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_orderkey) AS n_keys,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM cdf GROUP BY _change_type ORDER BY _change_type
+    """,
+)
+def catalog_change_feed(spark, sf_dir):
+    """The row-level change feed a merge commit records (O(batch), captured
+    at write time — never a version diff over the table): pre/post images
+    for updates, new rows for inserts, old rows for deletes. The oracle
+    derives each partition independently from the batch definition, so it
+    cross-checks the matched/unmatched join routing in
+    `change_feed_frames`."""
+    target, batch = _target_and_batch(spark, sf_dir)
+    cdf = change_feed_frames(target, batch, ["o_orderkey"], op_col="op")
+    return (
+        cdf.groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_price"),
+        )
+        .orderBy("_change_type")
+    )

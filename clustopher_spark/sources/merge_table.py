@@ -1,0 +1,478 @@
+"""Manifest-backed copy-on-write MERGE table: row-level upsert/delete with
+key-range file pruning and a write-time change-data-feed.
+
+The reference's persistence is save-whole / load-whole (cluster/storage.go
+— a dataset is one immutable blob; updating a row means re-saving the
+dataset). The catalog's snapshot versioning (sources/catalog.py:157-193)
+keeps that shape: every version is a full rewrite. That is the wrong cost
+model for the mutable side of a 100 TB corpus — a 10k-row correction
+batch must not rewrite the table. This module is the general-relational
+analogue of the PyramidStore's O(dirty-blocks) manifest publish
+(streaming/pyramid.py): data lives in an immutable, shared file pool;
+each version is a manifest (file list + per-file key-range stats); a
+MERGE rewrites ONLY the files whose key range can contain a batch key and
+commits by atomically repointing ``meta.json``. The same copy-on-write /
+snapshot-isolation design transactional lake formats use (Delta/Iceberg),
+minus the distributed-commit log a single writer does not need.
+
+Layout::
+
+    {root}/meta.json                  {"latest": N, "key_cols": [...],
+                                       "last_batch": B, "history": [...]}
+    {root}/files/f-*.parquet          immutable data files, SHARED across
+                                      versions (refcounted by vacuum)
+    {root}/versions/v{N}/manifest.json  [{"file", "rows", "min_key",
+                                          "max_key"}, ...]
+    {root}/changes/v{N}/              CDF parquet for the commit that made
+                                      vN (merge commits; O(batch) rows)
+
+Scale shape per merge: the batch's key set is broadcast (micro-batches
+fit; the Bloom-filter recheck is the documented overflow fallback, same
+argument as the ingest-dedup semi-join reduction in queries/llm.py), so
+the anti/inner joins against the touched files are map-side — the only
+exchange is O(batch) for the rewrite's range partitioning. Read volume is
+O(touched files), chosen by driver-side interval checks over the manifest
+(a few hundred bytes per file), not by scanning the table. The
+change-data-feed is captured AT WRITE TIME from rows the merge already
+has in hand — O(batch), never an O(table) version diff.
+
+Replay safety mirrors the vector index (sources/vector_index.py): pass a
+``batch_id`` and a replayed ``batch_id <= last_batch`` is skipped before
+any write; data files land before the meta repoint, so a crash mid-merge
+leaves version N intact plus unreferenced files that vacuum collects.
+
+Concurrent-reader snapshot contract (same as PyramidStore / vector index,
+asserted by test): files are immutable and shared, so a reader holding
+any vacuum-retained version sees bit-identical data while later versions
+commit; a reader below the retention window fails fast on the missing
+file rather than returning partial rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from bisect import bisect_left
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Past this many distinct batch keys, skip the exact per-key driver check
+# and prune files on the batch's [min, max] interval alone (still sound,
+# merely coarser) — the _DRIVER_DIRTY_LIMIT pattern.
+_DRIVER_KEY_LIMIT = 200_000
+
+CHANGE_TYPES = ("insert", "update_pre", "update_post", "delete")
+
+
+def merge_frames(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    op_col: str | None = None,
+) -> DataFrame:
+    """The pure MERGE algebra: whole-row upserts + key deletes.
+
+    ``source`` rows carry target's columns plus an optional ``op_col``
+    (``'upsert'`` | ``'delete'``); without it every row is an upsert.
+    Matched upserts replace the target row, unmatched upserts insert,
+    deletes drop matched keys (unmatched deletes are no-ops). The batch
+    must be key-distinct (MERGE's standard one-source-row-per-target-row
+    precondition) — enforce upstream, e.g. with ``dropDuplicates(keys)``.
+
+    Plan shape: ONE broadcast anti-join of the batch's key set against the
+    target plus a union — the target is never shuffled, so the exchange
+    cost is O(batch) at any table size.
+    """
+    data_cols = [c for c in target.columns]
+    if op_col is not None:
+        upserts = source.filter(F.col(op_col) == F.lit("upsert")).select(*data_cols)
+        affected = source.select(*key_cols)
+    else:
+        upserts = source.select(*data_cols)
+        affected = source.select(*key_cols)
+    kept = target.join(F.broadcast(affected.distinct()), on=key_cols, how="left_anti")
+    return kept.unionByName(upserts)
+
+
+def change_feed_frames(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    op_col: str | None = None,
+) -> DataFrame:
+    """Row-level change feed the merge implies, computed from the rows the
+    merge already touches (O(batch) output): target's columns plus
+    ``_change_type`` in {insert, update_pre, update_post, delete}.
+
+    ``update_pre``/``delete`` carry the old row, ``update_post``/``insert``
+    the new one — the pre/post convention CDC consumers (incremental
+    aggregate maintenance, downstream sync) need to invert or re-apply a
+    commit.
+    """
+    data_cols = [c for c in target.columns]
+    if op_col is not None:
+        upserts = source.filter(F.col(op_col) == F.lit("upsert")).select(*data_cols)
+        del_keys = (
+            source.filter(F.col(op_col) == F.lit("delete")).select(*key_cols).distinct()
+        )
+    else:
+        upserts = source.select(*data_cols)
+        del_keys = None
+    up_keys = upserts.select(*key_cols).distinct()
+    matched_up = target.join(F.broadcast(up_keys), on=key_cols, how="left_semi")
+    pre = matched_up.withColumn("_change_type", F.lit("update_pre"))
+    post = (
+        upserts.join(
+            F.broadcast(matched_up.select(*key_cols)), on=key_cols, how="left_semi"
+        ).withColumn("_change_type", F.lit("update_post"))
+    )
+    ins = (
+        upserts.join(
+            F.broadcast(matched_up.select(*key_cols)), on=key_cols, how="left_anti"
+        ).withColumn("_change_type", F.lit("insert"))
+    )
+    out = pre.unionByName(post).unionByName(ins)
+    if del_keys is not None:
+        dels = target.join(F.broadcast(del_keys), on=key_cols, how="left_semi")
+        out = out.unionByName(dels.withColumn("_change_type", F.lit("delete")))
+    return out
+
+
+class MergeTable:
+    """A durable key-addressed table supporting MERGE, time travel, CDF,
+    compaction, and refcounted vacuum."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+
+    # --- meta / manifest plumbing ---
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "meta.json")
+
+    def _meta(self) -> dict:
+        with open(self._meta_path) as f:
+            return json.load(f)
+
+    def _commit(self, meta: dict) -> None:
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path)
+
+    def _manifest(self, version: int) -> list[dict]:
+        path = os.path.join(self.root, "versions", f"v{version}", "manifest.json")
+        with open(path) as f:
+            return json.load(f)
+
+    def _write_manifest(self, version: int, entries: list[dict]) -> None:
+        vdir = os.path.join(self.root, "versions", f"v{version}")
+        os.makedirs(vdir, exist_ok=True)
+        with open(os.path.join(vdir, "manifest.json"), "w") as f:
+            json.dump(entries, f)
+
+    def _write_files(self, df: DataFrame, key_cols: list[str], num_files: int) -> list[dict]:
+        """Write ``df`` as range-partitioned, key-sorted immutable files in
+        the shared pool; return manifest entries with per-file key stats.
+
+        Stats come from the parquet footers pyarrow reads driver-side —
+        one tiny metadata fetch per file, the same min/max the scan's
+        row-group pruning uses, so the manifest is consistent with the
+        data by construction.
+        """
+        import pyarrow.parquet as pq
+
+        staging = os.path.join(self.root, "_staging", uuid.uuid4().hex[:12])
+        (
+            df.repartitionByRange(max(1, num_files), *key_cols)
+            .sortWithinPartitions(*key_cols)
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(staging)
+        )
+        pool = os.path.join(self.root, "files")
+        os.makedirs(pool, exist_ok=True)
+        entries: list[dict] = []
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            fname = f"f-{uuid.uuid4().hex[:16]}.parquet"
+            os.replace(os.path.join(staging, name), os.path.join(pool, fname))
+            md = pq.read_metadata(os.path.join(pool, fname))
+            if md.num_rows == 0:
+                os.remove(os.path.join(pool, fname))
+                continue
+            idx = md.schema.to_arrow_schema().get_field_index(key_cols[0])
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            entries.append(
+                {
+                    "file": fname,
+                    "rows": md.num_rows,
+                    "min_key": min(mins),
+                    "max_key": max(maxs),
+                }
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(os.path.join(self.root, "_staging"), ignore_errors=True)
+        return entries
+
+    # --- lifecycle ---
+
+    def create(
+        self,
+        df: DataFrame,
+        key_cols: list[str],
+        num_files: int = 8,
+        initial_last_batch: int = -1,
+    ) -> int:
+        """Version 1: the initial table load. The first key column drives
+        the manifest's range stats, so it must be an orderable scalar with
+        a JSON-representable footer statistic (integer, float, or
+        string). ``initial_last_batch`` seeds the replay watermark inside
+        this one atomic commit when a STREAM bootstraps the table from its
+        first batch — a crash after create then cannot replay that batch
+        as a merge (the vector-index bootstrap argument,
+        streaming/vector_index.py)."""
+        k0_type = dict(df.dtypes)[key_cols[0]]
+        if not (
+            k0_type in ("string",)
+            or k0_type.startswith(("tinyint", "smallint", "int", "bigint", "float", "double", "decimal"))
+        ):
+            raise ValueError(
+                f"first key column must be numeric or string, got {k0_type}"
+            )
+        os.makedirs(self.root, exist_ok=True)
+        entries = self._write_files(df, key_cols, num_files)
+        self._write_manifest(1, entries)
+        meta = {
+            "latest": 1,
+            "key_cols": list(key_cols),
+            "columns": df.columns,
+            "last_batch": int(initial_last_batch),
+            "history": [
+                {
+                    "version": 1,
+                    "operation": "create",
+                    "rows": sum(e["rows"] for e in entries),
+                    "files": len(entries),
+                }
+            ],
+        }
+        self._commit(meta)
+        return 1
+
+    def read(self, version: int | None = None) -> DataFrame:
+        meta = self._meta()
+        v = int(version if version is not None else meta["latest"])
+        entries = self._manifest(v)
+        if not entries:
+            return self._empty(meta)
+        paths = [os.path.join(self.root, "files", e["file"]) for e in entries]
+        return self.spark.read.parquet(*paths)
+
+    def _empty(self, meta: dict) -> DataFrame:
+        # an empty latest manifest (everything deleted): reconstruct the
+        # schema from any historical file, else fail loudly
+        for h in reversed(meta.get("history", [])):
+            entries = self._manifest(h["version"])
+            if entries:
+                df = self.spark.read.parquet(
+                    os.path.join(self.root, "files", entries[0]["file"])
+                )
+                return df.limit(0)
+        raise FileNotFoundError(f"{self.root}: no data files in any version")
+
+    def history(self) -> list[dict]:
+        return self._meta().get("history", [])
+
+    # --- MERGE ---
+
+    def _touched(self, entries: list[dict], source: DataFrame, key0: str) -> set[str]:
+        """File names whose key range can contain a batch key (sound
+        overapproximation; driver-side over the manifest)."""
+        agg = source.agg(
+            F.min(key0).alias("lo"),
+            F.max(key0).alias("hi"),
+            F.approx_count_distinct(key0).alias("n"),
+        ).collect()[0]
+        if agg.lo is None:
+            return set()
+        in_range = [e for e in entries if not (e["max_key"] < agg.lo or e["min_key"] > agg.hi)]
+        if agg.n > _DRIVER_KEY_LIMIT or not in_range:
+            return {e["file"] for e in in_range}
+        keys = sorted(
+            r[0]
+            for r in source.select(key0).distinct().filter(
+                F.col(key0).isNotNull()
+            ).collect()
+        )
+        touched = set()
+        for e in in_range:
+            i = bisect_left(keys, e["min_key"])
+            if i < len(keys) and keys[i] <= e["max_key"]:
+                touched.add(e["file"])
+        return touched
+
+    def merge(
+        self,
+        source: DataFrame,
+        op_col: str | None = None,
+        batch_id: int | None = None,
+        num_files: int | None = None,
+    ) -> int | None:
+        """Copy-on-write MERGE: upsert/delete ``source`` into the table.
+
+        Rewrites only the key-range-touched files; records the row-level
+        change feed under ``changes/v{N}``; commits atomically. Returns
+        the new version, or None when ``batch_id`` was already applied
+        (replay skip).
+        """
+        meta = self._meta()
+        if batch_id is not None and batch_id <= meta.get("last_batch", -1):
+            return None
+        key_cols = meta["key_cols"]
+        entries = self._manifest(meta["latest"])
+        source = source.cache()
+        try:
+            touched = self._touched(entries, source, key_cols[0])
+            touched_entries = [e for e in entries if e["file"] in touched]
+            untouched_entries = [e for e in entries if e["file"] not in touched]
+            if touched_entries:
+                target_touched = self.spark.read.parquet(
+                    *[os.path.join(self.root, "files", e["file"]) for e in touched_entries]
+                )
+            else:
+                target_touched = self.read(meta["latest"]).limit(0)
+            version = int(meta["latest"]) + 1
+            cdf = change_feed_frames(target_touched, source, key_cols, op_col)
+            cdf.withColumn("_commit_version", F.lit(version).cast("long")).write.mode(
+                "overwrite"
+            ).option("compression", "zstd").parquet(
+                os.path.join(self.root, "changes", f"v{version}")
+            )
+            merged = merge_frames(target_touched, source, key_cols, op_col)
+            nf = num_files or max(1, len(touched_entries)) + 1
+            new_entries = self._write_files(merged, key_cols, nf)
+            self._write_manifest(version, untouched_entries + new_entries)
+        finally:
+            source.unpersist()
+        meta["latest"] = version
+        if batch_id is not None:
+            meta["last_batch"] = batch_id
+        meta["history"].append(
+            {
+                "version": version,
+                "operation": "merge",
+                "rows": sum(e["rows"] for e in untouched_entries + new_entries),
+                "files": len(untouched_entries) + len(new_entries),
+                "files_rewritten": len(touched_entries),
+                "files_carried": len(untouched_entries),
+            }
+        )
+        self._commit(meta)
+        return version
+
+    # --- CDF ---
+
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """The recorded change feed for commits in (from_version,
+        to_version] — e.g. ``changes(3)`` = "everything since v3". O(sum
+        of batch sizes), read straight from the write-time logs; never a
+        version diff over the table."""
+        meta = self._meta()
+        hi = int(to_version if to_version is not None else meta["latest"])
+        dirs = []
+        for h in meta["history"]:
+            v = h["version"]
+            if from_version < v <= hi:
+                if h["operation"] in ("create", "compact"):
+                    continue  # no row-level changes (create precedes CDF; compact is a no-op rewrite)
+                dirs.append(os.path.join(self.root, "changes", f"v{v}"))
+        if not dirs:
+            return (
+                self.read(meta["latest"])
+                .limit(0)
+                .withColumn("_change_type", F.lit(""))
+                .withColumn("_commit_version", F.lit(0).cast("long"))
+            )
+        return self.spark.read.parquet(*dirs)
+
+    # --- maintenance ---
+
+    def compact(self, num_files: int = 8) -> int:
+        """Fold the accumulated file set into a fresh, globally
+        range-partitioned base (small-files + key-overlap maintenance
+        after many merges). Logically a no-op: answers identical, CDF
+        empty for the compact commit."""
+        meta = self._meta()
+        df = self.read(meta["latest"])
+        key_cols = meta["key_cols"]
+        version = int(meta["latest"]) + 1
+        new_entries = self._write_files(df, key_cols, num_files)
+        self._write_manifest(version, new_entries)
+        meta["latest"] = version
+        meta["history"].append(
+            {
+                "version": version,
+                "operation": "compact",
+                "rows": sum(e["rows"] for e in new_entries),
+                "files": len(new_entries),
+            }
+        )
+        self._commit(meta)
+        return version
+
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Delete data files referenced ONLY by versions older than the
+        newest ``keep_last`` (refcount over retained manifests — a file
+        shared into the retained window survives, the PyramidStore
+        shared-block argument). Old manifests and CDF dirs of dropped
+        versions are removed with their exclusive files. Pool files no
+        LIVE manifest references at all — a crashed merge's staged files
+        — are swept too (single-writer assumption: don't vacuum while a
+        merge is in flight)."""
+        meta = self._meta()
+        versions = sorted(h["version"] for h in meta["history"] if not h.get("data_removed"))
+        keep_last = max(1, keep_last)
+        retained = set(versions[-keep_last:])
+        retained.add(int(meta["latest"]))
+        live: set[str] = set()
+        for v in retained:
+            live |= {e["file"] for e in self._manifest(v)}
+        removed: list[str] = []
+        for h in meta["history"]:
+            v = h["version"]
+            if v in retained or h.get("data_removed"):
+                continue
+            for e in self._manifest(v):
+                if e["file"] not in live:
+                    p = os.path.join(self.root, "files", e["file"])
+                    if os.path.isfile(p):
+                        os.remove(p)
+                        removed.append(e["file"])
+            shutil.rmtree(os.path.join(self.root, "versions", f"v{v}"), ignore_errors=True)
+            shutil.rmtree(os.path.join(self.root, "changes", f"v{v}"), ignore_errors=True)
+            h["data_removed"] = True
+        # orphan sweep: files referenced by NO surviving manifest (a merge
+        # that crashed between staging and commit leaves these)
+        referenced: set[str] = set()
+        for h in meta["history"]:
+            if not h.get("data_removed"):
+                referenced |= {e["file"] for e in self._manifest(h["version"])}
+        pool = os.path.join(self.root, "files")
+        for fname in os.listdir(pool) if os.path.isdir(pool) else []:
+            if fname not in referenced:
+                os.remove(os.path.join(pool, fname))
+                removed.append(fname)
+        if removed or any(h.get("data_removed") for h in meta["history"]):
+            self._commit(meta)
+        return removed

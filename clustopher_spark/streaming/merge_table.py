@@ -1,0 +1,112 @@
+"""Structured-Streaming maintenance of a copy-on-write MERGE table.
+
+The fourth leg of the engine's incremental-serving surface, next to the
+durable pyramid store (``streaming/pyramid.py``), the near-dup index
+(``streaming/dedup_index.py``), and the ANN index
+(``streaming/vector_index.py``): a CDC-shaped stream of upsert/delete
+rows keeps a :class:`~clustopher_spark.sources.merge_table.MergeTable`
+current, one atomic version per micro-batch, with the row-level change
+feed recorded as a by-product of every commit. The reference has no
+incremental surface at all (runner/runner.go loads static datasets); this
+is the mutable-dimension / corrections-feed path a 100 TB pipeline needs
+(metadata fixes, license revocations, label updates) without rewriting
+the table.
+
+Per micro-batch (foreachBatch):
+
+1. the first non-empty batch on an empty root **bootstraps** the table —
+   ``create()`` seeds the replay watermark inside its one atomic commit,
+   so a crash after create cannot replay the bootstrap batch as a merge
+   (delete rows in the bootstrap batch are dropped: there is nothing to
+   delete from yet);
+2. every later batch is one ``merge(batch_id=...)`` — key-range file
+   pruning bounds the read, the broadcast key set bounds the shuffle, and
+   a replayed committed ``batch_id`` is skipped before any write, so
+   availableNow replay is exactly-once;
+3. ``compact_every=N`` folds the accumulating file set into a fresh
+   range-partitioned base every N batches and vacuums versions beyond the
+   retention window (the long-running stream's small-files + key-overlap
+   maintenance).
+
+Batches must be key-distinct (MERGE's one-source-row-per-target-row rule);
+``dedupe='last'`` keeps the row with the greatest ``order_col`` per key —
+the CDC convention where the newest change wins.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from clustopher_spark.sources.merge_table import MergeTable
+
+
+def incremental_merge_table(
+    rows_stream: DataFrame,
+    table_root: str,
+    key_cols: list[str],
+    op_col: str | None = "op",
+    order_col: str | None = None,
+    num_files: int = 8,
+    compact_every: int | None = None,
+    vacuum_keep: int = 2,
+    query_name: str = "merge_table_sink",
+):
+    """Drain ``rows_stream`` (availableNow) into the MergeTable at
+    ``table_root``, bootstrapping it from the first batch when empty.
+    ``order_col`` enables last-writer-wins dedup within a batch (ties and
+    absence fall back to requiring key-distinct input). Returns the
+    finished StreamingQuery."""
+    spark = rows_stream.sparkSession
+    table = MergeTable(spark, table_root)
+
+    def _dedupe(batch: DataFrame) -> DataFrame:
+        if order_col is None:
+            return batch
+        w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+        return (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        batch_df = _dedupe(batch_df).localCheckpoint(eager=True)
+        if not os.path.isfile(os.path.join(table_root, "meta.json")):
+            first = batch_df
+            if op_col is not None and op_col in first.columns:
+                first = first.filter(
+                    ~F.col(op_col).eqNullSafe("delete")
+                ).drop(op_col)
+            if order_col is not None:
+                first = first.drop(order_col)
+            if not first.take(1):
+                return  # delete-only batch on an empty table: nothing to do
+            table.create(
+                first, key_cols, num_files=num_files,
+                initial_last_batch=batch_id,
+            )
+            return
+        merge_batch = batch_df.drop(order_col) if order_col else batch_df
+        table.merge(
+            merge_batch,
+            op_col=op_col if (op_col and op_col in batch_df.columns) else None,
+            batch_id=batch_id,
+        )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            table.compact(num_files=num_files)
+            table.vacuum(keep_last=vacuum_keep)
+
+    q = (
+        rows_stream.writeStream.foreachBatch(process_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", table_root + "_checkpoint")
+        .start()
+    )
+    q.awaitTermination()
+    return q

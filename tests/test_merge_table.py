@@ -1,0 +1,300 @@
+"""MergeTable: copy-on-write MERGE semantics, file pruning, write-time CDF,
+snapshot isolation, refcounted vacuum, compaction (sources/merge_table.py).
+
+The reference's persistence rewrites whole datasets per update
+(cluster/storage.go); these tests pin the incremental contract that
+replaces it: a merge rewrites only key-range-touched files and the
+committed table equals the pure merge algebra applied to the whole table.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clustopher_spark.sources.merge_table import (
+    MergeTable,
+    change_feed_frames,
+    merge_frames,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF_DIR}/orders.parquet")
+
+
+def _frames_equal(a, b) -> bool:
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def _mixed_batch(orders):
+    """Deterministic mixed batch: updates (%4==2, price bumped), inserts
+    (%4==1 keys absent from the %4!=1 target), deletes (%4==3)."""
+    updates = (
+        orders.filter(F.col("o_orderkey") % 4 == 2)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("op", F.lit("upsert"))
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 4 == 1).withColumn(
+        "op", F.lit("upsert")
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 4 == 3).withColumn(
+        "op", F.lit("delete")
+    )
+    return updates.unionByName(inserts).unionByName(deletes)
+
+
+@pytest.fixture()
+def target(spark):
+    return _orders(spark).filter(F.col("o_orderkey") % 4 != 1)
+
+
+def test_create_read_roundtrip(spark, tmp_path, target):
+    t = MergeTable(spark, str(tmp_path / "t"))
+    assert t.create(target, ["o_orderkey"], num_files=4) == 1
+    assert _frames_equal(t.read(), target)
+    h = t.history()
+    assert h[0]["operation"] == "create" and h[0]["rows"] == target.count()
+
+
+def test_merge_matches_pure_algebra(spark, tmp_path, target):
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(target, ["o_orderkey"], num_files=4)
+    batch = _mixed_batch(_orders(spark))
+    v = t.merge(batch, op_col="op")
+    assert v == 2
+    expected = merge_frames(target, batch, ["o_orderkey"], op_col="op")
+    assert _frames_equal(t.read(), expected)
+    # time travel: v1 still the original
+    assert _frames_equal(t.read(1), target)
+    # sanity on the semantics themselves
+    got = {r.o_orderkey: r.o_totalprice for r in t.read().collect()}
+    src = {r.o_orderkey: r.o_totalprice for r in _orders(spark).collect()}
+    for k, price in src.items():
+        if k % 4 == 2:
+            assert got[k] == pytest.approx(price + 1000.0)
+        elif k % 4 == 3:
+            assert k not in got
+        else:
+            assert got[k] == pytest.approx(price)
+
+
+def test_narrow_merge_rewrites_only_touched_files(spark, tmp_path, target):
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(target, ["o_orderkey"], num_files=8)
+    lo, hi = [
+        (r.lo, r.hi)
+        for r in target.agg(
+            F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+        ).collect()
+    ][0]
+    # a batch confined to the bottom ~5% of the key space
+    cut = lo + (hi - lo) // 20
+    batch = target.filter(F.col("o_orderkey") <= cut).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    t.merge(batch)
+    h = t.history()[-1]
+    assert h["operation"] == "merge"
+    assert h["files_carried"] >= 6, h  # most of the 8 files untouched
+    assert h["files_rewritten"] <= 2, h
+    # carried files are SHARED by name between the two manifests
+    m1 = {e["file"] for e in t._manifest(1)}
+    m2 = {e["file"] for e in t._manifest(2)}
+    assert len(m1 & m2) == h["files_carried"]
+    expected = merge_frames(target, batch, ["o_orderkey"])
+    assert _frames_equal(t.read(), expected)
+
+
+def test_change_feed_recorded_at_write_time(spark, tmp_path, target):
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(target, ["o_orderkey"], num_files=4)
+    batch = _mixed_batch(_orders(spark))
+    t.merge(batch, op_col="op")
+    cdf = t.changes(1)
+    expected = change_feed_frames(target, batch, ["o_orderkey"], op_col="op").withColumn(
+        "_commit_version", F.lit(2).cast("long")
+    )
+    assert _frames_equal(cdf, expected)
+    counts = {r._change_type: r.n for r in cdf.groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
+    orders = _orders(spark)
+    assert counts["update_pre"] == counts["update_post"] == orders.filter(F.col("o_orderkey") % 4 == 2).count()
+    assert counts["insert"] == orders.filter(F.col("o_orderkey") % 4 == 1).count()
+    assert counts["delete"] == orders.filter(F.col("o_orderkey") % 4 == 3).count()
+    # empty range -> empty typed frame
+    assert t.changes(2).count() == 0
+
+
+def test_merge_replay_is_idempotent(spark, tmp_path, target):
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(target, ["o_orderkey"], num_files=4)
+    batch = _mixed_batch(_orders(spark))
+    assert t.merge(batch, op_col="op", batch_id=7) == 2
+    before = t.read().count()
+    assert t.merge(batch, op_col="op", batch_id=7) is None  # replay skipped
+    assert t._meta()["latest"] == 2 and t.read().count() == before
+
+
+def test_vacuum_refcounts_shared_files(spark, tmp_path, target):
+    import os
+
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(target, ["o_orderkey"], num_files=8)
+    lo = target.agg(F.min("o_orderkey")).collect()[0][0]
+    batch = target.filter(F.col("o_orderkey") <= lo + 10).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    t.merge(batch)  # v2 shares most files with v1
+    t.merge(batch.withColumn("o_totalprice", F.lit(2.0)))  # v3
+    latest = t.read().collect()
+    removed = t.vacuum(keep_last=2)  # drops v1's exclusive files only
+    m2 = {e["file"] for e in t._manifest(2)}
+    m3 = {e["file"] for e in t._manifest(3)}
+    for f in removed:
+        assert f not in m2 | m3  # nothing a retained version references
+    # retained versions still read bit-identically
+    assert {tuple(r) for r in t.read().collect()} == {tuple(r) for r in latest}
+    assert _frames_equal(t.read(2), merge_frames(target, batch, ["o_orderkey"]))
+    # below the window: fail fast, not partial rows
+    with pytest.raises(Exception):
+        t._manifest(1)
+    # the shared pool holds exactly the union of retained manifests
+    pool = {f for f in os.listdir(str(tmp_path / "t" / "files"))}
+    assert pool == m2 | m3
+
+
+def test_compact_is_a_logical_noop(spark, tmp_path, target):
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(target, ["o_orderkey"], num_files=4)
+    batch = _mixed_batch(_orders(spark))
+    t.merge(batch, op_col="op")
+    pre = t.read()
+    v = t.compact(num_files=2)
+    assert v == 3
+    assert _frames_equal(t.read(), pre)
+    assert t.history()[-1]["files"] <= 2
+    # compact contributes no CDF rows; the merge's feed is still readable
+    assert _frames_equal(t.changes(1).drop("_commit_version"),
+                         t.changes(1, 3).drop("_commit_version"))
+    assert t.changes(2).count() == 0
+
+
+def test_delete_all_leaves_empty_readable_table(spark, tmp_path, target):
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(target, ["o_orderkey"], num_files=4)
+    everything = target.withColumn("op", F.lit("delete"))
+    t.merge(everything, op_col="op")
+    out = t.read()
+    assert out.count() == 0
+    assert out.columns == target.columns
+    cdf = t.changes(1)
+    assert cdf.filter(F.col("_change_type") == "delete").count() == target.count()
+
+
+def test_non_orderable_first_key_rejected(spark, tmp_path, target):
+    t = MergeTable(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError):
+        t.create(target, ["o_orderdate"], num_files=2)
+
+
+def test_vacuum_sweeps_crash_orphans(spark, tmp_path, target):
+    """A merge that crashed between staging files and the meta repoint
+    leaves pool files no manifest references; vacuum collects them."""
+    import os
+
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(target, ["o_orderkey"], num_files=4)
+    orphan = str(tmp_path / "t" / "files" / "f-deadbeef.parquet")
+    target.limit(3).write.mode("overwrite").parquet(str(tmp_path / "o"))
+    part = [f for f in os.listdir(str(tmp_path / "o")) if f.endswith(".parquet")][0]
+    os.replace(str(tmp_path / "o" / part), orphan)
+    removed = t.vacuum(keep_last=2)
+    assert "f-deadbeef.parquet" in removed
+    assert _frames_equal(t.read(), target)  # live data untouched
+
+
+def _stream_rows(spark, src, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def test_streaming_merge_table_bootstrap_merge_replay(spark, tmp_path, target):
+    """availableNow drain: batch 0 bootstraps the table (create seeds the
+    replay watermark atomically), later batches merge with upsert/delete
+    routing, CDF is recorded per commit, and a fresh-checkpoint full
+    replay changes nothing (exactly-once)."""
+    import time as _time
+
+    from clustopher_spark.streaming.merge_table import incremental_merge_table
+
+    orders = _orders(spark)
+    src = str(tmp_path / "src")
+    # batch 0: the initial load (no op column semantics: all upserts)
+    target.withColumn("op", F.lit("upsert")).coalesce(1).write.parquet(src + "/b0")
+    _time.sleep(1.1)  # distinct mtimes -> deterministic file-batch order
+    batch = _mixed_batch(orders)
+    batch.coalesce(1).write.parquet(src + "/b1")
+
+    schema = batch.schema
+    root = str(tmp_path / "tbl")
+    incremental_merge_table(
+        _stream_rows(spark, src + "/b*", schema), root,
+        key_cols=["o_orderkey"], op_col="op", num_files=4,
+    )
+
+    t = MergeTable(spark, root)
+    expected = merge_frames(target, batch, ["o_orderkey"], op_col="op")
+    assert _frames_equal(t.read(), expected)
+    assert t.history()[0]["operation"] == "create"
+    assert t.history()[-1]["operation"] == "merge"
+    # the merge commit recorded its CDF
+    cdf = t.changes(1)
+    assert cdf.filter(F.col("_change_type") == "delete").count() > 0
+
+    # full replay from a FRESH checkpoint: both batch ids are at-or-below
+    # the committed watermark -> no new version, identical table
+    import shutil
+
+    shutil.rmtree(root + "_checkpoint")
+    latest = t._meta()["latest"]
+    incremental_merge_table(
+        _stream_rows(spark, src + "/b*", schema), root,
+        key_cols=["o_orderkey"], op_col="op", num_files=4,
+    )
+    assert t._meta()["latest"] == latest
+    assert _frames_equal(t.read(), expected)
+
+
+def test_streaming_merge_table_last_writer_wins_dedupe(spark, tmp_path, target):
+    """order_col dedup: two CDC rows for one key within a batch -> the
+    newest wins (the key-distinct precondition enforced in-stream)."""
+    from clustopher_spark.streaming.merge_table import incremental_merge_table
+
+    src = str(tmp_path / "src")
+    row = target.limit(1).collect()[0]
+    k = row.o_orderkey
+    base = target.withColumn("op", F.lit("upsert")).withColumn(
+        "seq", F.lit(0).cast("long")
+    )
+    dup = (
+        target.filter(F.col("o_orderkey") == k)
+        .withColumn("o_totalprice", F.lit(77.0))
+        .withColumn("op", F.lit("upsert"))
+        .withColumn("seq", F.lit(9).cast("long"))
+    )
+    base.unionByName(dup).coalesce(1).write.parquet(src + "/b0")
+
+    root = str(tmp_path / "tbl")
+    incremental_merge_table(
+        _stream_rows(spark, src + "/b*", base.schema), root,
+        key_cols=["o_orderkey"], op_col="op", order_col="seq", num_files=2,
+    )
+    t = MergeTable(spark, root)
+    got = {r.o_orderkey: r.o_totalprice for r in t.read().collect()}
+    assert got[k] == pytest.approx(77.0)
+    assert len(got) == target.count()

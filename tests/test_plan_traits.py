@@ -207,3 +207,14 @@ def test_streaming_dedup_index_scan_pruned_broadcast(spark, tmp_path):
     assert len(re.findall(r"BroadcastHashJoin \w+ Build", p)) == 2, p
     # and the pruned plan still flags every colliding doc
     assert dup_ids.count() == 30  # self-join vs own index: all collide
+
+
+def test_merge_table_target_never_shuffled(spark):
+    """MergeTable's commit algebra (queries/tables.py -> merge_frames /
+    change_feed_frames): the table side must ride broadcast joins only —
+    the exchange cost of a MERGE is O(batch) at any table size (the
+    touched-file pruning bounds the READ; this bounds the SHUFFLE)."""
+    for name in ("catalog_merge_upsert", "catalog_change_feed"):
+        p = plan_of(name, spark)
+        assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, name
+        assert re.search(r"BroadcastHashJoin LeftAnti", p), name
