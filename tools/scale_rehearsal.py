@@ -34,6 +34,11 @@ Paths and the predictions under test (SCALE.md):
    (broadcast quantizers), the only exchange is the batch's
    repartition("list_id"), so shuffle records are O(batch) and NO
    stage reads the existing index (input records stay O(batch) too).
+6. merge-table commit (copy-on-write MERGE) — a 1k upsert/insert batch
+   against a 500k-row, 32-file table: key-range pruning bounds the read
+   to the touched files, the broadcast batch key set bounds the
+   exchange, so BOTH input and shuffle records are O(touched files +
+   batch) — independent of table size.
 
 Usage: python tools/scale_rehearsal.py [--docs N]
 Prints a per-stage table per path plus a PASS/FAIL line per prediction.
@@ -323,6 +328,47 @@ def main():
             f"measured shuffle {tot['swr']:,} / input {in_rec:,} vs batch"
             f" {n_vbatch:,}, index {n_vecs:,}"
             f" ({tot['swr'] / n_vecs:.2%} of index size shuffled)",
+        ))
+
+        # ---- 6. merge-table commit (copy-on-write MERGE maintenance) -----
+        from clustopher_spark.sources.merge_table import MergeTable
+
+        n_tbl, n_mbatch, n_files = 500_000, 1_000, 32
+        tbl_rows = spark.range(0, n_tbl, 1, 32).selectExpr(
+            "id as row_key",
+            "pmod(abs(hash(id * 13)), 1000000) / 100.0 as amount",
+            "concat('s', pmod(id, 50)) as source",
+        )
+        mt = MergeTable(spark, f"{tmp}/merge_tbl")
+        mt.create(tbl_rows, ["row_key"], num_files=n_files)  # untimed setup
+        # batch confined to ~0.5% of the keyspace: updates + fresh inserts
+        mbatch = spark.range(0, n_mbatch, 1, 4).selectExpr(
+            f"if(pmod(id, 2) = 0, id * 2, id + {n_tbl}) as row_key",
+            "0.0 as amount",
+            "'fix' as source",
+        ).localCheckpoint(eager=True)
+        mbatch.count()
+        meter._snapshot()
+
+        dt, tot, fresh = meter.measure(
+            "merge_table_commit (key-range pruned CoW rewrite + CDF)",
+            lambda: mt.merge(mbatch, batch_id=1),
+        )
+        hist = mt.history()[-1]
+        rows_per_file = n_tbl // n_files + 1
+        # everything the commit may legitimately move: the rewritten
+        # files' rows (merge + CDF + range-sampling re-scans) + the batch
+        bound_rows = hist["files_rewritten"] * rows_per_file + n_mbatch
+        in_rec = sum(s["inputRecords"] for s in fresh)
+        results.append(check(
+            "merge-table commit reads/shuffles O(touched files + batch),"
+            " never O(table)",
+            hist["files_rewritten"] <= 4
+            and tot["swr"] <= 6 * bound_rows
+            and in_rec <= 12 * bound_rows,
+            f"rewrote {hist['files_rewritten']}/{n_files} files; shuffle"
+            f" {tot['swr']:,} / input {in_rec:,} records vs table {n_tbl:,}"
+            f" ({tot['swr'] / n_tbl:.2%} of table size shuffled)",
         ))
 
         print(f"\n{'ALL PREDICTIONS HOLD' if all(results) else 'PREDICTION FAILED'}"
