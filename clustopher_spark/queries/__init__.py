@@ -109,8 +109,12 @@ _R5_ROTATION = [
     # tools/strict_parity.py)
     "catalog_merge_upsert",
     "catalog_change_feed",
-    # next-stalest (round-2-only) pick for the remaining spare slot
-    "stats_correlation",
+    # IVM over the change feed: shares catalog_merge_upsert's oracle, so
+    # the driver hash-verifies delta-maintenance == recompute. Takes the
+    # last spare slot (stats_correlation: r2-green, staleness 3 after
+    # this round — at but not over the freshness bound; still
+    # value-verified every run by the local parity replica)
+    "catalog_incremental_agg",
 ]
 _R5_WINDOW = set(_FLAGSHIP_ANCHORS) | set(_R5_ROTATION)
 assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)

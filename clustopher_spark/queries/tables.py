@@ -125,3 +125,49 @@ def catalog_change_feed(spark, sf_dir):
         )
         .orderBy("_change_type")
     )
+
+
+@register(
+    "catalog_incremental_agg",
+    # deliberately the SAME oracle as catalog_merge_upsert: incremental
+    # maintenance must be value-identical to recomputing the aggregate
+    # over the post-merge table — the driver's hash compare IS the
+    # IVM-correctness check
+    oracle=f"""
+    WITH {_BATCH_CTES},
+    merged AS (
+        SELECT * FROM target
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM inserts)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM deletes)
+        UNION ALL SELECT * FROM updates
+        UNION ALL SELECT * FROM inserts)
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def catalog_incremental_agg(spark, sf_dir):
+    """Incremental view maintenance (operators/ivm.py): a per-status
+    count+sum view advanced by the merge's change feed — cost O(changes +
+    affected groups) — must equal the recompute over the merged table.
+    Sums ride DECIMAL end-to-end so repeated increments are drift-free."""
+    from clustopher_spark.operators.ivm import incremental_count_sum_view
+
+    target, batch = _target_and_batch(spark, sf_dir)
+    base = target.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("_tp"),
+    )
+    cdf = change_feed_frames(target, batch, ["o_orderkey"], op_col="op").withColumn(
+        "_tp_src", F.col("o_totalprice").cast(DEC)
+    )
+    view = incremental_count_sum_view(
+        base, cdf, ["o_orderstatus"], {"_tp_src": "_tp"}, count_col="n_orders"
+    )
+    return view.select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("_tp").cast("double").alias("total_price"),
+    ).orderBy("o_orderstatus")

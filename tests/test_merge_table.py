@@ -298,3 +298,38 @@ def test_streaming_merge_table_last_writer_wins_dedupe(spark, tmp_path, target):
     got = {r.o_orderkey: r.o_totalprice for r in t.read().collect()}
     assert got[k] == pytest.approx(77.0)
     assert len(got) == target.count()
+
+
+def test_incremental_view_tracks_live_commits(spark, tmp_path, target):
+    """operators/ivm.py against REAL MergeTable commits: a per-status
+    count+sum view advanced by each commit's recorded change feed equals
+    the recompute over the table at every version (two merges deep, so
+    delta composition is exercised, not just one step)."""
+    from clustopher_spark.operators.ivm import incremental_count_sum_view
+
+    def recompute(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("tp"),
+        )
+
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(target, ["o_orderkey"], num_files=4)
+    view = recompute(target)
+
+    batches = [
+        _mixed_batch(_orders(spark)),  # update/insert/delete mix
+        # second commit: delete some of what the first inserted
+        _orders(spark)
+        .filter(F.col("o_orderkey") % 8 == 1)
+        .withColumn("op", F.lit("delete")),
+    ]
+    for i, batch in enumerate(batches):
+        v = t.merge(batch, op_col="op", batch_id=i)
+        cdf = t.changes(v - 1, v).withColumn(
+            "_tp_src", F.col("o_totalprice").cast("decimal(18,2)")
+        )
+        view = incremental_count_sum_view(
+            view, cdf, ["o_orderstatus"], {"_tp_src": "tp"}, count_col="n_rows"
+        )
+        assert _frames_equal(view, recompute(t.read())), f"diverged at v{v}"
