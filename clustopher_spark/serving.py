@@ -238,20 +238,160 @@ class VectorService:
         return {"deleted": bool(ok), "rows": len(ids) if ok else 0}
 
 
+def _json_row(row) -> dict:
+    """Row -> JSON-safe dict (timestamps/dates to ISO strings)."""
+    out = {}
+    for k, v in row.asDict().items():
+        out[k] = v.isoformat() if hasattr(v, "isoformat") else v
+    return out
+
+
+class TableService:
+    """Copy-on-write MERGE tables over HTTP (/api/tables): listing,
+    commit history, manifest-pruned point lookup, CDC feed reads, and
+    live merge commits. One root holds many tables
+    (``{root}/{table_id}/meta.json``) — the serving face of
+    sources/merge_table.py, mirroring how /api/vectors fronts the ANN
+    index and /api/clusters the pyramid."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._tables: dict[str, object] = {}
+        self._lock = threading.Lock()
+        # merges read-modify-write meta.json; concurrent HTTP writers on
+        # one table need the same per-resource writer lock VectorService
+        # uses (interleaved commits would restore each other's stale
+        # watermark/version snapshots)
+        self._write_locks: dict[str, threading.Lock] = {}
+
+    def _write_lock(self, table_id: str) -> threading.Lock:
+        with self._lock:
+            return self._write_locks.setdefault(table_id, threading.Lock())
+
+    def _table(self, table_id: str):
+        import os
+
+        with self._lock:
+            hit = self._tables.get(table_id)
+        if hit is not None:
+            return hit
+        from clustopher_spark.sources.merge_table import MergeTable
+
+        path = os.path.join(self.root, table_id)
+        if not os.path.isfile(os.path.join(path, "meta.json")):
+            raise FileNotFoundError(table_id)
+        t = MergeTable(self.spark, path)
+        with self._lock:
+            self._tables[table_id] = t
+        return t
+
+    def list_tables(self) -> list[dict]:
+        import os
+
+        out = []
+        for d in sorted(os.listdir(self.root)) if os.path.isdir(self.root) else []:
+            mp = os.path.join(self.root, d, "meta.json")
+            if not os.path.isfile(mp):
+                continue
+            with open(mp) as f:
+                meta = json.load(f)
+            last = meta["history"][-1]
+            out.append(
+                {
+                    "table_id": d,
+                    "latest": meta["latest"],
+                    "key_cols": meta["key_cols"],
+                    "rows": last["rows"],
+                    "files": last["files"],
+                    "last_batch": meta.get("last_batch", -1),
+                }
+            )
+        return out
+
+    def history(self, table_id: str) -> list[dict]:
+        return self._table(table_id).history()
+
+    def lookup(self, table_id: str, key, version=None) -> dict:
+        """Point lookup by leading key: the manifest's key-range stats
+        choose the files that can hold the key, so the read is
+        O(files-holding-key) — the same pruning a merge uses, surfaced
+        as the serving GET."""
+        import os
+
+        t = self._table(table_id)
+        meta = t._meta()
+        v = int(version) if version is not None else int(meta["latest"])
+        entries = t._manifest(v)
+        if not entries:
+            return {"rows": [], "files_scanned": 0}
+        k = type(entries[0]["min_key"])(key)  # coerce to the stat type
+        hits = [e["file"] for e in entries if e["min_key"] <= k <= e["max_key"]]
+        if not hits:
+            return {"rows": [], "files_scanned": 0}
+        df = self.spark.read.parquet(
+            *[os.path.join(t.root, "files", f) for f in hits]
+        )
+        rows = df.filter(F.col(meta["key_cols"][0]) == F.lit(k)).limit(100).collect()
+        return {"rows": [_json_row(r) for r in rows], "files_scanned": len(hits)}
+
+    def changes(self, table_id: str, since: int, to=None, limit: int = 1000) -> dict:
+        """The recorded change feed for (since, to] — the CDC poll a
+        downstream sync consumes. ``total`` is exact; rows are capped at
+        ``limit`` (a JSON response is not the bulk path — read the
+        changes/ parquet directly for that)."""
+        t = self._table(table_id)
+        cdf = t.changes(int(since), int(to) if to is not None else None)
+        total = cdf.count()
+        rows = cdf.limit(int(limit)).collect()
+        return {"total": total, "rows": [_json_row(r) for r in rows]}
+
+    def merge(self, table_id: str, rows, batch_id: int, op_col: str | None = None) -> dict:
+        """Live merge commit from JSON rows (idempotent per batch id).
+        Rows are parsed as JSON then cast column-by-column to the table's
+        types (timestamps arrive as ISO strings), so a type-mangled row
+        fails loudly instead of committing corrupt data."""
+        if not rows:
+            raise ValueError("rows required")
+        t = self._table(table_id)
+        schema = t.read().schema
+        raw = self.spark.read.json(
+            self.spark.sparkContext.parallelize([json.dumps(r) for r in rows], 1)
+        )
+        cols = []
+        for f in schema.fields:
+            if f.name not in raw.columns:
+                raise ValueError(f"missing column {f.name}")
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        if op_col is not None:
+            if op_col not in raw.columns:
+                raise ValueError(f"missing op column {op_col}")
+            cols.append(F.col(op_col).cast("string").alias(op_col))
+        batch = raw.select(*cols)
+        with self._write_lock(table_id):
+            v = t.merge(batch, op_col=op_col, batch_id=int(batch_id))
+        return {"merged": v is not None, "version": v}
+
+
 class ClusterService:
     """The RPC surface (List/Create/Update/GetClusters/GetMetadata) minus
     HTTP. ``vector_root`` additionally exposes the ANN index surface
-    (:class:`VectorService`) under /api/vectors."""
+    (:class:`VectorService`) under /api/vectors; ``table_root`` the MERGE
+    table surface (:class:`TableService`) under /api/tables."""
 
     def __init__(self, spark: SparkSession, catalog_root: str,
                  opts: ClusterOptions = ClusterOptions(radius=100.0, min_points=2, max_zoom=10),
-                 vector_root: str | None = None):
+                 vector_root: str | None = None,
+                 table_root: str | None = None):
         self.spark = spark
         self.catalog = ClusterCatalog(spark, catalog_root)
         self.cache = DatasetCache()
         self.opts = opts
         self.vectors = (
             VectorService(spark, vector_root) if vector_root is not None else None
+        )
+        self.tables = (
+            TableService(spark, table_root) if table_root is not None else None
         )
         self._update_locks: dict[str, threading.Lock] = {}
         self._update_locks_guard = threading.Lock()
@@ -449,6 +589,31 @@ def make_handler(service: ClusterService):
                     if parts[3] == "stats":
                         return self._json(service.vectors.stats(parts[2]))
                     return self._json(service.vectors.drift(parts[2]))
+                if parts[:2] == ["api", "tables"]:
+                    if service.tables is None:
+                        return self._json(
+                            {"error": "table serving not configured"}, 404
+                        )
+                    if parts == ["api", "tables"]:
+                        return self._json(service.tables.list_tables())
+                    if len(parts) == 4 and parts[3] == "history":
+                        return self._json(service.tables.history(parts[2]))
+                    if len(parts) == 4 and parts[3] == "lookup":
+                        return self._json(
+                            service.tables.lookup(
+                                parts[2], q["key"], version=q.get("version")
+                            )
+                        )
+                    if len(parts) == 4 and parts[3] == "changes":
+                        return self._json(
+                            service.tables.changes(
+                                parts[2],
+                                since=int(q.get("since", 0)),
+                                to=q.get("to"),
+                                limit=int(q.get("limit", 1000)),
+                            )
+                        )
+                    return self._json({"error": "not found"}, 404)
                 if len(parts) == 3 and parts[:2] == ["api", "clusters"]:
                     return self._json(
                         service.get_clusters(
@@ -507,6 +672,37 @@ def make_handler(service: ClusterService):
                     return self._json({"error": "not found"}, 404)
                 except ValueError as e:
                     return self._json({"error": str(e)}, 400)
+            if (
+                len(parts) == 4
+                and parts[:2] == ["api", "tables"]
+                and parts[3] == "merge"
+            ):
+                if service.tables is None:
+                    return self._json({"error": "table serving not configured"}, 404)
+                # same contract as /api/vectors: 'batch' is the client's
+                # idempotence token; replays of a committed batch are no-ops
+                if "batch" not in payload:
+                    return self._json(
+                        {"error": "bad request: 'batch' is required — a "
+                         "monotonically increasing id per table; replays "
+                         "of a committed batch are no-ops"},
+                        400,
+                    )
+                try:
+                    return self._json(
+                        service.tables.merge(
+                            parts[2],
+                            payload.get("rows") or [],
+                            batch_id=int(payload["batch"]),
+                            op_col=payload.get("op_col"),
+                        )
+                    )
+                except FileNotFoundError:
+                    return self._json({"error": "table not found"}, 404)
+                except (TypeError, ValueError) as e:
+                    return self._json({"error": f"bad request: {e}"}, 400)
+                except Exception as e:
+                    return self._json({"error": str(e)[:500]}, 500)
             if (
                 len(parts) == 4
                 and parts[:2] == ["api", "vectors"]

@@ -668,3 +668,104 @@ def test_vector_serving_not_configured(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{server}/api/vectors")
     assert e.value.code == 404
+
+
+@pytest.fixture(scope="module")
+def table_server(spark, tmp_path_factory):
+    """A server with MERGE-table serving configured: one table created
+    from the real orders table under the table root."""
+    from conftest import SF_DIR
+
+    from clustopher_spark.operators.cluster import ClusterOptions
+    from clustopher_spark.serving import ClusterService, serve
+    from clustopher_spark.sources.merge_table import MergeTable
+
+    base = tmp_path_factory.mktemp("table_serving")
+    troot = str(base / "tables")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    MergeTable(spark, f"{troot}/orders").create(
+        orders, ["o_orderkey"], num_files=4
+    )
+    svc = ClusterService(
+        spark, str(base / "catalog"),
+        ClusterOptions(radius=100.0, min_points=2, max_zoom=6),
+        table_root=troot,
+    )
+    httpd = serve(svc, port=18737)
+    yield "http://127.0.0.1:18737", orders
+    httpd.shutdown()
+
+
+def test_table_serving_end_to_end(table_server):
+    server, orders = table_server
+    listed = _get(f"{server}/api/tables")
+    assert [t["table_id"] for t in listed] == ["orders"]
+    assert listed[0]["key_cols"] == ["o_orderkey"] and listed[0]["latest"] == 1
+
+    # manifest-pruned point lookup: one key -> a subset of the files
+    row = orders.orderBy("o_orderkey").limit(1).collect()[0]
+    got = _get(f"{server}/api/tables/orders/lookup?key={row.o_orderkey}")
+    assert got["files_scanned"] < listed[0]["files"]
+    assert len(got["rows"]) == 1
+    assert got["rows"][0]["o_totalprice"] == row.o_totalprice
+
+    # live merge commit: update that key, delete another, insert a fresh one
+    other = orders.orderBy(F.desc("o_orderkey")).limit(1).collect()[0]
+    def as_json(r, **over):
+        d = {k: (v.isoformat() if hasattr(v, "isoformat") else v)
+             for k, v in r.asDict().items()}
+        d.update(over)
+        return d
+
+    res = _post(
+        f"{server}/api/tables/orders/merge",
+        {
+            "rows": [
+                as_json(row, o_totalprice=42.5, op="upsert"),
+                as_json(other, op="delete"),
+                as_json(row, o_orderkey=99_999_999, op="upsert"),
+            ],
+            "op_col": "op",
+            "batch": 1,
+        },
+    )
+    assert res == {"merged": True, "version": 2}
+    # replay of the committed batch is a no-op
+    res2 = _post(
+        f"{server}/api/tables/orders/merge",
+        {"rows": [as_json(row, op="upsert")], "op_col": "op", "batch": 1},
+    )
+    assert res2["merged"] is False
+
+    # the committed changes are visible through every GET
+    assert _get(f"{server}/api/tables/orders/lookup?key={row.o_orderkey}")[
+        "rows"
+    ][0]["o_totalprice"] == 42.5
+    assert _get(f"{server}/api/tables/orders/lookup?key={other.o_orderkey}")["rows"] == []
+    assert _get(f"{server}/api/tables/orders/lookup?key=99999999")["rows"][0][
+        "o_orderkey"
+    ] == 99_999_999
+    # time travel: version 1 still serves the original price
+    assert _get(
+        f"{server}/api/tables/orders/lookup?key={row.o_orderkey}&version=1"
+    )["rows"][0]["o_totalprice"] == row.o_totalprice
+
+    hist = _get(f"{server}/api/tables/orders/history")
+    assert [h["operation"] for h in hist] == ["create", "merge"]
+
+    # CDC poll: the feed for (1, latest] carries all four change images
+    feed = _get(f"{server}/api/tables/orders/changes?since=1")
+    kinds = sorted(r["_change_type"] for r in feed["rows"])
+    assert kinds == ["delete", "insert", "update_post", "update_pre"]
+    assert feed["total"] == 4
+
+    # validation: batch token required; unknown table 404s
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/api/tables/orders/merge",
+              {"rows": [as_json(row, op="upsert")], "op_col": "op"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/api/tables/nope/history")
+    assert e.value.code == 404
