@@ -111,34 +111,56 @@ def change_feed_frames(
     the new one — the pre/post convention CDC consumers (incremental
     aggregate maintenance, downstream sync) need to invert or re-apply a
     commit.
+
+    Plan shape: the target is scanned ONCE — one inner join against the
+    broadcast batch yields every matched row with both images side by
+    side, and a struct-array explode routes each to its change types
+    (upsert -> pre+post, delete -> delete), all inside codegen. Inserts
+    are the batch anti-joined against the (batch-sized, broadcast)
+    matched key set. The target side is never shuffled and never re-read
+    per change type.
     """
     data_cols = [c for c in target.columns]
+    non_key = [c for c in data_cols if c not in key_cols]
     if op_col is not None:
-        upserts = source.filter(F.col(op_col) == F.lit("upsert")).select(*data_cols)
-        del_keys = (
-            source.filter(F.col(op_col) == F.lit("delete")).select(*key_cols).distinct()
-        )
+        src = source.select(*data_cols, F.col(op_col).alias("_op"))
     else:
-        upserts = source.select(*data_cols)
-        del_keys = None
-    up_keys = upserts.select(*key_cols).distinct()
-    matched_up = target.join(F.broadcast(up_keys), on=key_cols, how="left_semi")
-    pre = matched_up.withColumn("_change_type", F.lit("update_pre"))
-    post = (
-        upserts.join(
-            F.broadcast(matched_up.select(*key_cols)), on=key_cols, how="left_semi"
-        ).withColumn("_change_type", F.lit("update_post"))
+        src = source.select(*data_cols).withColumn("_op", F.lit("upsert"))
+    renamed = src.select(
+        *key_cols, *[F.col(c).alias(f"_src_{c}") for c in non_key], "_op"
     )
+    matched = target.join(F.broadcast(renamed), on=key_cols, how="inner")
+    old_img = F.struct(
+        *[F.col(c).alias(c) for c in non_key],
+        F.lit("update_pre").alias("_change_type"),
+    )
+    new_img = F.struct(
+        *[F.col(f"_src_{c}").alias(c) for c in non_key],
+        F.lit("update_post").alias("_change_type"),
+    )
+    del_img = F.struct(
+        *[F.col(c).alias(c) for c in non_key],
+        F.lit("delete").alias("_change_type"),
+    )
+    images = matched.select(
+        *key_cols,
+        F.explode(
+            F.when(F.col("_op") == F.lit("upsert"), F.array(old_img, new_img))
+            .otherwise(F.array(del_img))
+        ).alias("_img"),
+    ).select(
+        *key_cols,
+        *[F.col(f"_img.{c}").alias(c) for c in non_key],
+        F.col("_img._change_type").alias("_change_type"),
+    )
+    matched_up_keys = matched.filter(F.col("_op") == F.lit("upsert")).select(*key_cols)
     ins = (
-        upserts.join(
-            F.broadcast(matched_up.select(*key_cols)), on=key_cols, how="left_anti"
-        ).withColumn("_change_type", F.lit("insert"))
+        src.filter(F.col("_op") == F.lit("upsert"))
+        .join(F.broadcast(matched_up_keys), on=key_cols, how="left_anti")
+        .select(*data_cols)
+        .withColumn("_change_type", F.lit("insert"))
     )
-    out = pre.unionByName(post).unionByName(ins)
-    if del_keys is not None:
-        dels = target.join(F.broadcast(del_keys), on=key_cols, how="left_semi")
-        out = out.unionByName(dels.withColumn("_change_type", F.lit("delete")))
-    return out
+    return images.select(*data_cols, "_change_type").unionByName(ins)
 
 
 class MergeTable:
