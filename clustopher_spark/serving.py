@@ -312,6 +312,11 @@ class TableService:
     def history(self, table_id: str) -> list[dict]:
         return self._table(table_id).history()
 
+    def stats(self, table_id: str) -> dict:
+        """Layout-health telemetry (key-range overlap — the compact-when
+        signal; see MergeTable.stats)."""
+        return self._table(table_id).stats()
+
     def lookup(self, table_id: str, key, version=None) -> dict:
         """Point lookup by leading key: the manifest's key-range stats
         choose the files that can hold the key, so the read is
@@ -598,6 +603,8 @@ def make_handler(service: ClusterService):
                         return self._json(service.tables.list_tables())
                     if len(parts) == 4 and parts[3] == "history":
                         return self._json(service.tables.history(parts[2]))
+                    if len(parts) == 4 and parts[3] == "stats":
+                        return self._json(service.tables.stats(parts[2]))
                     if len(parts) == 4 and parts[3] == "lookup":
                         return self._json(
                             service.tables.lookup(

@@ -438,6 +438,56 @@ class MergeTable:
 
     # --- maintenance ---
 
+    def stats(self, version: int | None = None) -> dict:
+        """Layout-health telemetry: how much the manifest's key ranges
+        overlap. Merges append files whose ranges straddle the carried
+        files', so over many commits a point lookup or narrow merge must
+        touch more files than a fresh layout would — ``overlap_factor``
+        (mean number of files covering a key point, weighted by range
+        length; 1.0 = perfectly disjoint) is the compact-when signal,
+        playing the role IVFPQIndex.list_stats' balance factor plays for
+        the ANN index. Driver-side sweep over the manifest — O(files log
+        files), no Spark job."""
+        meta = self._meta()
+        v = int(version if version is not None else meta["latest"])
+        entries = self._manifest(v)
+        numeric = [
+            e for e in entries
+            if isinstance(e["min_key"], (int, float))
+            and isinstance(e["max_key"], (int, float))
+        ]
+        out = {
+            "version": v,
+            "files": len(entries),
+            "rows": sum(e["rows"] for e in entries),
+            "max_key_coverage": 0,
+            "overlap_factor": 0.0,
+        }
+        if not numeric:
+            return out
+        # sweep line over range endpoints: depth = files covering a point
+        events = sorted(
+            [(e["min_key"], 1) for e in numeric]
+            + [(e["max_key"], -1) for e in numeric],
+            key=lambda t: (t[0], -t[1]),  # opens before closes at a tie
+        )
+        depth = max_depth = 0
+        weighted = 0.0
+        span = 0.0
+        prev = events[0][0]
+        for x, d in events:
+            if x > prev and depth > 0:
+                weighted += depth * (x - prev)
+                span += x - prev
+                prev = x
+            elif depth == 0:
+                prev = x
+            depth += d
+            max_depth = max(max_depth, depth)
+        out["max_key_coverage"] = max_depth
+        out["overlap_factor"] = round(weighted / span, 3) if span else 1.0
+        return out
+
     def compact(self, num_files: int = 8) -> int:
         """Fold the accumulated file set into a fresh, globally
         range-partitioned base (small-files + key-overlap maintenance

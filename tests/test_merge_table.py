@@ -333,3 +333,34 @@ def test_incremental_view_tracks_live_commits(spark, tmp_path, target):
             view, cdf, ["o_orderstatus"], {"_tp_src": "tp"}, count_col="n_rows"
         )
         assert _frames_equal(view, recompute(t.read())), f"diverged at v{v}"
+
+
+def test_stats_overlap_grows_with_merges_and_compact_restores(spark, tmp_path, target):
+    """Layout telemetry: a fresh range-partitioned layout is disjoint
+    (overlap ~1); repeated merges append files straddling the carried
+    ranges so the overlap factor climbs; compact() restores disjointness.
+    This is the compact-when signal, the merge table's analogue of the
+    vector index's list-skew factor."""
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(target, ["o_orderkey"], num_files=8)
+    s0 = t.stats()
+    assert s0["max_key_coverage"] == 1 and s0["overlap_factor"] <= 1.001
+
+    # the overlap generator: one merge updating BOTH ends of the keyspace,
+    # collapsed into a single output file — it spans [lo, hi] and sits on
+    # top of the six carried middle files
+    b = target.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]
+    batch = target.filter(
+        (F.col("o_orderkey") <= b.lo + 10) | (F.col("o_orderkey") >= b.hi - 10)
+    ).withColumn("o_totalprice", F.lit(1.0))
+    t.merge(batch, batch_id=0, num_files=1)
+    s1 = t.stats()
+    assert s1["max_key_coverage"] >= 2, s1
+    assert s1["overlap_factor"] > 1.5, s1
+
+    t.compact(num_files=8)
+    s2 = t.stats()
+    assert s2["max_key_coverage"] == 1 and s2["overlap_factor"] <= 1.001
+    assert s2["rows"] == s1["rows"]

@@ -753,6 +753,12 @@ def test_table_serving_end_to_end(table_server):
     hist = _get(f"{server}/api/tables/orders/history")
     assert [h["operation"] for h in hist] == ["create", "merge"]
 
+    # layout telemetry over HTTP: post-merge layout overlaps (the update
+    # rewrote files spanning carried ranges), signal present and sane
+    st = _get(f"{server}/api/tables/orders/stats")
+    assert st["version"] == 2 and st["files"] == listed[0]["files"] + 1
+    assert st["max_key_coverage"] >= 1 and st["overlap_factor"] >= 1.0
+
     # CDC poll: the feed for (1, latest] carries all four change images
     feed = _get(f"{server}/api/tables/orders/changes?since=1")
     kinds = sorted(r["_change_type"] for r in feed["rows"])
