@@ -301,6 +301,40 @@ class MergeTable:
         paths = [os.path.join(self.root, "files", e["file"]) for e in entries]
         return self.spark.read.parquet(*paths)
 
+    def scan(
+        self,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Leading-key range scan with MANIFEST-level file pruning: files
+        whose [min_key, max_key] cannot intersect [lo, hi] are excluded
+        before Spark ever lists them, then the residual filter runs
+        normally (and still prunes row groups via parquet stats). On a
+        million-file table this skips the file-listing cost parquet's own
+        filter pushdown cannot avoid — the same double-pruning a lakehouse
+        format's data-skipping index performs. Bounds are inclusive; None
+        leaves that side open."""
+        meta = self._meta()
+        v = int(version if version is not None else meta["latest"])
+        entries = self._manifest(v)
+        hits = [
+            e for e in entries
+            if (hi is None or e["min_key"] <= hi)
+            and (lo is None or e["max_key"] >= lo)
+        ]
+        if not hits:
+            return self._empty(meta)
+        df = self.spark.read.parquet(
+            *[os.path.join(self.root, "files", e["file"]) for e in hits]
+        )
+        key0 = meta["key_cols"][0]
+        if lo is not None:
+            df = df.filter(F.col(key0) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(key0) <= F.lit(hi))
+        return df
+
     def _empty(self, meta: dict) -> DataFrame:
         # an empty latest manifest (everything deleted): reconstruct the
         # schema from any historical file, else fail loudly

@@ -364,3 +364,29 @@ def test_stats_overlap_grows_with_merges_and_compact_restores(spark, tmp_path, t
     s2 = t.stats()
     assert s2["max_key_coverage"] == 1 and s2["overlap_factor"] <= 1.001
     assert s2["rows"] == s1["rows"]
+
+
+def test_scan_prunes_files_before_spark(spark, tmp_path, target):
+    """Range scan: manifest stats exclude files before Spark lists them
+    (the plan's parquet scan carries only the intersecting files), and
+    the result equals the unpruned filter."""
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(target, ["o_orderkey"], num_files=8)
+    b = target.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]
+    hi_bound = b.lo + (b.hi - b.lo) // 10  # bottom decile of the keyspace
+    pruned = t.scan(lo=b.lo, hi=hi_bound)
+    expected = target.filter(
+        (F.col("o_orderkey") >= b.lo) & (F.col("o_orderkey") <= hi_bound)
+    )
+    assert _frames_equal(pruned, expected)
+    # the plan reads a strict subset of the pool's files
+    n_files_in_plan = pruned._jdf.queryExecution().executedPlan().toString().count(
+        "f-"
+    )
+    listed = len(t._manifest(1))
+    assert 1 <= n_files_in_plan < listed
+    # open-ended sides and an out-of-range window
+    assert t.scan(lo=b.hi + 1).count() == 0
+    assert t.scan().count() == target.count()
