@@ -330,8 +330,13 @@ class TableService:
         entries = t._manifest(v)
         if not entries:
             return {"rows": [], "files_scanned": 0}
-        k = type(entries[0]["min_key"])(key)  # coerce to the stat type
-        hits = [e["file"] for e in entries if e["min_key"] <= k <= e["max_key"]]
+        typed = next((e for e in entries if e["min_key"] is not None), None)
+        k = type(typed["min_key"])(key) if typed is not None else key
+        hits = [
+            e["file"]
+            for e in entries
+            if e["min_key"] is None or e["min_key"] <= k <= e["max_key"]
+        ]
         if not hits:
             return {"rows": [], "files_scanned": 0}
         df = self.spark.read.parquet(

@@ -229,18 +229,30 @@ class MergeTable:
             if md.num_rows == 0:
                 os.remove(os.path.join(pool, fname))
                 continue
-            idx = md.schema.to_arrow_schema().get_field_index(key_cols[0])
+            # map by parquet LEAF-column path, not arrow field index — the
+            # two diverge as soon as a nested column (array/map/struct,
+            # e.g. an embedding) precedes the key in the schema
+            idx = next(
+                i
+                for i in range(md.row_group(0).num_columns)
+                if md.row_group(0).column(i).path_in_schema == key_cols[0]
+            )
             mins, maxs = [], []
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    mins, maxs = [], []
+                    break
                 mins.append(st.min)
                 maxs.append(st.max)
             entries.append(
                 {
                     "file": fname,
                     "rows": md.num_rows,
-                    "min_key": min(mins),
-                    "max_key": max(maxs),
+                    # None = no footer stats: the file is treated as
+                    # intersecting every key range (sound, merely unpruned)
+                    "min_key": min(mins) if mins else None,
+                    "max_key": max(maxs) if maxs else None,
                 }
             )
         shutil.rmtree(staging, ignore_errors=True)
@@ -320,8 +332,11 @@ class MergeTable:
         entries = self._manifest(v)
         hits = [
             e for e in entries
-            if (hi is None or e["min_key"] <= hi)
-            and (lo is None or e["max_key"] >= lo)
+            if e["min_key"] is None  # no footer stats: always include
+            or (
+                (hi is None or e["min_key"] <= hi)
+                and (lo is None or e["max_key"] >= lo)
+            )
         ]
         if not hits:
             return self._empty(meta)
@@ -362,16 +377,18 @@ class MergeTable:
         ).collect()[0]
         if agg.lo is None:
             return set()
-        in_range = [e for e in entries if not (e["max_key"] < agg.lo or e["min_key"] > agg.hi)]
+        unstat = [e for e in entries if e["min_key"] is None]  # always hit
+        stat = [e for e in entries if e["min_key"] is not None]
+        in_range = [e for e in stat if not (e["max_key"] < agg.lo or e["min_key"] > agg.hi)]
         if agg.n > _DRIVER_KEY_LIMIT or not in_range:
-            return {e["file"] for e in in_range}
+            return {e["file"] for e in in_range} | {e["file"] for e in unstat}
         keys = sorted(
             r[0]
             for r in source.select(key0).distinct().filter(
                 F.col(key0).isNotNull()
             ).collect()
         )
-        touched = set()
+        touched = {e["file"] for e in unstat}
         for e in in_range:
             i = bisect_left(keys, e["min_key"])
             if i < len(keys) and keys[i] <= e["max_key"]:
@@ -460,6 +477,14 @@ class MergeTable:
             if from_version < v <= hi:
                 if h["operation"] in ("create", "compact"):
                     continue  # no row-level changes (create precedes CDF; compact is a no-op rewrite)
+                if h.get("data_removed"):
+                    # the requested range reaches below the vacuum
+                    # retention window — error explicitly rather than let
+                    # a CDC consumer silently miss a commit
+                    raise FileNotFoundError(
+                        f"change feed for v{v} was vacuumed; earliest "
+                        f"retained feed starts after the retention window"
+                    )
                 dirs.append(os.path.join(self.root, "changes", f"v{v}"))
         if not dirs:
             return (

@@ -390,3 +390,41 @@ def test_scan_prunes_files_before_spark(spark, tmp_path, target):
     # open-ended sides and an out-of-range window
     assert t.scan(lo=b.hi + 1).count() == 0
     assert t.scan().count() == target.count()
+
+
+def test_nested_column_before_key_gets_correct_stats(spark, tmp_path):
+    """Parquet leaf-column indexing: a nested column (array) declared
+    BEFORE the key must not shift the footer-stats read off the key
+    column (arrow field index != parquet leaf index)."""
+    df = spark.range(0, 100).selectExpr(
+        "array(cast(id as double), 1.0) as vec", "id as k", "id * 2 as v"
+    )
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(df, ["k"], num_files=4)
+    ent = t._manifest(1)
+    assert all(e["min_key"] is not None for e in ent)
+    assert min(e["min_key"] for e in ent) == 0
+    assert max(e["max_key"] for e in ent) == 99
+    # pruning works off those stats
+    got = t.scan(lo=0, hi=10)
+    assert got.count() == 11
+    n_in_plan = got._jdf.queryExecution().executedPlan().toString().count("f-")
+    assert n_in_plan < 4
+
+
+def test_changes_below_retention_errors_explicitly(spark, tmp_path, target):
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(target, ["o_orderkey"], num_files=4)
+    lo = target.agg(F.min("o_orderkey")).collect()[0][0]
+    for i in range(3):
+        t.merge(
+            target.filter(F.col("o_orderkey") <= lo + 10).withColumn(
+                "o_totalprice", F.lit(float(i))
+            ),
+            batch_id=i,
+        )
+    t.vacuum(keep_last=2)  # v2's feed is gone (v3, v4 retained)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.changes(1).count()
+    # ranges wholly inside the retention window still read fine
+    assert t.changes(2).count() > 0
