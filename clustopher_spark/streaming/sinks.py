@@ -1,12 +1,13 @@
 """Streaming sinks beyond the in-memory test harness.
 
-``foreach_batch_upsert``: the production-shaped sink — each micro-batch
-is merged into a keyed parquet table (dedup within the batch, anti-join
-against existing keys), so an at-least-once source (replays, retries)
-yields an exactly-once table. This is the same full-outer-join MERGE plan
-as queries.sql_features.merge_upsert_orders, driven incrementally; on a
-transactional table format (Delta/Iceberg) the rewrite step becomes a
-real MERGE INTO and the whole-table read disappears.
+``foreach_batch_upsert``: the lightweight insert-if-absent sink — each
+micro-batch is appended to a keyed parquet table (dedup within the
+batch, anti-join against existing keys), so an at-least-once source
+(replays, retries) yields an exactly-once table. Append-only by design:
+when a stream needs real updates/deletes, versioned reads, or a change
+feed, use the copy-on-write MERGE table instead
+(streaming/merge_table.py over sources/merge_table.py — the "real MERGE
+INTO" this docstring used to defer to an external table format).
 
 At scale: the anti-join reads only the key column of the existing table
 (column-pruned scan); batch sizes are watermark-bounded; the table is
