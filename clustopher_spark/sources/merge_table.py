@@ -285,6 +285,9 @@ class MergeTable:
                 f"first key column must be numeric or string, got {k0_type}"
             )
         os.makedirs(self.root, exist_ok=True)
+        # exists from birth so a CDC stream can subscribe before the
+        # first merge commit publishes a feed
+        os.makedirs(os.path.join(self.root, "changes"), exist_ok=True)
         entries = self._write_files(df, key_cols, num_files)
         self._write_manifest(1, entries)
         meta = {
@@ -432,11 +435,17 @@ class MergeTable:
             else:
                 target_touched = self.read(meta["latest"]).limit(0)
             version = int(meta["latest"]) + 1
+            # the feed is STAGED under an underscore-prefixed dir (Spark
+            # readers skip _-paths by convention) and published by rename
+            # only AFTER the meta commit below — a crashed merge can never
+            # expose an uncommitted feed to a CDC consumer (stream_changes
+            # discovers changes/v{N} only once v{N} is real); the
+            # commit-then-rename crash window is healed by changes()
             cdf = change_feed_frames(target_touched, source, key_cols, op_col)
             cdf.withColumn("_commit_version", F.lit(version).cast("long")).write.mode(
                 "overwrite"
             ).option("compression", "zstd").parquet(
-                os.path.join(self.root, "changes", f"v{version}")
+                os.path.join(self.root, "changes", f"_staging_v{version}")
             )
             merged = merge_frames(target_touched, source, key_cols, op_col)
             nf = num_files or max(1, len(touched_entries)) + 1
@@ -460,7 +469,17 @@ class MergeTable:
             }
         )
         self._commit(meta)
+        self._publish_feed(version)
         return version
+
+    def _publish_feed(self, version: int) -> None:
+        """Rename the staged change feed into its committed name (only
+        called after the meta commit; idempotent so changes() can finish
+        the job if a crash landed between commit and rename)."""
+        staged = os.path.join(self.root, "changes", f"_staging_v{version}")
+        final = os.path.join(self.root, "changes", f"v{version}")
+        if os.path.isdir(staged) and not os.path.isdir(final):
+            os.replace(staged, final)
 
     # --- CDF ---
 
@@ -485,6 +504,7 @@ class MergeTable:
                         f"change feed for v{v} was vacuumed; earliest "
                         f"retained feed starts after the retention window"
                     )
+                self._publish_feed(v)  # heal a commit-then-rename crash
                 dirs.append(os.path.join(self.root, "changes", f"v{v}"))
         if not dirs:
             return (
@@ -601,6 +621,21 @@ class MergeTable:
             shutil.rmtree(os.path.join(self.root, "versions", f"v{v}"), ignore_errors=True)
             shutil.rmtree(os.path.join(self.root, "changes", f"v{v}"), ignore_errors=True)
             h["data_removed"] = True
+        # staged-feed sweep: publish any staged feed whose commit landed
+        # (crash between commit and rename), then delete true orphans —
+        # a staging dir for an uncommitted version is a crashed merge's
+        # leftover (single-writer: vacuum never runs concurrent to merge)
+        committed = {h["version"] for h in meta["history"]}
+        chdir = os.path.join(self.root, "changes")
+        for d in os.listdir(chdir) if os.path.isdir(chdir) else []:
+            if not d.startswith("_staging_v"):
+                continue
+            v = int(d[len("_staging_v"):])
+            if v in committed:
+                self._publish_feed(v)
+            if os.path.isdir(os.path.join(chdir, d)):
+                shutil.rmtree(os.path.join(chdir, d), ignore_errors=True)
+                removed.append(d)
         # orphan sweep: files referenced by NO surviving manifest (a merge
         # that crashed between staging and commit leaves these)
         referenced: set[str] = set()

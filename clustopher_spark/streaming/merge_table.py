@@ -43,6 +43,32 @@ from pyspark.sql import functions as F
 from clustopher_spark.sources.merge_table import MergeTable
 
 
+def stream_changes(spark, table_root: str) -> DataFrame:
+    """The table's change feed as a STREAMING SOURCE: every merge commit's
+    CDF becomes one batch of pre/post/insert/delete images — the produce
+    side of a CDC pipeline (downstream IVM, replication, cache
+    invalidation) with exactly-once file-source semantics.
+
+    Safe by construction: merge() stages the feed under an
+    underscore-prefixed directory (invisible to Spark's file listing) and
+    publishes it by rename only AFTER the atomic meta commit, so this
+    source can never observe an uncommitted or partially-written feed —
+    the rename is the publication event."""
+    from clustopher_spark.sources.merge_table import MergeTable
+
+    t = MergeTable(spark, table_root)
+    schema = (
+        t.read()
+        .limit(0)
+        .withColumn("_change_type", F.lit(""))
+        .withColumn("_commit_version", F.lit(0).cast("long"))
+        .schema
+    )
+    return spark.readStream.schema(schema).parquet(
+        os.path.join(table_root, "changes", "v*")
+    )
+
+
 def incremental_merge_table(
     rows_stream: DataFrame,
     table_root: str,

@@ -428,3 +428,86 @@ def test_changes_below_retention_errors_explicitly(spark, tmp_path, target):
         t.changes(1).count()
     # ranges wholly inside the retention window still read fine
     assert t.changes(2).count() > 0
+
+
+def test_stream_changes_consumes_committed_feeds_exactly_once(spark, tmp_path, target):
+    """CDC source: an availableNow drain picks up every committed feed
+    once; a later merge's feed arrives as a NEW batch on restart (file-
+    source checkpoint semantics); staged (uncommitted) feeds are invisible
+    by construction (underscore prefix + rename-after-commit)."""
+    import os
+
+    from clustopher_spark.streaming.merge_table import stream_changes
+
+    root = str(tmp_path / "t")
+    t = MergeTable(spark, root)
+    t.create(target, ["o_orderkey"], num_files=4)
+    lo = target.agg(F.min("o_orderkey")).collect()[0][0]
+    for i in range(2):
+        t.merge(
+            target.filter(F.col("o_orderkey") <= lo + 10).withColumn(
+                "o_totalprice", F.lit(float(i))
+            ),
+            batch_id=i,
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+    consumed: list = []
+
+    def drain():
+        consumed.clear()
+        q = (
+            stream_changes(spark, root)
+            .writeStream.foreachBatch(
+                lambda df, bid: consumed.extend(tuple(r) for r in df.collect())
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    expected = {tuple(r) for r in t.changes(1).collect()}
+    assert set(consumed) == expected and len(consumed) == len(expected)
+
+    # a third commit; same checkpoint -> ONLY the new feed is delivered
+    t.merge(
+        target.filter(F.col("o_orderkey") <= lo + 10).withColumn(
+            "o_totalprice", F.lit(9.0)
+        ),
+        batch_id=2,
+    )
+    # plant a fake STAGED feed: must stay invisible to the stream
+    staged = os.path.join(root, "changes", "_staging_v99")
+    t.changes(3).write.mode("overwrite").parquet(staged)
+    drain()
+    assert set(consumed) == {tuple(r) for r in t.changes(3).collect()}  # v4 only
+
+
+def test_vacuum_publishes_then_sweeps_staged_feeds(spark, tmp_path, target):
+    """Crash window between meta commit and feed rename: vacuum (like
+    changes()) finishes the publication instead of deleting a committed
+    feed; a staging dir for an UNCOMMITTED version is swept as garbage."""
+    import os
+    import shutil as _sh
+
+    root = str(tmp_path / "t")
+    t = MergeTable(spark, root)
+    t.create(target, ["o_orderkey"], num_files=4)
+    lo = target.agg(F.min("o_orderkey")).collect()[0][0]
+    batch = target.filter(F.col("o_orderkey") <= lo + 10).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    t.merge(batch, batch_id=0)
+    # simulate the crash: un-publish v2's feed back to its staged name
+    final = os.path.join(root, "changes", "v2")
+    staged = os.path.join(root, "changes", "_staging_v2")
+    os.replace(final, staged)
+    # and plant garbage for a version that never committed
+    _sh.copytree(staged, os.path.join(root, "changes", "_staging_v77"))
+    t.vacuum(keep_last=5)
+    assert os.path.isdir(final)  # healed, not deleted
+    assert not os.path.isdir(staged)
+    assert not os.path.isdir(os.path.join(root, "changes", "_staging_v77"))
+    assert t.changes(1).count() > 0  # feed intact
