@@ -511,3 +511,52 @@ def test_vacuum_publishes_then_sweeps_staged_feeds(spark, tmp_path, target):
     assert not os.path.isdir(staged)
     assert not os.path.isdir(os.path.join(root, "changes", "_staging_v77"))
     assert t.changes(1).count() > 0  # feed intact
+
+
+def test_merge_semantics_state_machine(spark, tmp_path):
+    """Randomized upsert/delete/compact/vacuum sequences vs a driver-side
+    dict model: after every operation the committed table equals the
+    model exactly (keys and values). Pins the MERGE visibility algebra —
+    last-writer-wins per commit, delete removes, re-upsert resurrects,
+    compact/vacuum are logically invisible — independent of the pruning,
+    staging, and manifest machinery underneath (the same role the vector
+    index's tombstone state machine plays)."""
+    import random
+
+    for seed in (0, 1):
+        rng = random.Random(seed)
+        root = str(tmp_path / f"sm{seed}")
+        t = MergeTable(spark, root)
+        keys = list(range(24))
+        model = {k: float(k) for k in keys[:12]}
+        t.create(
+            spark.createDataFrame(
+                [(k, v) for k, v in model.items()], "k long, v double"
+            ),
+            ["k"],
+            num_files=3,
+        )
+        batch_id = 0
+        for _ in range(7):
+            op = rng.choice(["merge", "merge", "merge", "compact", "vacuum"])
+            if op == "merge":
+                batch_id += 1
+                ups = rng.sample(keys, rng.randint(1, 4))
+                dels = [k for k in rng.sample(keys, rng.randint(0, 3)) if k not in ups]
+                vals = {k: rng.uniform(0, 100) for k in ups}
+                batch = spark.createDataFrame(
+                    [(k, round(vals[k], 3), "upsert") for k in ups]
+                    + [(k, 0.0, "delete") for k in dels],
+                    "k long, v double, op string",
+                )
+                assert t.merge(batch, op_col="op", batch_id=batch_id) is not None
+                for k in ups:
+                    model[k] = round(vals[k], 3)
+                for k in dels:
+                    model.pop(k, None)
+            elif op == "compact":
+                t.compact(num_files=2)
+            else:
+                t.vacuum(keep_last=2)
+            got = {r.k: r.v for r in t.read().collect()}
+            assert got == model, f"seed={seed} after {op}"
