@@ -560,3 +560,38 @@ def test_merge_semantics_state_machine(spark, tmp_path):
                 t.vacuum(keep_last=2)
             got = {r.k: r.v for r in t.read().collect()}
             assert got == model, f"seed={seed} after {op}"
+
+
+def test_merge_frames_equals_full_outer_merge_plan(spark):
+    """Cross-implementation pin: the broadcast anti-join+union algebra
+    (merge_frames — the plan MergeTable commits) and the full-outer
+    COALESCE formulation (queries/sql_features.py::merge_upsert_orders'
+    shape) are independent derivations of MERGE upsert semantics; they
+    must agree row-for-row."""
+    o = _orders(spark).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderstatus", F.lit("P"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+    )
+    ins = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(42.0).alias("o_totalprice"),
+    )
+    batch = upd.unionByName(ins)
+    got = merge_frames(o, batch, ["o_orderkey"])
+
+    u = batch.select(*[F.col(c).alias(f"u_{c}") for c in batch.columns])
+    expected = (
+        o.join(u, o.o_orderkey == u.u_o_orderkey, "full_outer").select(
+            F.coalesce("u_o_orderkey", "o_orderkey").alias("o_orderkey"),
+            F.coalesce("u_o_custkey", "o_custkey").alias("o_custkey"),
+            F.coalesce("u_o_orderstatus", "o_orderstatus").alias("o_orderstatus"),
+            F.coalesce("u_o_totalprice", "o_totalprice").alias("o_totalprice"),
+        )
+    )
+    assert _frames_equal(got, expected)
