@@ -821,6 +821,36 @@ def family_merge_table(spark, timings, reps):
             spark, timings, reps, "merge_table_merge_10k", m_times,
             f"{hist['files_rewritten']} files rewritten / {hist['files_carried']} carried, CDF recorded",
         )
+
+        # CDC consumption: drain both committed feeds through the
+        # streaming source (exactly-once file source). Reps use fresh
+        # checkpoints over the same immutable feeds — comparable by
+        # construction.
+        from clustopher_spark.streaming.merge_table import stream_changes
+
+        c_times = []
+        n_images = 0
+        for i in (1, 2):
+            counter = {"n": 0}
+
+            def _count(df, bid, counter=counter):
+                counter["n"] += df.count()
+
+            t0 = time.perf_counter()
+            q = (
+                stream_changes(spark, f"{root}/t2")
+                .writeStream.foreachBatch(_count)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", f"{root}/cdc_ckpt_{i}")
+                .start()
+            )
+            q.awaitTermination()
+            c_times.append(time.perf_counter() - t0)
+            n_images = counter["n"]
+        _report(
+            spark, timings, reps, "merge_table_cdc_drain", c_times,
+            f"{n_images} change images across 2 commits",
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
