@@ -60,9 +60,21 @@ def apply_agg_delta(
     groups whose count reaches zero disappear (exactly what a recompute
     over the post-merge table would show)."""
     cols = [count_col, *value_cols]
-    joined = base.alias("b").join(delta.alias("d"), on=group_cols, how="full_outer")
+    b, d = base.alias("b"), delta.alias("d")
+    # null-safe equality: a NULL group key is a real group in an
+    # aggregate view (GROUP BY collects NULLs into one cell); a plain
+    # equality join would keep base's and delta's NULL rows separate and
+    # the view would drift from recompute on every commit
+    cond = None
+    for c in group_cols:
+        eq = F.col(f"b.{c}").eqNullSafe(F.col(f"d.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    joined = b.join(d, on=cond, how="full_outer")
     out = joined.select(
-        *group_cols,
+        *[
+            F.coalesce(F.col(f"b.{c}"), F.col(f"d.{c}")).alias(c)
+            for c in group_cols
+        ],
         *[
             (
                 F.coalesce(F.col(f"b.{c}"), F.lit(0))

@@ -332,15 +332,13 @@ class TableService:
             return {"rows": [], "files_scanned": 0}
         typed = next((e for e in entries if e["min_key"] is not None), None)
         k = type(typed["min_key"])(key) if typed is not None else key
-        hits = [
-            e["file"]
-            for e in entries
-            if e["min_key"] is None or e["min_key"] <= k <= e["max_key"]
-        ]
+        # THE pruning predicate (MergeTable.prune_entries) — shared with
+        # scan()/merge() so the serving path can never drift from it
+        hits = type(t).prune_entries(entries, lo=k, hi=k)
         if not hits:
             return {"rows": [], "files_scanned": 0}
         df = self.spark.read.parquet(
-            *[os.path.join(t.root, "files", f) for f in hits]
+            *[os.path.join(t.root, "files", e["file"]) for e in hits]
         )
         rows = df.filter(F.col(meta["key_cols"][0]) == F.lit(k)).limit(100).collect()
         return {"rows": [_json_row(r) for r in rows], "files_scanned": len(hits)}
@@ -352,9 +350,18 @@ class TableService:
         changes/ parquet directly for that)."""
         t = self._table(table_id)
         cdf = t.changes(int(since), int(to) if to is not None else None)
-        total = cdf.count()
-        rows = cdf.limit(int(limit)).collect()
-        return {"total": total, "rows": [_json_row(r) for r in rows]}
+        # one scan, not count()+collect(): fetch limit+1 rows — total is
+        # exact when the feed fits, else reported as a lower bound with
+        # has_more (the bulk path reads the changes/ parquet directly)
+        limit = int(limit)
+        rows = cdf.limit(limit + 1).collect()
+        has_more = len(rows) > limit
+        rows = rows[:limit]
+        return {
+            "total": len(rows) if not has_more else None,
+            "has_more": has_more,
+            "rows": [_json_row(r) for r in rows],
+        }
 
     def merge(self, table_id: str, rows, batch_id: int, op_col: str | None = None) -> dict:
         """Live merge commit from JSON rows (idempotent per batch id).
@@ -378,6 +385,25 @@ class TableService:
                 raise ValueError(f"missing op column {op_col}")
             cols.append(F.col(op_col).cast("string").alias(op_col))
         batch = raw.select(*cols)
+        # loud on mangled values, as a 400 with the offending columns
+        # named: probe with try_cast (ANSI mode's plain cast would throw a
+        # raw engine error mid-plan; non-ANSI clusters would silently null
+        # — this check is exact under both) and reject the whole request
+        # before anything runs against the table (one aggregate job)
+        mangled = raw.select(
+            *[
+                F.sum(
+                    (F.col(f.name).isNotNull() & F.col(f.name).try_cast(f.dataType).isNull()).cast("int")
+                ).alias(f.name)
+                for f in schema.fields
+            ]
+        ).collect()[0]
+        bad = [c for c in schema.fieldNames() if (mangled[c] or 0) > 0]
+        if bad:
+            raise ValueError(
+                f"column(s) {bad} contain values that do not cast to the "
+                "table's types — request rejected, nothing committed"
+            )
         with self._write_lock(table_id):
             v = t.merge(batch, op_col=op_col, batch_id=int(batch_id))
         return {"merged": v is not None, "version": v}

@@ -279,7 +279,10 @@ class MergeTable:
         k0_type = dict(df.dtypes)[key_cols[0]]
         if not (
             k0_type in ("string",)
-            or k0_type.startswith(("tinyint", "smallint", "int", "bigint", "float", "double", "decimal"))
+            # decimal is deliberately excluded: pyarrow cannot extract
+            # footer statistics for Spark-written decimal columns (and
+            # where it can, Decimal values are not JSON-representable)
+            or k0_type.startswith(("tinyint", "smallint", "int", "bigint", "float", "double"))
         ):
             raise ValueError(
                 f"first key column must be numeric or string, got {k0_type}"
@@ -332,15 +335,7 @@ class MergeTable:
         leaves that side open."""
         meta = self._meta()
         v = int(version if version is not None else meta["latest"])
-        entries = self._manifest(v)
-        hits = [
-            e for e in entries
-            if e["min_key"] is None  # no footer stats: always include
-            or (
-                (hi is None or e["min_key"] <= hi)
-                and (lo is None or e["max_key"] >= lo)
-            )
-        ]
+        hits = self.prune_entries(self._manifest(v), lo, hi)
         if not hits:
             return self._empty(meta)
         df = self.spark.read.parquet(
@@ -352,6 +347,21 @@ class MergeTable:
         if hi is not None:
             df = df.filter(F.col(key0) <= F.lit(hi))
         return df
+
+    @staticmethod
+    def prune_entries(entries: list[dict], lo=None, hi=None) -> list[dict]:
+        """Manifest entries whose key range can intersect [lo, hi] —
+        THE pruning predicate, shared by scan(), the serving lookup, and
+        merge()'s interval pre-filter so the three can never drift.
+        Stat-less entries (min_key None) are always included (sound)."""
+        return [
+            e for e in entries
+            if e["min_key"] is None
+            or (
+                (hi is None or e["min_key"] <= hi)
+                and (lo is None or e["max_key"] >= lo)
+            )
+        ]
 
     def _empty(self, meta: dict) -> DataFrame:
         # an empty latest manifest (everything deleted): reconstruct the
@@ -421,6 +431,18 @@ class MergeTable:
         touched_entries: list[dict] = []
         target_touched = None
         try:
+            # a null key can never be matched (equality joins skip NULLs),
+            # so a null-key upsert would duplicate on every commit and a
+            # null-key delete would be a permanent no-op — reject loudly
+            null_key = None
+            for c in key_cols:
+                cond = F.col(c).isNull()
+                null_key = cond if null_key is None else (null_key | cond)
+            if source.filter(null_key).take(1):
+                raise ValueError(
+                    f"batch contains NULL in key column(s) {key_cols} — "
+                    "null keys cannot be merged (equality match never hits)"
+                )
             touched = self._touched(entries, source, key_cols[0])
             touched_entries = [e for e in entries if e["file"] in touched]
             untouched_entries = [e for e in entries if e["file"] not in touched]
@@ -469,7 +491,7 @@ class MergeTable:
             }
         )
         self._commit(meta)
-        self._publish_feed(version)
+        self._heal_staged_feeds(meta)
         return version
 
     def _publish_feed(self, version: int) -> None:
@@ -480,6 +502,20 @@ class MergeTable:
         final = os.path.join(self.root, "changes", f"v{version}")
         if os.path.isdir(staged) and not os.path.isdir(final):
             os.replace(staged, final)
+
+    def _heal_staged_feeds(self, meta: dict) -> None:
+        """Publish EVERY staged feed whose commit landed — not just the
+        newest. A crash between commit and rename would otherwise drop
+        that commit from the streaming CDC source forever (stream_changes
+        globs only published dirs); every later merge heals the gap, so
+        a continuously-writing pipeline self-repairs within one batch."""
+        committed = {h["version"] for h in meta.get("history", [])}
+        chdir = os.path.join(self.root, "changes")
+        for d in os.listdir(chdir) if os.path.isdir(chdir) else []:
+            if d.startswith("_staging_v"):
+                v = int(d[len("_staging_v"):])
+                if v in committed:
+                    self._publish_feed(v)
 
     # --- CDF ---
 
@@ -530,41 +566,52 @@ class MergeTable:
         meta = self._meta()
         v = int(version if version is not None else meta["latest"])
         entries = self._manifest(v)
-        numeric = [
-            e for e in entries
-            if isinstance(e["min_key"], (int, float))
-            and isinstance(e["max_key"], (int, float))
-        ]
+        stat = [e for e in entries if e["min_key"] is not None]
         out = {
             "version": v,
             "files": len(entries),
             "rows": sum(e["rows"] for e in entries),
-            "max_key_coverage": 0,
-            "overlap_factor": 0.0,
+            "max_key_coverage": 1 if entries else 0,
+            "overlap_factor": 1.0 if entries else 0.0,
         }
-        if not numeric:
-            return out
+        if not stat:
+            return out  # no footer stats anywhere: report the baseline
+        numeric = isinstance(stat[0]["min_key"], (int, float))
         # sweep line over range endpoints: depth = files covering a point
+        # (comparisons only, so string keys sweep identically)
         events = sorted(
-            [(e["min_key"], 1) for e in numeric]
-            + [(e["max_key"], -1) for e in numeric],
+            [(e["min_key"], 1) for e in stat]
+            + [(e["max_key"], -1) for e in stat],
             key=lambda t: (t[0], -t[1]),  # opens before closes at a tie
         )
         depth = max_depth = 0
         weighted = 0.0
         span = 0.0
+        open_depths = []  # coverage sampled at each interval start
         prev = events[0][0]
         for x, d in events:
-            if x > prev and depth > 0:
-                weighted += depth * (x - prev)
-                span += x - prev
-                prev = x
-            elif depth == 0:
-                prev = x
+            if numeric:
+                if x > prev and depth > 0:
+                    weighted += depth * (x - prev)
+                    span += x - prev
+                    prev = x
+                elif depth == 0:
+                    prev = x
             depth += d
+            if d == 1:
+                open_depths.append(depth)
             max_depth = max(max_depth, depth)
         out["max_key_coverage"] = max_depth
-        out["overlap_factor"] = round(weighted / span, 3) if span else 1.0
+        if numeric and span:
+            # length-weighted mean coverage (the better signal when key
+            # distances are meaningful)
+            out["overlap_factor"] = round(weighted / span, 3)
+        else:
+            # strings have no distances: mean coverage sampled at the
+            # interval starts (1.0 = disjoint, same interpretation)
+            out["overlap_factor"] = round(
+                sum(open_depths) / len(open_depths), 3
+            ) if open_depths else 1.0
         return out
 
     def compact(self, num_files: int = 8) -> int:
@@ -625,15 +672,10 @@ class MergeTable:
         # (crash between commit and rename), then delete true orphans —
         # a staging dir for an uncommitted version is a crashed merge's
         # leftover (single-writer: vacuum never runs concurrent to merge)
-        committed = {h["version"] for h in meta["history"]}
+        self._heal_staged_feeds(meta)
         chdir = os.path.join(self.root, "changes")
         for d in os.listdir(chdir) if os.path.isdir(chdir) else []:
-            if not d.startswith("_staging_v"):
-                continue
-            v = int(d[len("_staging_v"):])
-            if v in committed:
-                self._publish_feed(v)
-            if os.path.isdir(os.path.join(chdir, d)):
+            if d.startswith("_staging_v"):
                 shutil.rmtree(os.path.join(chdir, d), ignore_errors=True)
                 removed.append(d)
         # orphan sweep: files referenced by NO surviving manifest (a merge

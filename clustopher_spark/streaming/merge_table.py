@@ -53,9 +53,10 @@ def stream_changes(spark, table_root: str) -> DataFrame:
     underscore-prefixed directory (invisible to Spark's file listing) and
     publishes it by rename only AFTER the atomic meta commit, so this
     source can never observe an uncommitted or partially-written feed —
-    the rename is the publication event."""
-    from clustopher_spark.sources.merge_table import MergeTable
-
+    the rename is the publication event. A crash BETWEEN a commit and its
+    rename is healed by the writer itself (every later merge, changes()
+    call, or vacuum publishes all committed staged feeds), so a live
+    pipeline's gap lasts at most one batch."""
     t = MergeTable(spark, table_root)
     schema = (
         t.read()
@@ -118,12 +119,16 @@ def incremental_merge_table(
             )
             return
         merge_batch = batch_df.drop(order_col) if order_col else batch_df
-        table.merge(
+        v = table.merge(
             merge_batch,
             op_col=op_col if (op_col and op_col in batch_df.columns) else None,
             batch_id=batch_id,
         )
-        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        # maintenance only on a batch that actually COMMITTED: a replayed
+        # (watermark-skipped) batch must be a strict no-op — running
+        # compact/vacuum on replay would mutate version history and could
+        # vacuum feeds a lagging CDC consumer has not drained yet
+        if v is not None and compact_every and batch_id > 0 and batch_id % compact_every == 0:
             table.compact(num_files=num_files)
             table.vacuum(keep_last=vacuum_keep)
 

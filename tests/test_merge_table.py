@@ -262,9 +262,13 @@ def test_streaming_merge_table_bootstrap_merge_replay(spark, tmp_path, target):
 
     shutil.rmtree(root + "_checkpoint")
     latest = t._meta()["latest"]
+    # compact_every=1 on the replay: maintenance is gated on a batch that
+    # actually COMMITTED, so a watermark-skipped replay must not compact
+    # (a spurious compact would mutate history and vacuum undrained feeds)
     incremental_merge_table(
         _stream_rows(spark, src + "/b*", schema), root,
         key_cols=["o_orderkey"], op_col="op", num_files=4,
+        compact_every=1,
     )
     assert t._meta()["latest"] == latest
     assert _frames_equal(t.read(), expected)
@@ -595,3 +599,89 @@ def test_merge_frames_equals_full_outer_merge_plan(spark):
         )
     )
     assert _frames_equal(got, expected)
+
+
+def test_decimal_first_key_rejected(spark, tmp_path, target):
+    """pyarrow cannot extract footer stats for Spark-written decimals (and
+    Decimal is not JSON-representable) — reject at create, not mid-write."""
+    dec = target.withColumn("k", F.col("o_totalprice").cast("decimal(18,2)"))
+    with pytest.raises(ValueError, match="numeric or string"):
+        MergeTable(spark, str(tmp_path / "t")).create(dec, ["k"], num_files=2)
+
+
+def test_null_key_batch_rejected(spark, tmp_path, target):
+    """A null key can never be equality-matched: upserts would duplicate
+    every commit and deletes would never apply — rejected loudly."""
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(target, ["o_orderkey"], num_files=2)
+    poisoned = target.limit(3).withColumn(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 0, F.lit(None).cast("long")),
+    )
+    with pytest.raises(ValueError, match="NULL in key"):
+        t.merge(poisoned, batch_id=1)
+    assert t._meta()["latest"] == 1  # nothing committed
+
+
+def test_ivm_handles_null_group_keys(spark):
+    """GROUP BY collects NULLs into one cell; the delta apply must too
+    (null-safe join), or the view drifts from recompute every commit."""
+    from clustopher_spark.operators.ivm import incremental_count_sum_view
+
+    base_rows = spark.createDataFrame(
+        [("a", 5, 50.0), (None, 3, 30.0)], "g string, n_rows long, s double"
+    )
+    cdf = spark.createDataFrame(
+        [
+            (None, 7.0, "insert"),
+            (None, 30.0, "delete"),
+            ("a", 1.0, "insert"),
+        ],
+        "g string, v double, _change_type string",
+    )
+    out = incremental_count_sum_view(
+        base_rows, cdf, ["g"], {"v": "s"}, count_col="n_rows"
+    )
+    got = {r.g: (r.n_rows, r.s) for r in out.collect()}
+    assert got[None] == (3, 7.0)  # 3 + 1 - 1 rows; 30 + 7 - 30 value
+    assert got["a"] == (6, 51.0)
+    assert len(got) == 2  # ONE null group, not two
+
+
+def test_merge_heals_previously_staged_feeds(spark, tmp_path, target):
+    """Writer self-heal: a commit-then-rename crash on vN is repaired by
+    the NEXT merge, so a pure streaming consumer (which never calls
+    changes()/vacuum) misses the feed for at most one batch."""
+    import os
+
+    root = str(tmp_path / "t")
+    t = MergeTable(spark, root)
+    t.create(target, ["o_orderkey"], num_files=4)
+    lo = target.agg(F.min("o_orderkey")).collect()[0][0]
+    batch = target.filter(F.col("o_orderkey") <= lo + 10)
+    t.merge(batch.withColumn("o_totalprice", F.lit(1.0)), batch_id=0)
+    # simulate the crash window: un-publish v2's feed
+    os.replace(
+        os.path.join(root, "changes", "v2"),
+        os.path.join(root, "changes", "_staging_v2"),
+    )
+    t.merge(batch.withColumn("o_totalprice", F.lit(2.0)), batch_id=1)
+    assert os.path.isdir(os.path.join(root, "changes", "v2"))  # healed
+    assert os.path.isdir(os.path.join(root, "changes", "v3"))
+
+
+def test_stats_works_for_string_keys(spark, tmp_path):
+    """String-keyed tables get real telemetry (sweep is comparison-only;
+    overlap falls back to open-point sampling), never a dead 0.0."""
+    df = spark.range(0, 200).selectExpr(
+        "concat('k', lpad(cast(id as string), 4, '0')) as k", "id as v"
+    )
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(df, ["k"], num_files=4)
+    s0 = t.stats()
+    assert s0["max_key_coverage"] == 1 and s0["overlap_factor"] == 1.0
+    # both-ends merge into one spanning file -> overlap visible
+    batch = df.filter("v <= 5 or v >= 195").selectExpr("k", "v + 1000 as v")
+    t.merge(batch, batch_id=0, num_files=1)
+    s1 = t.stats()
+    assert s1["max_key_coverage"] >= 2 and s1["overlap_factor"] > 1.0

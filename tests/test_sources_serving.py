@@ -765,13 +765,20 @@ def test_table_serving_end_to_end(table_server):
     assert kinds == ["delete", "insert", "update_post", "update_pre"]
     assert feed["total"] == 4
 
-    # validation: batch token required; unknown table 404s
+    # validation: batch token required; unknown table 404s; a value that
+    # does not cast to the table's types rejects the whole request (the
+    # silent-null cast path would otherwise commit a corrupt row)
     import urllib.error
 
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(f"{server}/api/tables/orders/merge",
               {"rows": [as_json(row, op="upsert")], "op_col": "op"})
     assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/api/tables/orders/merge",
+              {"rows": [as_json(row, o_orderkey="not-a-number", op="upsert")],
+               "op_col": "op", "batch": 9})
+    assert e.value.code == 400 and "cast" in e.value.read().decode()
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{server}/api/tables/nope/history")
     assert e.value.code == 404
