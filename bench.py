@@ -2,9 +2,11 @@
 """Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
-   "reps": {...}, "sf": ...}
+Output contract (r5 verdict item 1): the FINAL stdout line is the compact
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+summary (kept under the driver's 2000-char tail capture); the per-entry
+rep spreads are printed on a separate earlier line and persisted to the
+BENCH_REPS.json sidecar.
 
 Process isolation (round-3 verdict item 1): each entry FAMILY runs in its
 own subprocess, i.e. its own JVM — the r3 committed numbers were
@@ -121,10 +123,16 @@ def _round_t(secs: float) -> float:
     return round(secs, 4 if secs < 0.1 else 3)
 
 
-def _report(spark, timings, reps, name, times, detail=""):
-    """Record best-of plus the full rep spread for one entry."""
+def _report(spark, timings, reps, name, times, detail="", warmup=0):
+    """Record best-of plus the full rep spread for one entry.
+
+    ``warmup`` reps are excluded from the committed minimum but kept in
+    the rep list (r5 verdict item 1b: the pyramid families' first rep
+    consistently pays a page-cache/JIT penalty — publish_10m [20.2, 7.3],
+    build_30m [360.8, 117.8] — so their first rep is measured-but-not-
+    committed; the spread stays visible in the sidecar)."""
     rep_list = [_round_t(t) for t in times]
-    timings[name] = min(rep_list)
+    timings[name] = min(rep_list[warmup:] if len(rep_list) > warmup else rep_list)
     reps[name] = rep_list
     n, mb = _storage_telemetry(spark)
     print(
@@ -364,10 +372,11 @@ def family_dbscan(spark, timings, reps):
     )
 
 
-def _build_pyramid_reps(spark, eng, n_reps: int = 2):
-    """Best-of-N full pyramid builds, deterministically unpersisting each
+def _build_pyramid_reps(spark, eng, n_reps: int = 3):
+    """N full pyramid builds, deterministically unpersisting each
     rep's checkpointed pyramid before the next (storage-pressure
-    hygiene — see _unpersist_new)."""
+    hygiene — see _unpersist_new). Callers commit min over reps[1:]
+    (first rep = warm-up; see _report)."""
     times = []
     n_pyr = 0
     for i in range(n_reps):
@@ -401,14 +410,21 @@ def _city_batch(spark, n, seed, id_base):
 def _store_publish_reps(spark, pstore, batches):
     """Apply each batch as its own version; per-apply wall times are the
     reps (same-shape batches onto a near-identical store — the honest way
-    to repeat a publish, which mutates the store). Returns
-    (times, n_dirty, n_blocks) with the dirty count from the first rep."""
+    to repeat a publish, which mutates the store). Each apply's
+    function-local frames (the fused pass's checkpoints) are released
+    deterministically before the next rep — without this, rep N runs
+    under rep N-1's dead pinned blocks and the committed minimum drifts
+    up with every extra rep (r5's publish_1m [12.8, 19.4] pattern).
+    Returns (times, n_dirty, n_blocks) with the dirty count from the
+    first rep."""
     times = []
     n_dirty = n_blocks = 0
     for i, batch in enumerate(batches):
+        before = _pinned_rdd_ids(spark)
         t0 = time.perf_counter()
         pstore.apply_batch(batch, i)
         times.append(time.perf_counter() - t0)
+        _unpersist_new(spark, before)
         if i == 0:
             man = json.load(open(pstore._manifest_path(2)))
             n_dirty = sum(
@@ -449,8 +465,7 @@ def family_pyramid_1m(spark, timings, reps):
     build_ids = _pinned_rdd_ids(spark) - pre_build
     _report(
         spark, timings, reps, "pyramid_build_1m_points", times,
-        f"{n_pyr} pyramid rows, zooms 0-16",
-    )
+        f"{n_pyr} pyramid rows, zooms 0-16", warmup=1,)
 
     # incremental maintenance: append a 10k batch to the 1M pyramid via
     # the fused update (one shuffle + one Python boundary; exact-equal
@@ -527,12 +542,12 @@ def family_pyramid_1m(spark, timings, reps):
         times, n_dirty, n_blocks = _store_publish_reps(
             spark, pstore,
             [_city_batch(spark, 10_000, seed=101, id_base=3_000_000),
-             _city_batch(spark, 10_000, seed=105, id_base=4_000_000)],
+             _city_batch(spark, 10_000, seed=105, id_base=4_000_000),
+             _city_batch(spark, 10_000, seed=115, id_base=5_000_000)],
         )
         _report(
             spark, timings, reps, "pyramid_store_city_publish", times,
-            f"{n_dirty} of {n_blocks} blocks rewritten",
-        )
+            f"{n_dirty} of {n_blocks} blocks rewritten", warmup=1,)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -562,8 +577,7 @@ def family_pyramid_10m(spark, timings, reps):
     times, n_pyr10 = _build_pyramid_reps(spark, eng_10m)
     _report(
         spark, timings, reps, "pyramid_build_10m", times,
-        f"{n_pyr10} pyramid rows, zooms 0-16",
-    )
+        f"{n_pyr10} pyramid rows, zooms 0-16", warmup=1,)
 
     # the O(dirty-blocks) claim at 10x: the same city-batch publish as the
     # 1M family's pyramid_store_city_publish — if the manifest fast path
@@ -585,12 +599,14 @@ def family_pyramid_10m(spark, timings, reps):
         times, n_dirty, n_blocks = _store_publish_reps(
             spark, pstore,
             [_city_batch(spark, 10_000, seed=103, id_base=20_000_000),
-             _city_batch(spark, 10_000, seed=107, id_base=21_000_000)],
+             _city_batch(spark, 10_000, seed=107, id_base=21_000_000),
+             _city_batch(spark, 10_000, seed=117, id_base=22_000_000)],
         )
         _report(
             spark, timings, reps, "pyramid_store_city_publish_10m", times,
             f"{n_dirty} of {n_blocks} blocks rewritten,"
             f" path={pstore.last_apply_stats.get('publish_path')}",
+            warmup=1,
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -624,8 +640,7 @@ def family_pyramid_30m(spark, timings, reps):
     times, n_pyr30 = _build_pyramid_reps(spark, eng_30m)
     _report(
         spark, timings, reps, "pyramid_build_30m", times,
-        f"{n_pyr30} pyramid rows, zooms 0-16",
-    )
+        f"{n_pyr30} pyramid rows, zooms 0-16", warmup=1,)
     eng_30m._zoom_levels = None
     del eng_30m
     _unpersist_new(spark, pts_ids)
@@ -642,12 +657,14 @@ def family_pyramid_30m(spark, timings, reps):
         times, n_dirty, n_blocks = _store_publish_reps(
             spark, pstore,
             [_city_batch(spark, 10_000, seed=109, id_base=40_000_000),
-             _city_batch(spark, 10_000, seed=113, id_base=41_000_000)],
+             _city_batch(spark, 10_000, seed=113, id_base=41_000_000),
+             _city_batch(spark, 10_000, seed=119, id_base=42_000_000)],
         )
         _report(
             spark, timings, reps, "pyramid_store_city_publish_30m", times,
             f"{n_dirty} of {n_blocks} blocks rewritten,"
             f" path={pstore.last_apply_stats.get('publish_path')}",
+            warmup=1,
         )
 
         # serve tier against the 30M store: adopt the store's levels,
@@ -951,18 +968,37 @@ def run_driver() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "reps": reps,
-                "sf": _sf_label(SF_DIR),
-            }
-        )
+    # Artifact contract (r5 verdict item 1): the driver records only the
+    # LAST 2000 chars of stdout and parses the final line as JSON, so the
+    # final line must be the compact {"metric","value","queries","sf"}
+    # summary and stay under that cap. The full per-entry rep spreads are
+    # emitted on a SEPARATE earlier line and persisted to the
+    # BENCH_REPS.json sidecar (committed to the repo) so a noisy shot is
+    # still self-evident without inflating the parsed line.
+    reps_payload = json.dumps(
+        {"metric": "headline_queries_reps", "reps": reps, "sf": _sf_label(SF_DIR)},
+        separators=(",", ":"),
     )
+    print(reps_payload)
+    try:
+        with open(os.path.join(REPO_ROOT, "BENCH_REPS.json"), "w") as f:
+            f.write(reps_payload + "\n")
+    except OSError as e:
+        print(f"# sidecar write failed: {e}", file=sys.stderr)
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(SF_DIR),
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1900:
+        # never let the parsed artifact overflow the tail capture: shed
+        # precision first (3 -> 2 decimals), which is plenty for the gate
+        summary["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(summary, separators=(",", ":"))
+    print(line)
     if failures:
         sys.exit(1)
 

@@ -16,6 +16,19 @@ table-sized, and the delta side is typically tiny, so Catalyst broadcasts
 it. Sums ride whatever type the caller aggregated in; use DECIMAL for
 exact drift-free maintenance (the registry query does — float sums
 accumulate rounding drift across many increments, the known IVM hazard).
+
+NULL-sum semantics: SQL's SUM over a group whose values are all NULL is
+NULL, not 0 — a maintained view must preserve that or it drifts from the
+recompute oracle. The delta therefore tracks a per-sum-column NON-NULL
+COUNT (``_nn_{col}``) and the applied sum goes back to NULL when the
+group's non-null count reaches zero. For exact maintenance across deletes
+of non-null rows, seed the view with :func:`bootstrap_count_sum_view`
+(which materializes the non-null counts) and chain with
+``keep_state=True``; a base WITHOUT state columns gets them synthesized
+(``0`` when the base sum is NULL — exact, since SUM is NULL iff no
+non-null input — else the group's row count), which is exact unless a
+group mixes NULL and non-NULL values AND a delete later removes non-null
+rows from it.
 """
 
 from __future__ import annotations
@@ -27,6 +40,31 @@ _ADD = ("insert", "update_post")
 _SUB = ("delete", "update_pre")
 
 
+def _nn(col: str) -> str:
+    return f"_nn_{col}"
+
+
+def bootstrap_count_sum_view(
+    df: DataFrame,
+    group_cols: list[str],
+    sum_cols: dict[str, str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Seed a maintainable count+sum view from a full table scan: the
+    caller's aggregate plus the per-sum-column non-null counts
+    (``_nn_{col}``) that make NULL-sum maintenance exact under deletes.
+    ``sum_cols`` maps source column -> view column (same contract as
+    :func:`incremental_count_sum_view`)."""
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias(count_col),
+        *[F.sum(F.col(src)).alias(dst) for src, dst in sum_cols.items()],
+        *[
+            F.count(F.col(src)).alias(_nn(dst))
+            for src, dst in sum_cols.items()
+        ],
+    )
+
+
 def agg_delta(
     cdf: DataFrame,
     group_cols: list[str],
@@ -36,7 +74,9 @@ def agg_delta(
     """The per-group delta a change feed implies for a count+sum view.
 
     ``sum_cols`` maps source column -> view column; values should already
-    be cast to the view's (exact) sum type by the caller.
+    be cast to the view's (exact) sum type by the caller. Alongside each
+    sum delta rides its non-null-count delta (``_nn_{col}``) so the apply
+    step can distinguish a zero sum from an all-NULL group.
     """
     sign = (
         F.when(F.col("_change_type").isin(*_ADD), F.lit(1))
@@ -46,6 +86,10 @@ def agg_delta(
     return cdf.groupBy(*group_cols).agg(
         F.sum(sign).alias(count_col),
         *[F.sum(sign * F.col(src)).alias(dst) for src, dst in sum_cols.items()],
+        *[
+            F.sum(sign * F.col(src).isNotNull().cast("int")).alias(_nn(dst))
+            for src, dst in sum_cols.items()
+        ],
     )
 
 
@@ -55,11 +99,36 @@ def apply_agg_delta(
     group_cols: list[str],
     value_cols: list[str],
     count_col: str = "n_rows",
+    keep_state: bool = False,
 ) -> DataFrame:
     """base view ⊕ delta: full-outer on the group key, null-safe addition,
-    groups whose count reaches zero disappear (exactly what a recompute
-    over the post-merge table would show)."""
+    groups whose count reaches zero disappear, and a sum whose group has
+    no non-null values left goes back to NULL (exactly what a recompute
+    over the post-merge table would show).
+
+    ``delta`` must carry ``_nn_{col}`` columns (it does when produced by
+    :func:`agg_delta`). If ``base`` lacks them (a plain aggregate was
+    passed), they are synthesized — see the module docstring for when
+    that synthesis is exact. ``keep_state=True`` keeps the ``_nn_``
+    columns in the output so the view can be chained exactly.
+    """
     cols = [count_col, *value_cols]
+    has_state = all(_nn(c) in base.columns for c in value_cols)
+    if not has_state:
+        # SUM is NULL iff the group had no non-null input, so NULL -> 0 is
+        # exact; a non-null sum came from >=1 and at most count_col
+        # non-null rows — use the row count (exact for groups without NULL
+        # values, an overcount only for mixed groups, documented above)
+        base = base.select(
+            "*",
+            *[
+                F.when(F.col(c).isNull(), F.lit(0))
+                .otherwise(F.col(count_col))
+                .cast("long")
+                .alias(_nn(c))
+                for c in value_cols
+            ],
+        )
     b, d = base.alias("b"), delta.alias("d")
     # null-safe equality: a NULL group key is a real group in an
     # aggregate view (GROUP BY collects NULLs into one cell); a plain
@@ -70,18 +139,31 @@ def apply_agg_delta(
         eq = F.col(f"b.{c}").eqNullSafe(F.col(f"d.{c}"))
         cond = eq if cond is None else (cond & eq)
     joined = b.join(d, on=cond, how="full_outer")
+    nn_sum = {
+        c: (
+            F.coalesce(F.col(f"b.{_nn(c)}"), F.lit(0))
+            + F.coalesce(F.col(f"d.{_nn(c)}"), F.lit(0))
+        )
+        for c in value_cols
+    }
     out = joined.select(
         *[
             F.coalesce(F.col(f"b.{c}"), F.col(f"d.{c}")).alias(c)
             for c in group_cols
         ],
+        (
+            F.coalesce(F.col(f"b.{count_col}"), F.lit(0))
+            + F.coalesce(F.col(f"d.{count_col}"), F.lit(0))
+        ).alias(count_col),
         *[
-            (
+            F.when(
+                nn_sum[c] > 0,
                 F.coalesce(F.col(f"b.{c}"), F.lit(0))
-                + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+                + F.coalesce(F.col(f"d.{c}"), F.lit(0)),
             ).alias(c)
-            for c in cols
+            for c in value_cols
         ],
+        *([nn_sum[c].alias(_nn(c)) for c in value_cols] if keep_state else []),
     )
     return out.filter(F.col(count_col) > 0)
 
@@ -92,11 +174,17 @@ def incremental_count_sum_view(
     group_cols: list[str],
     sum_cols: dict[str, str],
     count_col: str = "n_rows",
+    keep_state: bool = False,
 ) -> DataFrame:
     """Advance a count+sum aggregate view by one (or many unioned) commit
     change feeds. Equals recomputing the view over the post-merge table —
     pinned by oracle (queries/tables.py::catalog_incremental_agg shares
     its oracle SQL with the direct merge aggregate) and by
-    tests/test_merge_table.py against live MergeTable commits."""
+    tests/test_merge_table.py against live MergeTable commits. For exact
+    NULL-sum maintenance under deletes, seed the base with
+    :func:`bootstrap_count_sum_view` and pass ``keep_state=True``."""
     delta = agg_delta(cdf, group_cols, sum_cols, count_col)
-    return apply_agg_delta(base, delta, group_cols, list(sum_cols.values()), count_col)
+    return apply_agg_delta(
+        base, delta, group_cols, list(sum_cols.values()), count_col,
+        keep_state=keep_state,
+    )

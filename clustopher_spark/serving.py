@@ -404,6 +404,19 @@ class TableService:
                 f"column(s) {bad} contain values that do not cast to the "
                 "table's types — request rejected, nothing committed"
             )
+        # MERGE's one-source-row-per-target-row precondition: a batch with
+        # two rows for the same key would commit duplicate keys into the
+        # table and a corrupt change feed. HTTP carries no ordering column
+        # to break the tie, so reject rather than silently pick a winner
+        # (post-cast check: '5' and 5 are the same key once cast).
+        key_cols = t._meta()["key_cols"]
+        dup = batch.count() - batch.dropDuplicates(key_cols).count()
+        if dup:
+            raise ValueError(
+                f"batch contains {dup} duplicate row(s) for the same key "
+                f"{key_cols} — MERGE requires one source row per target "
+                "key; request rejected, nothing committed"
+            )
         with self._write_lock(table_id):
             v = t.merge(batch, op_col=op_col, batch_id=int(batch_id))
         return {"merged": v is not None, "version": v}

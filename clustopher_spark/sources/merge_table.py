@@ -66,6 +66,44 @@ _DRIVER_KEY_LIMIT = 200_000
 
 CHANGE_TYPES = ("insert", "update_pre", "update_post", "delete")
 
+_VALID_OPS = ("upsert", "delete")
+
+
+def _validate_batch(source: DataFrame, key_cols: list[str], op_col: str | None) -> None:
+    """Reject a batch carrying NULL keys or unrecognized op values — ONE
+    aggregate job over the (batch-sized) source.
+
+    A null key can never be matched (equality joins skip NULLs), so a
+    null-key upsert would duplicate on every commit and a null-key delete
+    would be a permanent no-op. An op value outside {'upsert','delete'}
+    (NULL, a typo like 'Upsert') would otherwise be treated as a delete by
+    the merge algebra — the key is anti-joined out of the target but never
+    re-inserted, silently deleting rows.
+    """
+    null_key = None
+    for c in key_cols:
+        cond = F.col(c).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
+    aggs = [F.sum(null_key.cast("int")).alias("n_null_key")]
+    if op_col is not None:
+        bad_op = ~F.col(op_col).eqNullSafe("upsert") & ~F.col(op_col).eqNullSafe(
+            "delete"
+        )
+        aggs.append(F.sum(bad_op.cast("int")).alias("n_bad_op"))
+    got = source.agg(*aggs).collect()[0]
+    if (got["n_null_key"] or 0) > 0:
+        raise ValueError(
+            f"batch contains {got['n_null_key']} row(s) with NULL in key "
+            f"column(s) {key_cols} — null keys cannot be merged "
+            "(equality match never hits)"
+        )
+    if op_col is not None and (got["n_bad_op"] or 0) > 0:
+        raise ValueError(
+            f"batch contains {got['n_bad_op']} row(s) whose '{op_col}' is "
+            f"not in {list(_VALID_OPS)} — rejected (the merge algebra would "
+            "otherwise treat them as deletes)"
+        )
+
 
 def merge_frames(
     target: DataFrame,
@@ -255,8 +293,15 @@ class MergeTable:
                     "max_key": max(maxs) if maxs else None,
                 }
             )
+        # remove ONLY this call's uuid staging dir: a concurrent writer on
+        # the same table (the streaming sink plus an HTTP merge — the
+        # serving lock only serializes HTTP callers) may have its own
+        # staging in flight under {root}/_staging; vacuum sweeps leftovers
         shutil.rmtree(staging, ignore_errors=True)
-        shutil.rmtree(os.path.join(self.root, "_staging"), ignore_errors=True)
+        try:
+            os.rmdir(os.path.join(self.root, "_staging"))  # only if empty
+        except OSError:
+            pass
         return entries
 
     # --- lifecycle ---
@@ -287,6 +332,12 @@ class MergeTable:
             raise ValueError(
                 f"first key column must be numeric or string, got {k0_type}"
             )
+        # same null-key rejection merge() applies: a null-key row landed at
+        # create time could never be updated or deleted afterwards (the
+        # equality match never hits) — the exact hazard the merge-path
+        # check exists to prevent, and the streaming bootstrap goes
+        # through here
+        _validate_batch(df, key_cols, None)
         os.makedirs(self.root, exist_ok=True)
         # exists from birth so a CDC stream can subscribe before the
         # first merge commit publishes a feed
@@ -431,18 +482,7 @@ class MergeTable:
         touched_entries: list[dict] = []
         target_touched = None
         try:
-            # a null key can never be matched (equality joins skip NULLs),
-            # so a null-key upsert would duplicate on every commit and a
-            # null-key delete would be a permanent no-op — reject loudly
-            null_key = None
-            for c in key_cols:
-                cond = F.col(c).isNull()
-                null_key = cond if null_key is None else (null_key | cond)
-            if source.filter(null_key).take(1):
-                raise ValueError(
-                    f"batch contains NULL in key column(s) {key_cols} — "
-                    "null keys cannot be merged (equality match never hits)"
-                )
+            _validate_batch(source, key_cols, op_col)
             touched = self._touched(entries, source, key_cols[0])
             touched_entries = [e for e in entries if e["file"] in touched]
             untouched_entries = [e for e in entries if e["file"] not in touched]
@@ -678,6 +718,13 @@ class MergeTable:
             if d.startswith("_staging_v"):
                 shutil.rmtree(os.path.join(chdir, d), ignore_errors=True)
                 removed.append(d)
+        # data-staging sweep: a crashed merge's parquet staging under
+        # {root}/_staging (single-writer: vacuum never runs concurrent to
+        # a merge, so anything here is dead)
+        dstage = os.path.join(self.root, "_staging")
+        for d in os.listdir(dstage) if os.path.isdir(dstage) else []:
+            shutil.rmtree(os.path.join(dstage, d), ignore_errors=True)
+            removed.append(os.path.join("_staging", d))
         # orphan sweep: files referenced by NO surviving manifest (a merge
         # that crashed between staging and commit leaves these)
         referenced: set[str] = set()

@@ -40,7 +40,7 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from clustopher_spark.sources.merge_table import MergeTable
+from clustopher_spark.sources.merge_table import MergeTable, _validate_batch
 
 
 def stream_changes(spark, table_root: str) -> DataFrame:
@@ -106,6 +106,11 @@ def incremental_merge_table(
         if not os.path.isfile(os.path.join(table_root, "meta.json")):
             first = batch_df
             if op_col is not None and op_col in first.columns:
+                # merge() validates op values on every later batch; the
+                # bootstrap must too, BEFORE the delete-filter below would
+                # silently insert a typo'd op ('Upsert', NULL) as data —
+                # create() separately rejects null keys
+                _validate_batch(first, key_cols, op_col)
                 first = first.filter(
                     ~F.col(op_col).eqNullSafe("delete")
                 ).drop(op_col)

@@ -685,3 +685,150 @@ def test_stats_works_for_string_keys(spark, tmp_path):
     t.merge(batch, batch_id=0, num_files=1)
     s1 = t.stats()
     assert s1["max_key_coverage"] >= 2 and s1["overlap_factor"] > 1.0
+
+
+# --- round-6 hardening (ADVICE r5) ---
+
+
+def test_bad_op_value_rejected(spark, tmp_path, target):
+    """The merge algebra routes any op other than the literal 'upsert' to
+    the delete arm, so a typo'd ('Upsert') or NULL op would silently
+    delete the row's key — merge() rejects such batches before any
+    write."""
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(target, ["o_orderkey"], num_files=2)
+    typo = target.limit(3).withColumn("op", F.lit("Upsert"))
+    with pytest.raises(ValueError, match="not in \\['upsert', 'delete'\\]"):
+        t.merge(typo, op_col="op", batch_id=1)
+    null_op = target.limit(3).withColumn("op", F.lit(None).cast("string"))
+    with pytest.raises(ValueError, match="not in"):
+        t.merge(null_op, op_col="op", batch_id=1)
+    assert t._meta()["latest"] == 1  # nothing committed
+
+
+def test_create_rejects_null_keys(spark, tmp_path, target):
+    """create() applies the same null-key rejection as merge(): a null-key
+    row landed at bootstrap could never be updated or deleted afterwards
+    (the streaming bootstrap goes through create)."""
+    poisoned = target.limit(5).withColumn(
+        "o_orderkey", F.lit(None).cast("long")
+    ).unionByName(target.limit(20))
+    with pytest.raises(ValueError, match="NULL in key"):
+        MergeTable(spark, str(tmp_path / "t")).create(poisoned, ["o_orderkey"])
+    import os
+    assert not os.path.isfile(str(tmp_path / "t" / "meta.json"))
+
+
+def test_streaming_bootstrap_rejects_bad_op(spark, tmp_path, target):
+    """The stream's bootstrap branch validates op values BEFORE its
+    delete-filter would silently insert a typo'd op as data."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from clustopher_spark.streaming.merge_table import incremental_merge_table
+
+    src = str(tmp_path / "src")
+    target.limit(50).withColumn("op", F.lit("Upsert")).coalesce(1).write.parquet(
+        src + "/b0"
+    )
+    schema = target.limit(0).withColumn("op", F.lit("x")).schema
+    stream = spark.readStream.schema(schema).parquet(src + "/b*")
+    with pytest.raises(StreamingQueryException, match="not in"):
+        incremental_merge_table(
+            stream, str(tmp_path / "tbl"), key_cols=["o_orderkey"], op_col="op"
+        )
+
+
+def test_serving_merge_rejects_duplicate_keys(spark, tmp_path, target):
+    """TableService.merge enforces MERGE's one-source-row-per-target-key
+    precondition: an HTTP batch with two rows for one key would commit
+    duplicate keys and a corrupt change feed (no order column exists over
+    HTTP to break the tie)."""
+    from clustopher_spark.serving import TableService
+
+    root = str(tmp_path / "tables")
+    MergeTable(spark, root + "/orders").create(target, ["o_orderkey"], num_files=2)
+    svc = TableService(spark, root)
+    row = target.limit(1).collect()[0]
+    as_json = {
+        k: (v.isoformat() if hasattr(v, "isoformat") else v)
+        for k, v in row.asDict().items()
+    }
+    dup = [dict(as_json, op="upsert"), dict(as_json, o_totalprice=1.0, op="upsert")]
+    with pytest.raises(ValueError, match="duplicate"):
+        svc.merge("orders", dup, batch_id=1)
+    assert MergeTable(spark, root + "/orders")._meta()["latest"] == 1
+
+
+def test_ivm_all_null_sum_groups(spark):
+    """SUM over a group whose values are all NULL is NULL, not 0 — both
+    for a group BORN all-NULL (insert-only delta) and for a group that
+    BECOMES all-NULL when deletes remove its non-null rows (exact via the
+    bootstrap helper's non-null counts)."""
+    from clustopher_spark.operators.ivm import (
+        bootstrap_count_sum_view,
+        incremental_count_sum_view,
+    )
+
+    tbl = spark.createDataFrame(
+        [("mixed", 5.0), ("mixed", None), ("allnull", None)],
+        "g string, v double",
+    )
+    base = bootstrap_count_sum_view(tbl, ["g"], {"v": "s"}, count_col="n")
+    # sanity: the seeded view matches plain SQL semantics
+    got0 = {r.g: (r.n, r.s) for r in base.collect()}
+    assert got0["allnull"] == (1, None) and got0["mixed"] == (2, 5.0)
+
+    cdf = spark.createDataFrame(
+        [
+            ("born_null", None, "insert"),   # new group, all-NULL values
+            ("mixed", 5.0, "delete"),        # removes the only non-null row
+        ],
+        "g string, v double, _change_type string",
+    )
+    out = incremental_count_sum_view(
+        base, cdf, ["g"], {"v": "s"}, count_col="n", keep_state=True
+    )
+    got = {r.g: (r.n, r.s) for r in out.collect()}
+    assert got["born_null"] == (1, None)   # NULL, not 0
+    assert got["mixed"] == (1, None)       # became all-NULL -> sum NULL
+    assert got["allnull"] == (1, None)
+    # recompute oracle: apply the same changes to the table directly
+    post = spark.createDataFrame(
+        [("mixed", None), ("allnull", None), ("born_null", None)],
+        "g string, v double",
+    )
+    expect = {
+        r.g: (r.n, r.s)
+        for r in post.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert {g: got[g] for g in expect} == expect
+    # chained: the keep_state view stays maintainable (delete born_null)
+    cdf2 = spark.createDataFrame(
+        [("born_null", None, "delete")], "g string, v double, _change_type string"
+    )
+    out2 = incremental_count_sum_view(
+        out, cdf2, ["g"], {"v": "s"}, count_col="n", keep_state=True
+    )
+    assert {r.g for r in out2.collect()} == {"mixed", "allnull"}
+
+
+def test_concurrent_staging_survives_write(spark, tmp_path, target):
+    """_write_files removes only ITS OWN uuid staging dir: a concurrent
+    writer's in-flight staging under {root}/_staging must survive a merge
+    (the per-table serving lock only serializes HTTP callers); vacuum —
+    documented as never concurrent to a merge — sweeps leftovers."""
+    import os
+
+    root = str(tmp_path / "t")
+    t = MergeTable(spark, root)
+    t.create(target, ["o_orderkey"], num_files=2)
+    foreign = os.path.join(root, "_staging", "other-writer")
+    os.makedirs(foreign)
+    marker = os.path.join(foreign, "part-inflight.parquet")
+    open(marker, "w").write("x")
+    t.merge(target.limit(5).withColumn("o_totalprice", F.lit(9.9)), batch_id=1)
+    assert os.path.isfile(marker)  # concurrent staging untouched by merge
+    t.vacuum(keep_last=1)
+    assert not os.path.isdir(foreign)  # swept by vacuum (single-writer window)
