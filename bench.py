@@ -103,6 +103,11 @@ BENCH_QUERIES = [
     "llm_bm25_retrieval",
     "llm_hybrid_retrieval_rrf",
     "llm_random_projection",
+    # round-6 addition: the serving twin of llm_ann_ivfpq_topk — queries a
+    # PREBUILT persisted index (rep 1 pays the one-time build; the
+    # committed best-of is the partition-pruned probe, the per-request
+    # cost a vector service pays)
+    "llm_ann_ivfpq_index_topk",
 ]
 
 

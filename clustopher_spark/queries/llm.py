@@ -356,6 +356,47 @@ def llm_ann_ivfpq(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+# one prebuilt persisted index per (process, sf_dir) — the serving shape:
+# build once, query many. atexit removes the temp roots.
+_IVFPQ_REG_CACHE: dict[str, object] = {}
+
+
+def _ivfpq_reg_index(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from clustopher_spark.sources.vector_index import IVFPQIndex
+
+    idx = _IVFPQ_REG_CACHE.get(sf_dir)
+    if idx is None:
+        root = tempfile.mkdtemp(prefix="clustopher_ivfpq_reg_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        idx = IVFPQIndex(
+            spark, f"{root}/idx", n_lists=16, m_subvectors=8, n_codes=64
+        )
+        idx.build(table(spark, sf_dir, "embeddings"))
+        _IVFPQ_REG_CACHE[sf_dir] = idx
+    return idx
+
+
+@register("llm_ann_ivfpq_index_topk")  # the SERVING twin of
+# llm_ann_ivfpq_topk (r5 verdict item 4): the one-shot entry above
+# retrains both quantizers per call by API design (the recall reference);
+# this entry queries a PREBUILT persisted IVFPQIndex
+# (sources/vector_index.py) — the per-request cost a vector-search
+# service actually pays. The probed lists reach the scan as a partition
+# filter (directory-level pruning; plan-trait-asserted in
+# tests/test_plan_traits.py). rows-only: KMeans training is not
+# SQL-expressible; answer-equality of the index vs the one-shot pipeline
+# under frozen quantizers is pinned in tests/test_vector_index.py.
+def llm_ann_ivfpq_index(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    idx = _ivfpq_reg_index(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5)
+    return idx.topk(q, k=5, n_probe=8, refine=8).orderBy("query_id", "rank")
+
+
 @register(
     "llm_embedding_norms_by_label",
     oracle="""

@@ -337,9 +337,9 @@ class TableService:
         hits = type(t).prune_entries(entries, lo=k, hi=k)
         if not hits:
             return {"rows": [], "files_scanned": 0}
-        df = self.spark.read.parquet(
-            *[os.path.join(t.root, "files", e["file"]) for e in hits]
-        )
+        # versioned-schema read: post-evolution manifests mix files with
+        # different physical schemas; the explicit schema NULL-fills
+        df = t._read_files(hits, v)
         rows = df.filter(F.col(meta["key_cols"][0]) == F.lit(k)).limit(100).collect()
         return {"rows": [_json_row(r) for r in rows], "files_scanned": len(hits)}
 
@@ -380,6 +380,18 @@ class TableService:
             if f.name not in raw.columns:
                 raise ValueError(f"missing column {f.name}")
             cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        # schema evolution is an engine-level operation (MergeTable.merge
+        # with a widened source); over HTTP an unknown field is far more
+        # likely a typo than an intentional new column — reject loudly
+        # rather than silently dropping it (or silently widening the table)
+        known = set(schema.fieldNames()) | ({op_col} if op_col else set())
+        unknown = sorted(c for c in raw.columns if c not in known)
+        if unknown:
+            raise ValueError(
+                f"unknown column(s) {unknown} — schema evolution is not "
+                "supported over HTTP; use MergeTable.merge with a widened "
+                "source"
+            )
         if op_col is not None:
             if op_col not in raw.columns:
                 raise ValueError(f"missing op column {op_col}")

@@ -105,6 +105,24 @@ def _validate_batch(source: DataFrame, key_cols: list[str], op_col: str | None) 
         )
 
 
+def evolve_target(
+    target: DataFrame, source: DataFrame, op_col: str | None = None
+) -> DataFrame:
+    """Schema evolution's backfill half: NULL-extend ``target`` with every
+    source column it lacks (except the op column), typed from the source.
+    ``merge_frames(evolve_target(t, s, op), s, keys, op)`` is the add-a-
+    column MERGE — existing rows read NULL for the new column, upserted
+    rows carry their values; :meth:`MergeTable.merge` applies the same
+    backfill before committing and records the widened schema."""
+    extra = [
+        f for f in source.schema.fields
+        if f.name not in target.columns and f.name != op_col
+    ]
+    return target.select(
+        "*", *[F.lit(None).cast(f.dataType).alias(f.name) for f in extra]
+    )
+
+
 def merge_frames(
     target: DataFrame,
     source: DataFrame,
@@ -236,6 +254,34 @@ class MergeTable:
         with open(os.path.join(vdir, "manifest.json"), "w") as f:
             json.dump(entries, f)
 
+    # --- per-version schema (schema evolution) ---
+
+    def _write_schema(self, version: int, df: DataFrame) -> None:
+        """Persist the version's logical schema: after an add-column merge
+        a manifest mixes files written under different physical schemas,
+        so reads pass this schema explicitly (parquet fills columns a
+        file lacks with NULL) and time travel reads each version with the
+        schema it committed under."""
+        vdir = os.path.join(self.root, "versions", f"v{version}")
+        os.makedirs(vdir, exist_ok=True)
+        with open(os.path.join(vdir, "schema.json"), "w") as f:
+            json.dump(json.loads(df.schema.json()), f)
+
+    def _schema(self, version: int):
+        path = os.path.join(self.root, "versions", f"v{version}", "schema.json")
+        if not os.path.isfile(path):
+            return None  # legacy version (pre-evolution layout): infer
+        from pyspark.sql.types import StructType
+
+        with open(path) as f:
+            return StructType.fromJson(json.load(f))
+
+    def _read_files(self, entries: list[dict], version: int) -> DataFrame:
+        paths = [os.path.join(self.root, "files", e["file"]) for e in entries]
+        sch = self._schema(version)
+        reader = self.spark.read.schema(sch) if sch is not None else self.spark.read
+        return reader.parquet(*paths)
+
     def _write_files(self, df: DataFrame, key_cols: list[str], num_files: int) -> list[dict]:
         """Write ``df`` as range-partitioned, key-sorted immutable files in
         the shared pool; return manifest entries with per-file key stats.
@@ -344,6 +390,7 @@ class MergeTable:
         os.makedirs(os.path.join(self.root, "changes"), exist_ok=True)
         entries = self._write_files(df, key_cols, num_files)
         self._write_manifest(1, entries)
+        self._write_schema(1, df)
         meta = {
             "latest": 1,
             "key_cols": list(key_cols),
@@ -366,9 +413,8 @@ class MergeTable:
         v = int(version if version is not None else meta["latest"])
         entries = self._manifest(v)
         if not entries:
-            return self._empty(meta)
-        paths = [os.path.join(self.root, "files", e["file"]) for e in entries]
-        return self.spark.read.parquet(*paths)
+            return self._empty(meta, v)
+        return self._read_files(entries, v)
 
     def scan(
         self,
@@ -388,10 +434,8 @@ class MergeTable:
         v = int(version if version is not None else meta["latest"])
         hits = self.prune_entries(self._manifest(v), lo, hi)
         if not hits:
-            return self._empty(meta)
-        df = self.spark.read.parquet(
-            *[os.path.join(self.root, "files", e["file"]) for e in hits]
-        )
+            return self._empty(meta, v)
+        df = self._read_files(hits, v)
         key0 = meta["key_cols"][0]
         if lo is not None:
             df = df.filter(F.col(key0) >= F.lit(lo))
@@ -414,15 +458,18 @@ class MergeTable:
             )
         ]
 
-    def _empty(self, meta: dict) -> DataFrame:
-        # an empty latest manifest (everything deleted): reconstruct the
-        # schema from any historical file, else fail loudly
+    def _empty(self, meta: dict, version: int | None = None) -> DataFrame:
+        # an empty manifest (everything deleted): the persisted version
+        # schema answers directly; legacy layouts reconstruct it from any
+        # historical file, else fail loudly
+        if version is not None:
+            sch = self._schema(version)
+            if sch is not None:
+                return self.spark.createDataFrame([], sch)
         for h in reversed(meta.get("history", [])):
             entries = self._manifest(h["version"])
             if entries:
-                df = self.spark.read.parquet(
-                    os.path.join(self.root, "files", entries[0]["file"])
-                )
+                df = self._read_files(entries[:1], h["version"])
                 return df.limit(0)
         raise FileNotFoundError(f"{self.root}: no data files in any version")
 
@@ -472,6 +519,15 @@ class MergeTable:
         change feed under ``changes/v{N}``; commits atomically. Returns
         the new version, or None when ``batch_id`` was already applied
         (replay skip).
+
+        Schema evolution (widening only): a source carrying columns the
+        table lacks ADDS them — existing rows read NULL for the new
+        columns (untouched files are never rewritten; reads backfill via
+        the per-version schema), upserted rows carry their values, and
+        time travel still reads old versions under their own schema. A
+        source MISSING existing table columns is rejected (no implicit
+        column drops — an upsert with a forgotten column would silently
+        null it).
         """
         meta = self._meta()
         if batch_id is not None and batch_id <= meta.get("last_batch", -1):
@@ -483,6 +539,17 @@ class MergeTable:
         target_touched = None
         try:
             _validate_batch(source, key_cols, op_col)
+            existing = meta.get("columns") or self.read(meta["latest"]).columns
+            missing = [c for c in existing if c not in source.columns]
+            if missing:
+                raise ValueError(
+                    f"source is missing table column(s) {missing} — a merge "
+                    "source must carry every existing column (columns can be "
+                    "added, never implicitly dropped)"
+                )
+            added = [
+                c for c in source.columns if c not in existing and c != op_col
+            ]
             touched = self._touched(entries, source, key_cols[0])
             touched_entries = [e for e in entries if e["file"] in touched]
             untouched_entries = [e for e in entries if e["file"] not in touched]
@@ -491,11 +558,16 @@ class MergeTable:
                 # partitioner's sampling pass otherwise each re-scan the
                 # touched files (~6 reads measured in the scale rehearsal).
                 # Memory is bounded by the pruned file set, not the table.
-                target_touched = self.spark.read.parquet(
-                    *[os.path.join(self.root, "files", e["file"]) for e in touched_entries]
+                target_touched = self._read_files(
+                    touched_entries, int(meta["latest"])
                 ).cache()
             else:
                 target_touched = self.read(meta["latest"]).limit(0)
+            if added:
+                # NULL-extend the touched slice so the merge algebra and
+                # the CDF see the widened schema; carried files stay
+                # as-written (their NULLs come from the versioned read)
+                target_touched = evolve_target(target_touched, source, op_col)
             version = int(meta["latest"]) + 1
             # the feed is STAGED under an underscore-prefixed dir (Spark
             # readers skip _-paths by convention) and published by rename
@@ -513,6 +585,7 @@ class MergeTable:
             nf = num_files or max(1, len(touched_entries)) + 1
             new_entries = self._write_files(merged, key_cols, nf)
             self._write_manifest(version, untouched_entries + new_entries)
+            self._write_schema(version, merged)
         finally:
             source.unpersist()
             if target_touched is not None and touched_entries:
@@ -520,16 +593,19 @@ class MergeTable:
         meta["latest"] = version
         if batch_id is not None:
             meta["last_batch"] = batch_id
-        meta["history"].append(
-            {
-                "version": version,
-                "operation": "merge",
-                "rows": sum(e["rows"] for e in untouched_entries + new_entries),
-                "files": len(untouched_entries) + len(new_entries),
-                "files_rewritten": len(touched_entries),
-                "files_carried": len(untouched_entries),
-            }
-        )
+        if added:
+            meta["columns"] = list(existing) + added
+        hist_entry = {
+            "version": version,
+            "operation": "merge",
+            "rows": sum(e["rows"] for e in untouched_entries + new_entries),
+            "files": len(untouched_entries) + len(new_entries),
+            "files_rewritten": len(touched_entries),
+            "files_carried": len(untouched_entries),
+        }
+        if added:
+            hist_entry["schema_added"] = added
+        meta["history"].append(hist_entry)
         self._commit(meta)
         self._heal_staged_feeds(meta)
         return version
@@ -665,6 +741,7 @@ class MergeTable:
         version = int(meta["latest"]) + 1
         new_entries = self._write_files(df, key_cols, num_files)
         self._write_manifest(version, new_entries)
+        self._write_schema(version, df)
         meta["latest"] = version
         meta["history"].append(
             {

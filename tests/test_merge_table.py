@@ -755,8 +755,18 @@ def test_serving_merge_rejects_duplicate_keys(spark, tmp_path, target):
     }
     dup = [dict(as_json, op="upsert"), dict(as_json, o_totalprice=1.0, op="upsert")]
     with pytest.raises(ValueError, match="duplicate"):
-        svc.merge("orders", dup, batch_id=1)
+        svc.merge("orders", dup, batch_id=1, op_col="op")
     assert MergeTable(spark, root + "/orders")._meta()["latest"] == 1
+    # an unrecognized JSON field is a typo until proven otherwise: no
+    # silent drop, no silent widening — 400 naming it (engine-level
+    # MergeTable.merge is the schema-evolution path)
+    with pytest.raises(ValueError, match="unknown column"):
+        svc.merge(
+            "orders",
+            [dict(as_json, o_totalpryce=1.0, op="upsert")],
+            batch_id=2,
+            op_col="op",
+        )
 
 
 def test_ivm_all_null_sum_groups(spark):
@@ -832,3 +842,107 @@ def test_concurrent_staging_survives_write(spark, tmp_path, target):
     assert os.path.isfile(marker)  # concurrent staging untouched by merge
     t.vacuum(keep_last=1)
     assert not os.path.isdir(foreign)  # swept by vacuum (single-writer window)
+
+
+def test_schema_evolution_add_column(spark, tmp_path, target):
+    """Widening merge (r5 verdict item 5): a corrections batch carrying a
+    NEW column adds it — carried rows read NULL (untouched files are never
+    rewritten), upserted rows carry values, time travel reads v1 under its
+    own schema, and the commit's CDF carries the widened schema."""
+    import os
+
+    from clustopher_spark.sources.merge_table import evolve_target
+
+    root = str(tmp_path / "t")
+    t = MergeTable(spark, root)
+    t.create(target, ["o_orderkey"], num_files=4)
+    lo = target.agg(F.min("o_orderkey")).collect()[0][0]
+    batch = (
+        target.filter(F.col("o_orderkey") <= lo + 40)
+        .withColumn("note", F.concat(F.lit("fixed-"), F.col("o_orderkey")))
+        .withColumn("op", F.lit("upsert"))
+    )
+    v = t.merge(batch, op_col="op", batch_id=1)
+    assert v == 2
+    got = t.read()
+    assert "note" in got.columns
+    # matches the pure evolve+merge algebra exactly
+    expected = merge_frames(
+        evolve_target(target, batch, "op"), batch, ["o_orderkey"], op_col="op"
+    )
+    assert _frames_equal(got, expected)
+    n_batch = batch.count()
+    assert got.filter(F.col("note").isNotNull()).count() == n_batch
+    assert got.filter(F.col("note").isNull()).count() == target.count() - n_batch
+    # untouched files were carried, not rewritten
+    h = t.history()[-1]
+    assert h["schema_added"] == ["note"] and h["files_carried"] > 0
+    # time travel: v1 reads under its OWN schema (no note column)
+    assert "note" not in t.read(version=1).columns
+    assert _frames_equal(t.read(version=1), target)
+    # the CDF for the widening commit carries the new column
+    cdf = t.changes(1, 2)
+    assert "note" in cdf.columns
+    assert cdf.filter(
+        (F.col("_change_type") == "update_post") & F.col("note").isNotNull()
+    ).count() == n_batch
+    # update_pre images show the OLD row: note did not exist -> NULL
+    assert cdf.filter(F.col("_change_type") == "update_pre")\
+        .filter(F.col("note").isNotNull()).count() == 0
+    # a later merge against the widened table must carry the new column
+    with pytest.raises(ValueError, match="missing table column"):
+        t.merge(target.limit(3).withColumn("op", F.lit("upsert")),
+                op_col="op", batch_id=2)
+    # point-lookup pruning still works across mixed-schema files
+    hit = type(t).prune_entries(t._manifest(2), lo=lo, hi=lo)
+    assert 0 < len(hit) < len(t._manifest(2))
+    # a second widening merge on top (evolution composes)
+    batch2 = (
+        t.read().filter(F.col("o_orderkey") <= lo + 10)
+        .withColumn("rank", F.lit(7).cast("int"))
+        .withColumn("op", F.lit("upsert"))
+    )
+    n2 = batch2.count()
+    batch2 = batch2.localCheckpoint(eager=True)  # pin: vacuum below drops v3's files
+    v3 = t.merge(batch2, op_col="op", batch_id=3)
+    assert set(t._meta()["columns"]) >= {"note", "rank"}
+    assert t.read(version=v3).filter(F.col("rank") == 7).count() == n2
+    assert "rank" not in t.read(version=2).columns
+    # vacuum below the widening boundary keeps the evolved latest readable
+    t.vacuum(keep_last=1)
+    assert t.read().filter(F.col("rank") == 7).count() == n2
+
+
+def test_schema_evolution_cdc_stream_null_fills_old_feeds(spark, tmp_path, target):
+    """stream_changes across a widening: the stream's schema is the
+    CURRENT table schema, so feed files committed BEFORE the evolution
+    read with NULL for the new column, after with real values."""
+    from clustopher_spark.streaming.merge_table import stream_changes
+
+    root = str(tmp_path / "t")
+    t = MergeTable(spark, root)
+    t.create(target, ["o_orderkey"], num_files=4)
+    lo = target.agg(F.min("o_orderkey")).collect()[0][0]
+    pre = target.filter(F.col("o_orderkey") <= lo + 10).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    t.merge(pre, batch_id=1)  # v2: pre-evolution commit
+    widened = (
+        target.filter(F.col("o_orderkey") <= lo + 10)
+        .withColumn("note", F.lit("n1"))
+    )
+    t.merge(widened, batch_id=2)  # v3: widening commit
+    seen = []
+    q = (
+        stream_changes(spark, root)
+        .writeStream.foreachBatch(lambda df, bid: seen.append(df.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "_cdcckpt")
+        .start()
+    )
+    q.awaitTermination()
+    rows = [r for b in seen for r in b]
+    v2 = [r for r in rows if r._commit_version == 2]
+    v3 = [r for r in rows if r._commit_version == 3 and r._change_type == "update_post"]
+    assert v2 and all(r.note is None for r in v2)     # old feed: NULL-filled
+    assert v3 and all(r.note == "n1" for r in v3)     # new feed: real values

@@ -218,3 +218,19 @@ def test_merge_table_target_never_shuffled(spark):
         p = plan_of(name, spark)
         assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, name
         assert re.search(r"BroadcastHashJoin LeftAnti", p), name
+
+
+def test_ivfpq_index_registry_entry_is_partition_pruned(spark):
+    """llm_ann_ivfpq_index_topk (the serving twin) queries the prebuilt
+    persisted index: the probed list ids must reach the scan as a
+    PartitionFilters entry (directory-level pruning), and no KMeans
+    retraining happens per call — the second invocation reuses the cached
+    index (its plan never scans the raw embeddings table)."""
+    plan = plan_of("llm_ann_ivfpq_index_topk", spark)
+    assert "PartitionFilters" in plan
+    assert "list_id" in plan.split("PartitionFilters", 1)[1][:300]
+    # the only embeddings.parquet read is the QUERY-VECTOR fetch, bounded
+    # by a pushed vec_id predicate — the corpus side comes from the index
+    # store's pruned partitions, never a full corpus scan
+    for seg in plan.split("embeddings.parquet")[1:]:
+        assert "LessThan(vec_id,5)" in seg[:300]

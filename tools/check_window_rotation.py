@@ -63,10 +63,26 @@ def main() -> int:
     for s in staleness.values():
         by_stale[s] = by_stale.get(s, 0) + 1
     worst = max(staleness.values()) if staleness else 0
+    # Two numbers, explicitly labeled (r5 verdict item 2: the r5 cert
+    # quoted "max 3" measured BEFORE the driver wrote CORRECTNESS_r05, the
+    # judge re-ran AFTER and saw 4 — the same cohort, one round older; the
+    # statement silently expired rather than being wrong). "as of round N"
+    # is what this round's certification may quote; the projection is what
+    # NEXT round's judge will see if its window seats nothing — quote both
+    # or neither.
     print(
-        "staleness after this round: "
+        f"staleness after round {pending} runs this window: "
         + ", ".join(f"{s}r x{by_stale[s]}" for s in sorted(by_stale))
         + f" (max {worst})"
+    )
+    proj = {
+        n: 1 if n in window else s + 1 for n, s in staleness.items()
+    }
+    worst_next = max(proj.values()) if proj else 0
+    print(
+        f"projection at round {pending + 1}'s start (before its window "
+        f"seats anything): max {worst_next} — next round's rotation must "
+        "seat the cohort(s) at that mark"
     )
     if worst > 3:
         stalest = sorted(n for n, s in staleness.items() if s == worst)
