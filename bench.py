@@ -873,6 +873,42 @@ def family_merge_table(spark, timings, reps):
             spark, timings, reps, "merge_table_cdc_drain", c_times,
             f"{n_images} change images across 2 commits",
         )
+
+        # the commit bound an order of magnitude up (r5 verdict item 3):
+        # a 10k key-confined batch onto a 10M-row / 512-file table — if
+        # the commit really is O(touched files + batch), this entry stays
+        # in the same few-second band as merge_table_merge_10k instead of
+        # scaling with the table. Table build is untimed setup; 3 reps
+        # with the first as warm-up (distinct same-shape batches onto
+        # successive versions, the store-publish protocol).
+        n10, nf10 = 10_000_000, 512
+        tbl10 = spark.range(0, n10, 1, 64).selectExpr(
+            "id as row_key",
+            "pmod(abs(hash(id * 13)), 1000000) / 100.0 as amount",
+            "concat('s', pmod(id, 50)) as source",
+        )
+        mt10 = MergeTable(spark, f"{root}/t10m")
+        mt10.create(tbl10, ["row_key"], num_files=nf10)
+        m10_times = []
+        hist10 = None
+        for i in (1, 2, 3):
+            b10 = spark.range(0, 10_000, 1, 4).selectExpr(
+                f"if(pmod(id, 2) = 0, id * 10, id + {n10} * {i}) as row_key",
+                "0.0 as amount",
+                "'fix' as source",
+            ).localCheckpoint(eager=True)
+            b10.count()
+            t0 = time.perf_counter()
+            mt10.merge(b10, batch_id=i)
+            m10_times.append(time.perf_counter() - t0)
+            if hist10 is None:
+                hist10 = mt10.history()[-1]
+        _report(
+            spark, timings, reps, "merge_table_merge_10k_10m", m10_times,
+            f"{hist10['files_rewritten']} of {nf10} files rewritten"
+            f" on a {n10:,}-row table",
+            warmup=1,
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

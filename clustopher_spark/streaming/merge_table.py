@@ -43,7 +43,9 @@ from pyspark.sql import functions as F
 from clustopher_spark.sources.merge_table import MergeTable, _validate_batch
 
 
-def stream_changes(spark, table_root: str) -> DataFrame:
+def stream_changes(
+    spark, table_root: str, options: dict | None = None
+) -> DataFrame:
     """The table's change feed as a STREAMING SOURCE: every merge commit's
     CDF becomes one batch of pre/post/insert/delete images — the produce
     side of a CDC pipeline (downstream IVM, replication, cache
@@ -56,7 +58,29 @@ def stream_changes(spark, table_root: str) -> DataFrame:
     the rename is the publication event. A crash BETWEEN a commit and its
     rename is healed by the writer itself (every later merge, changes()
     call, or vacuum publishes all committed staged feeds), so a live
-    pipeline's gap lasts at most one batch."""
+    pipeline's gap lasts at most one batch.
+
+    Listing growth (the glob re-lists ``changes/v*`` every trigger) is
+    bounded by TWO mechanisms, so a year-long table never accumulates
+    unbounded feed dirs:
+
+    * **vacuum retention** — ``MergeTable.vacuum(keep_last=N)`` deletes
+      the feed dirs of dropped versions with their data files; a consumer
+      that already drained them continues unaffected (the file source's
+      checkpoint tolerates seen files disappearing — pinned by test), and
+      a consumer still BELOW the retention window fails fast through
+      ``changes()`` rather than silently skipping commits. Size
+      ``keep_last`` to the slowest consumer's lag.
+    * **maxFileAge** — Spark's file source ignores files older than this
+      relative to the newest (default ``7d``), so even without vacuum the
+      per-trigger working set is time-bounded for a resumed stream.
+
+    ``options`` passes file-source knobs through (``maxFileAge``,
+    ``maxFilesPerTrigger`` for commit-paced draining, ...).
+
+    The stream's schema is the CURRENT table schema: after a widening
+    merge, feed files committed before the evolution read with NULL for
+    the added columns."""
     t = MergeTable(spark, table_root)
     schema = (
         t.read()
@@ -65,9 +89,10 @@ def stream_changes(spark, table_root: str) -> DataFrame:
         .withColumn("_commit_version", F.lit(0).cast("long"))
         .schema
     )
-    return spark.readStream.schema(schema).parquet(
-        os.path.join(table_root, "changes", "v*")
-    )
+    reader = spark.readStream.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.parquet(os.path.join(table_root, "changes", "v*"))
 
 
 def incremental_merge_table(

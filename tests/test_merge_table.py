@@ -946,3 +946,54 @@ def test_schema_evolution_cdc_stream_null_fills_old_feeds(spark, tmp_path, targe
     v3 = [r for r in rows if r._commit_version == 3 and r._change_type == "update_post"]
     assert v2 and all(r.note is None for r in v2)     # old feed: NULL-filled
     assert v3 and all(r.note == "n1" for r in v3)     # new feed: real values
+
+
+def test_cdc_listing_bounded_by_vacuum_and_consumer_survives(spark, tmp_path, target):
+    """Feed-listing growth (r5 verdict item 6): vacuum deletes drained
+    commits' feed dirs so the CDC glob's working set is bounded by the
+    retention window, and a checkpointed consumer that already drained
+    those feeds resumes cleanly across the vacuum — only new commits
+    arrive, no error, no duplicates."""
+    import os
+
+    from clustopher_spark.streaming.merge_table import stream_changes
+
+    root = str(tmp_path / "t")
+    ckpt = root + "_cdcckpt"
+    t = MergeTable(spark, root)
+    t.create(target, ["o_orderkey"], num_files=4)
+    lo = target.agg(F.min("o_orderkey")).collect()[0][0]
+
+    def commit(i):
+        t.merge(
+            target.filter(F.col("o_orderkey") <= lo + 10)
+            .withColumn("o_totalprice", F.lit(float(i))),
+            batch_id=i,
+        )
+
+    for i in (1, 2, 3):
+        commit(i)  # v2..v4
+
+    def drain():
+        seen = []
+        q = (
+            stream_changes(spark, root, options={"maxFilesPerTrigger": "1"})
+            .writeStream.foreachBatch(lambda df, bid: seen.append(df.collect()))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        return [r for b in seen for r in b]
+
+    first = drain()
+    assert {r._commit_version for r in first} == {2, 3, 4}
+
+    # retention: keep only the newest version -> older feed dirs deleted
+    t.vacuum(keep_last=1)
+    feed_dirs = [d for d in os.listdir(os.path.join(root, "changes")) if d.startswith("v")]
+    assert feed_dirs == ["v4"]  # listing bounded by the retention window
+
+    commit(4)  # v5, after the vacuum
+    resumed = drain()  # same checkpoint across the vacuum
+    assert {r._commit_version for r in resumed} == {5}  # new commit only, once

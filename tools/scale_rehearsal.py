@@ -39,6 +39,13 @@ Paths and the predictions under test (SCALE.md):
    to the touched files, the broadcast batch key set bounds the
    exchange, so BOTH input and shuffle records are O(touched files +
    batch) — independent of table size.
+7. merge-table commit at 10M rows / 512 files (r5 verdict item 3): the
+   same bound one order of magnitude up, PLUS the driver-side costs that
+   grow with file count — stats()'s sweep line and _touched's per-file
+   interval checks are O(files log files) over footer stats and must
+   stay sub-second at 512 files (the design argument for a
+   million-file table puts them in the milliseconds-per-thousand-files
+   regime, which this measures directly).
 
 Usage: python tools/scale_rehearsal.py [--docs N]
 Prints a per-stage table per path plus a PASS/FAIL line per prediction.
@@ -369,6 +376,61 @@ def main():
             f"rewrote {hist['files_rewritten']}/{n_files} files; shuffle"
             f" {tot['swr']:,} / input {in_rec:,} records vs table {n_tbl:,}"
             f" ({tot['swr'] / n_tbl:.2%} of table size shuffled)",
+        ))
+
+        # ---- 7. merge-table commit bound at 10M rows / 512 files --------
+        # (r5 verdict item 3: the 500k bound above, one order of magnitude
+        # up, plus the O(files) driver sweeps measured directly)
+        n_tbl10, n_mb10, n_files10 = 10_000_000, 10_000, 512
+        tbl10 = spark.range(0, n_tbl10, 1, 64).selectExpr(
+            "id as row_key",
+            "pmod(abs(hash(id * 13)), 1000000) / 100.0 as amount",
+            "concat('s', pmod(id, 50)) as source",
+        )
+        mt10 = MergeTable(spark, f"{tmp}/merge_tbl_10m")
+        mt10.create(tbl10, ["row_key"], num_files=n_files10)  # untimed setup
+        # batch confined to ~0.5% of the keyspace: updates + fresh inserts
+        mb10 = spark.range(0, n_mb10, 1, 4).selectExpr(
+            f"if(pmod(id, 2) = 0, id * 10, id + {n_tbl10}) as row_key",
+            "0.0 as amount",
+            "'fix' as source",
+        ).localCheckpoint(eager=True)
+        mb10.count()
+        meter._snapshot()
+        dt, tot, fresh = meter.measure(
+            "merge_table_commit_10m (10k batch onto 10M rows / 512 files)",
+            lambda: mt10.merge(mb10, batch_id=1),
+        )
+        hist10 = mt10.history()[-1]
+        rows_per_file10 = n_tbl10 // n_files10 + 1
+        bound10 = hist10["files_rewritten"] * rows_per_file10 + n_mb10
+        in_rec = sum(s["inputRecords"] for s in fresh)
+        results.append(check(
+            "10M-row merge commit stays O(touched files + batch)",
+            hist10["files_rewritten"] <= 8
+            and tot["swr"] <= 6 * bound10
+            and in_rec <= 12 * bound10,
+            f"rewrote {hist10['files_rewritten']}/{n_files10} files; shuffle"
+            f" {tot['swr']:,} / input {in_rec:,} records vs table"
+            f" {n_tbl10:,} ({tot['swr'] / n_tbl10:.3%} of table size shuffled)",
+        ))
+        # the O(files) driver components, measured (not argued): stats()'s
+        # sweep line over the 513-entry manifest and _touched's exact
+        # per-file interval check (includes its two batch-sized Spark jobs)
+        t0 = time.perf_counter()
+        st10 = mt10.stats()
+        t_stats = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        touched10 = mt10._touched(
+            mt10._manifest(mt10._meta()["latest"]), mb10, "row_key"
+        )
+        t_touch = time.perf_counter() - t0
+        results.append(check(
+            "driver sweeps sub-second at 512 files (stats sweep; _touched"
+            " incl. its batch-sized jobs <= 2s)",
+            t_stats < 1.0 and t_touch < 2.0,
+            f"stats {t_stats * 1000:.0f} ms over {st10['files']} files;"
+            f" _touched {t_touch * 1000:.0f} ms -> {len(touched10)} files",
         ))
 
         print(f"\n{'ALL PREDICTIONS HOLD' if all(results) else 'PREDICTION FAILED'}"
