@@ -502,20 +502,22 @@ def family_pyramid_1m(spark, timings, reps):
         _unpersist_new(spark, before)
         return n
 
-    times, n_upd = _timed(lambda: run_update(batch_1m), 2)
+    times, n_upd = _timed(lambda: run_update(batch_1m), 3)
     _report(
         spark, timings, reps, "incremental_update_1m_plus_10k", times,
         f"{n_upd} pyramid rows",
+        warmup=1,
     )
 
     # the same update with a LOCALIZED batch (one metro-sized bbox) —
     # the realistic continuous-ingest shape; shows the dirty-supercell
     # pruning payoff directly.
     batch_city = _city_batch(spark, 10_000, seed=101, id_base=3_000_000)
-    times, n_city = _timed(lambda: run_update(batch_city), 2)
+    times, n_city = _timed(lambda: run_update(batch_city), 3)
     _report(
         spark, timings, reps, "incremental_update_1m_city_10k", times,
         f"{n_city} pyramid rows",
+        warmup=1,
     )
 
     # release everything but pts_1m BEFORE the store entry: it reads
@@ -987,7 +989,10 @@ def run_driver() -> None:
             stdout=subprocess.PIPE,
             stderr=sys.stderr,
             text=True,
-            timeout=3600,
+            # the 30M family runs three full builds + a bootstrap at 48g;
+            # headroom over the measured ~20 min so a slow-VM day cannot
+            # kill the artifact mid-family
+            timeout=5400,
         )
         wall = time.perf_counter() - t0
         got = None
