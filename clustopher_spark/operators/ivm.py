@@ -112,7 +112,6 @@ def apply_agg_delta(
     that synthesis is exact. ``keep_state=True`` keeps the ``_nn_``
     columns in the output so the view can be chained exactly.
     """
-    cols = [count_col, *value_cols]
     has_state = all(_nn(c) in base.columns for c in value_cols)
     if not has_state:
         # SUM is NULL iff the group had no non-null input, so NULL -> 0 is

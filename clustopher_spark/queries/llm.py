@@ -356,9 +356,11 @@ def llm_ann_ivfpq(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
-# one prebuilt persisted index per (process, sf_dir) — the serving shape:
-# build once, query many. atexit removes the temp roots.
-_IVFPQ_REG_CACHE: dict[str, object] = {}
+# one prebuilt persisted index per (session, sf_dir) — the serving shape:
+# build once, query many. Keyed on the live session too: a cached index
+# bound to a stopped SparkContext would fail (or serve stale frames) when
+# the process recreates its session. atexit removes the temp roots.
+_IVFPQ_REG_CACHE: dict[str, tuple[object, object]] = {}
 
 
 def _ivfpq_reg_index(spark, sf_dir):
@@ -368,15 +370,16 @@ def _ivfpq_reg_index(spark, sf_dir):
 
     from clustopher_spark.sources.vector_index import IVFPQIndex
 
-    idx = _IVFPQ_REG_CACHE.get(sf_dir)
-    if idx is None:
-        root = tempfile.mkdtemp(prefix="clustopher_ivfpq_reg_")
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-        idx = IVFPQIndex(
-            spark, f"{root}/idx", n_lists=16, m_subvectors=8, n_codes=64
-        )
-        idx.build(table(spark, sf_dir, "embeddings"))
-        _IVFPQ_REG_CACHE[sf_dir] = idx
+    hit = _IVFPQ_REG_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    root = tempfile.mkdtemp(prefix="clustopher_ivfpq_reg_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    idx = IVFPQIndex(
+        spark, f"{root}/idx", n_lists=16, m_subvectors=8, n_codes=64
+    )
+    idx.build(table(spark, sf_dir, "embeddings"))
+    _IVFPQ_REG_CACHE[sf_dir] = (spark, idx)
     return idx
 
 

@@ -358,6 +358,7 @@ class MergeTable:
         key_cols: list[str],
         num_files: int = 8,
         initial_last_batch: int = -1,
+        validate: bool = True,
     ) -> int:
         """Version 1: the initial table load. The first key column drives
         the manifest's range stats, so it must be an orderable scalar with
@@ -382,8 +383,11 @@ class MergeTable:
         # create time could never be updated or deleted afterwards (the
         # equality match never hits) — the exact hazard the merge-path
         # check exists to prevent, and the streaming bootstrap goes
-        # through here
-        _validate_batch(df, key_cols, None)
+        # through here. ``validate=False`` skips it for a caller that
+        # already ran the fused null+op check on the same rows (the
+        # streaming bootstrap) — one full scan of the batch, not two.
+        if validate:
+            _validate_batch(df, key_cols, None)
         os.makedirs(self.root, exist_ok=True)
         # exists from birth so a CDC stream can subscribe before the
         # first merge commit publishes a feed
@@ -639,7 +643,14 @@ class MergeTable:
         """The recorded change feed for commits in (from_version,
         to_version] — e.g. ``changes(3)`` = "everything since v3". O(sum
         of batch sizes), read straight from the write-time logs; never a
-        version diff over the table."""
+        version diff over the table.
+
+        Read under the UPPER BOUND version's schema: a range spanning a
+        widening commit mixes feed files written under different
+        schemas — plain inference would take one footer's schema (and
+        silently drop the new column from post-widening images); the
+        explicit schema NULL-fills the pre-widening feeds instead, the
+        same fix reads of the data files get from ``_read_files``."""
         meta = self._meta()
         hi = int(to_version if to_version is not None else meta["latest"])
         dirs = []
@@ -665,7 +676,26 @@ class MergeTable:
                 .withColumn("_change_type", F.lit(""))
                 .withColumn("_commit_version", F.lit(0).cast("long"))
             )
-        return self.spark.read.parquet(*dirs)
+        sch = self._feed_schema(hi)
+        reader = self.spark.read.schema(sch) if sch is not None else self.spark.read
+        return reader.parquet(*dirs)
+
+    def _feed_schema(self, version: int):
+        """The change-feed schema at ``version``: that version's table
+        schema plus the two CDF columns (None for legacy pre-evolution
+        layouts, which fall back to inference — they can't mix schemas)."""
+        base = self._schema(version)
+        if base is None:
+            return None
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        return StructType(
+            list(base.fields)
+            + [
+                StructField("_change_type", StringType()),
+                StructField("_commit_version", LongType()),
+            ]
+        )
 
     # --- maintenance ---
 

@@ -78,9 +78,13 @@ def stream_changes(
     ``options`` passes file-source knobs through (``maxFileAge``,
     ``maxFilesPerTrigger`` for commit-paced draining, ...).
 
-    The stream's schema is the CURRENT table schema: after a widening
-    merge, feed files committed before the evolution read with NULL for
-    the added columns."""
+    The stream's schema is the table schema AS OF STREAM START: a stream
+    started after a widening merge NULL-fills the pre-widening feeds. A
+    stream already RUNNING when a widening commits keeps its frozen
+    schema and will not see the new column until restarted (Spark file
+    sources fix their schema at start) — restart CDC consumers after a
+    widening; the checkpoint resumes exactly where they left off, now
+    under the widened schema."""
     t = MergeTable(spark, table_root)
     schema = (
         t.read()
@@ -146,6 +150,9 @@ def incremental_merge_table(
             table.create(
                 first, key_cols, num_files=num_files,
                 initial_last_batch=batch_id,
+                # the op-column branch above already ran the fused
+                # null+op check on these rows — don't scan the batch twice
+                validate=not (op_col is not None and op_col in batch_df.columns),
             )
             return
         merge_batch = batch_df.drop(order_col) if order_col else batch_df

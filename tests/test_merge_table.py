@@ -997,3 +997,27 @@ def test_cdc_listing_bounded_by_vacuum_and_consumer_survives(spark, tmp_path, ta
     commit(4)  # v5, after the vacuum
     resumed = drain()  # same checkpoint across the vacuum
     assert {r._commit_version for r in resumed} == {5}  # new commit only, once
+
+
+def test_changes_range_spanning_widening_keeps_new_column(spark, tmp_path, target):
+    """A changes() range spanning a widening commit mixes feed files
+    written under different schemas; the read must carry the upper-bound
+    version's schema (pre-widening feeds NULL-fill) — plain inference
+    would take one footer's schema and silently drop the new column from
+    post-widening images (code-review finding, round 6)."""
+    root = str(tmp_path / "t")
+    t = MergeTable(spark, root)
+    t.create(target, ["o_orderkey"], num_files=4)
+    lo = target.agg(F.min("o_orderkey")).collect()[0][0]
+    sl = target.filter(F.col("o_orderkey") <= lo + 10)
+    t.merge(sl.withColumn("o_totalprice", F.lit(1.0)), batch_id=1)  # v2: pre
+    t.merge(sl.withColumn("note", F.lit("n1")), batch_id=2)          # v3: widening
+    feed = t.changes(1)  # spans v2 (no note) + v3 (note)
+    assert "note" in feed.columns
+    post = feed.filter(
+        (F.col("_commit_version") == 3) & (F.col("_change_type") == "update_post")
+    )
+    n = sl.count()
+    assert post.filter(F.col("note") == "n1").count() == n  # values survive
+    assert feed.filter(F.col("_commit_version") == 2)\
+        .filter(F.col("note").isNotNull()).count() == 0     # old feed NULL-fills
