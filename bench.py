@@ -258,13 +258,14 @@ def family_materialize_serve(spark, timings, reps):
         # best-of-2: each rep materializes into its own directory (the
         # engine adopts the last read-back frame; rep 0's is just dropped)
         times = []
-        for i in range(2):
+        for i in range(3):
             t0 = time.perf_counter()
             eng.materialize(f"{tmp}/zoom_levels{i}").count()
             times.append(time.perf_counter() - t0)
         _report(
             spark, timings, reps, "materialize_zoom_pyramid",
             times, f"{n_points} points, zooms 0-10",
+            warmup=1,
         )
 
         # serving tier. Three honest numbers:
@@ -340,11 +341,12 @@ def family_skew(spark, timings, reps):
             hot, -180, -85, 180, 85, 0, ["value"],
             ClusterOptions(radius=100.0, min_points=2),
         ).count(),
-        2,
+        3,
     )
     _report(
         spark, timings, reps, "skew_hot_supercell_200k", times,
         f"{n_rows} clusters from {n_hot} pts in one cell",
+        warmup=1,
     )
 
 
@@ -369,11 +371,12 @@ def family_dbscan(spark, timings, reps):
             x_col="ix", y_col="iy", cc_stats=cc_stats,
         ).count()
 
-    times, n_db = _timed(run, 2)  # best-of-2: this VM shows rare 5-10x stalls
+    times, n_db = _timed(run, 3)  # this VM shows rare 5-10x stalls
     _report(
         spark, timings, reps, "spatial_dbscan_sf", times,
         f"{n_db} of {n_dpts} pts labeled, {cc_stats.get('rounds', 0)} star"
         f" rounds, {cc_stats.get('driver_edges', 0)} finisher edges",
+        warmup=1,
     )
 
 
@@ -768,7 +771,7 @@ def family_vector_index(spark, timings, reps):
         # publish entries.
         a_times = []
         n_batch = 0
-        for i in (1, 2):
+        for i in (1, 2, 3):
             batch = emb.filter(F.col("vec_id") < 10_000).select(
                 (F.col("vec_id") + 1_000_000 * i).alias("vec_id"),
                 "embedding",
@@ -780,6 +783,7 @@ def family_vector_index(spark, timings, reps):
         _report(
             spark, timings, reps, "vector_index_stream_append", a_times,
             f"{n_batch} vectors/batch onto the built index",
+            warmup=1,
         )
     finally:
         shutil.rmtree(vroot, ignore_errors=True)
@@ -807,21 +811,22 @@ def family_merge_table(spark, timings, reps):
     try:
         n_rows = li.count()
         b_times = []
-        for i in (1, 2):  # best-of-2 into fresh roots (create is a bulk load)
+        for i in (1, 2, 3):  # fresh roots (create is a bulk load); rep 1 warms
             t0 = time.perf_counter()
             MergeTable(spark, f"{root}/t{i}").create(li, ["row_key"], num_files=32)
             b_times.append(time.perf_counter() - t0)
         _report(
             spark, timings, reps, "merge_table_build", b_times,
             f"{n_rows} rows -> 32 key-ranged files",
+            warmup=1,
         )
 
-        tbl = MergeTable(spark, f"{root}/t2")
+        tbl = MergeTable(spark, f"{root}/t3")
         b = li.agg(F.min("row_key").alias("lo"), F.max("row_key").alias("hi")).collect()[0]
         cut = b.lo + (b.hi - b.lo) // 40  # batch confined to ~2.5% of keyspace
         hist = None
         m_times = []
-        for i in (1, 2):
+        for i in (1, 2, 3):
             base = li.filter(F.col("row_key") <= cut).limit(10_000)
             batch = (
                 base.filter(F.col("row_key") % 3 == 0)
@@ -844,9 +849,10 @@ def family_merge_table(spark, timings, reps):
         _report(
             spark, timings, reps, "merge_table_merge_10k", m_times,
             f"{hist['files_rewritten']} files rewritten / {hist['files_carried']} carried, CDF recorded",
+            warmup=1,
         )
 
-        # CDC consumption: drain both committed feeds through the
+        # CDC consumption: drain the committed feeds through the
         # streaming source (exactly-once file source). Reps use fresh
         # checkpoints over the same immutable feeds — comparable by
         # construction.
@@ -854,7 +860,7 @@ def family_merge_table(spark, timings, reps):
 
         c_times = []
         n_images = 0
-        for i in (1, 2):
+        for i in (1, 2, 3):
             counter = {"n": 0}
 
             def _count(df, bid, counter=counter):
@@ -862,7 +868,7 @@ def family_merge_table(spark, timings, reps):
 
             t0 = time.perf_counter()
             q = (
-                stream_changes(spark, f"{root}/t2")
+                stream_changes(spark, f"{root}/t3")
                 .writeStream.foreachBatch(_count)
                 .trigger(availableNow=True)
                 .option("checkpointLocation", f"{root}/cdc_ckpt_{i}")
@@ -873,7 +879,8 @@ def family_merge_table(spark, timings, reps):
             n_images = counter["n"]
         _report(
             spark, timings, reps, "merge_table_cdc_drain", c_times,
-            f"{n_images} change images across 2 commits",
+            f"{n_images} change images across the committed merges",
+            warmup=1,
         )
 
         # the commit bound an order of magnitude up (r5 verdict item 3):
@@ -929,7 +936,7 @@ def family_streaming(spark, timings, reps):
     n_ev = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     times = []
     n_out = 0
-    for i in range(2):
+    for i in range(3):
         name = f"bench_stream_tumbling_{i}"
         t0 = time.perf_counter()
         q = run_available_now(
@@ -944,7 +951,9 @@ def family_streaming(spark, timings, reps):
         q.stop()
     _report(
         spark, timings, reps, "streaming_tumbling_drain", times,
-        f"{n_ev} events -> {n_out} windows, {n_ev / min(times):,.0f} events/s",
+        f"{n_ev} events -> {n_out} windows,"
+        f" {n_ev / min(times[1:]):,.0f} events/s",
+        warmup=1,
     )
 
 
