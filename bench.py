@@ -366,17 +366,25 @@ def family_dbscan(spark, timings, reps):
     cc_stats: dict = {}
 
     def run():
-        return dbscan(
+        # dbscan checkpoints its partitioned base internally; release it
+        # after each rep or rep N runs under rep N-1's dead pinned blocks
+        # (observed ascending reps [9.8, 17.3, 21.1] without this)
+        before = _pinned_rdd_ids(spark)
+        n = dbscan(
             dpts, eps=_DBSCAN_EPS, min_pts=_DBSCAN_MINPTS,
             x_col="ix", y_col="iy", cc_stats=cc_stats,
         ).count()
+        _unpersist_new(spark, before)
+        return n
 
-    times, n_db = _timed(run, 3)  # this VM shows rare 5-10x stalls
+    # plain best-of-3, NO warm-up exclusion: unlike the page-cache-bound
+    # pyramid entries, dbscan's first rep is often its best — the
+    # variance source is iterative-job scheduling noise, not cold IO
+    times, n_db = _timed(run, 3)
     _report(
         spark, timings, reps, "spatial_dbscan_sf", times,
         f"{n_db} of {n_dpts} pts labeled, {cc_stats.get('rounds', 0)} star"
         f" rounds, {cc_stats.get('driver_edges', 0)} finisher edges",
-        warmup=1,
     )
 
 
