@@ -187,3 +187,116 @@ def incremental_count_sum_view(
         base, delta, group_cols, list(sum_cols.values()), count_col,
         keep_state=keep_state,
     )
+
+
+def incremental_min_max_view(
+    base: DataFrame,
+    cdf: DataFrame,
+    post_table: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    count_col: str = "n_rows",
+    min_col: str = "v_min",
+    max_col: str = "v_max",
+) -> DataFrame:
+    """Maintain a per-group COUNT/MIN/MAX view across a commit's change
+    feed — the classic NOT-trivially-maintainable aggregate (MIN/MAX are
+    not group-invertible: removing the current extremum forgets what the
+    runner-up was).
+
+    The scale-correct split:
+
+    * **inserts / update_post** advance MIN/MAX monotonically — a pure
+      aggregate-sized merge, no table access;
+    * **deletes / update_pre** that do NOT touch a group's current
+      extremum leave MIN/MAX valid — also table-free;
+    * only groups where a removed value ties-or-beats the stored
+      extremum are DIRTY and recomputed from ``post_table`` — scanned
+      through a BROADCAST semi-join on the dirty group keys (the
+      ingest-dedup reduction), so the recompute reads O(affected
+      groups' rows), never O(table). Dirty groups are bounded by the
+      groups the batch touches, i.e. O(batch).
+
+    ``post_table`` must be the POST-commit table (e.g. ``t.read()``
+    after the merge, or ``merge_frames(...)`` in pure-frame form). NULL
+    values follow SQL MIN/MAX semantics (ignored; a group with no
+    non-null values has NULL extrema). Equals recomputing the view —
+    pinned by the shared-oracle registry entry and tests.
+    """
+    v = F.col(value_col)
+    add = cdf.filter(F.col("_change_type").isin(*_ADD))
+    sub = cdf.filter(F.col("_change_type").isin(*_SUB))
+    add_agg = add.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_a_n"),
+        F.min(v).alias("_a_min"),
+        F.max(v).alias("_a_max"),
+    )
+    sub_agg = sub.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_s_n"),
+        F.min(v).alias("_s_min"),
+        F.max(v).alias("_s_max"),
+    )
+
+    def _nsjoin(lalias, ralias):
+        cond = None
+        for c in group_cols:
+            eq = F.col(f"{lalias}.{c}").eqNullSafe(F.col(f"{ralias}.{c}"))
+            cond = eq if cond is None else (cond & eq)
+        return cond
+
+    b, a = base.alias("b"), add_agg.alias("a")
+    j1 = b.join(a, on=_nsjoin("b", "a"), how="full_outer").select(
+        *[
+            F.coalesce(F.col(f"b.{c}"), F.col(f"a.{c}")).alias(c)
+            for c in group_cols
+        ],
+        F.col(f"b.{count_col}").alias("_b_n"),
+        F.col(f"b.{min_col}").alias("_b_min"),
+        F.col(f"b.{max_col}").alias("_b_max"),
+        "_a_n", "_a_min", "_a_max",
+    )
+    j = j1.alias("j").join(
+        sub_agg.alias("s"), on=_nsjoin("j", "s"), how="left_outer"
+    )
+    n_new = (
+        F.coalesce(F.col("_b_n"), F.lit(0))
+        + F.coalesce(F.col("_a_n"), F.lit(0))
+        - F.coalesce(F.col("_s_n"), F.lit(0))
+    )
+    # a removal dirties the group when it ties-or-beats a stored
+    # extremum (tie included: a duplicate of the max may remain — only a
+    # recompute can tell); removals from a group the base never saw
+    # (insert+delete composed upstream) cannot occur in one commit's
+    # feed, but a NULL-valued removal never dirties (MIN/MAX ignore it)
+    dirty = (
+        F.col("_s_n").isNotNull()
+        & (
+            (F.col("_s_min") <= F.col("_b_min"))
+            | (F.col("_s_max") >= F.col("_b_max"))
+            | F.col("_b_min").isNull()
+        )
+    )
+    merged = j.select(
+        *[F.col(f"j.{c}").alias(c) for c in group_cols],
+        n_new.alias(count_col),
+        F.least(F.col("_b_min"), F.col("_a_min")).alias(min_col),
+        F.greatest(F.col("_b_max"), F.col("_a_max")).alias(max_col),
+        F.coalesce(dirty, F.lit(False)).alias("_dirty"),
+    ).filter(F.col(count_col) > 0)
+    merged = merged.localCheckpoint(eager=True)
+    dirty_keys = merged.filter(F.col("_dirty")).select(*group_cols)
+    if not dirty_keys.take(1):
+        return merged.drop("_dirty")
+    # bounded recompute: ONLY the dirty groups' rows leave the scan —
+    # the dirty key set is batch-bounded, so it broadcasts
+    recomputed = (
+        post_table.join(F.broadcast(dirty_keys), on=group_cols, how="left_semi")
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias(count_col),
+            F.min(v).alias(min_col),
+            F.max(v).alias(max_col),
+        )
+    )
+    clean = merged.filter(~F.col("_dirty")).drop("_dirty")
+    return clean.unionByName(recomputed)

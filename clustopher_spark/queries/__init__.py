@@ -33,19 +33,19 @@ import clustopher_spark.queries.tables  # noqa: F401
 # This round's 50 slots = the ENTIRE 35-oracle stalest cohort (last
 # driver-hashed in round 2 — the cohort the r5 judge's staleness WARN
 # named: events_*, the llm text/quality battery, spatial_* galleries,
-# stats drift checks) + 14 flagship anchors (the core-surface regressions
+# stats drift checks) + 13 flagship anchors (the core-surface regressions
 # that must stay driver-visible every round; trimmed from 19 to make room
 # — the 5 rotated-out anchors were all r5-green and stay value-verified
 # every run by tests/test_oracle_parity.py + tools/strict_parity.py) +
-# the 1 new round-6 oracle (schema-evolution MERGE), which seats the
-# round it lands. tools/check_window_rotation.py enforces coverage and
+# the 2 new round-6 oracles (schema-evolution MERGE; MIN/MAX IVM),
+# which seat the round they land (spatial_knn_query rotated out to make
+# the seat — r5-green, value-verified every run by the parity replica). tools/check_window_rotation.py enforces coverage and
 # freshness; after this round's driver run the stalest unseated cohort is
 # the 31 round-3-checked oracles (staleness 3, at the bound), which are
 # the round-7 rotation.
 _FLAGSHIP_ANCHORS = [
     "spatial_cluster_invariants",   # greedy kernel conservation laws
     "spatial_grid_centroids",       # A2 weighted-centroid algebra
-    "spatial_knn_query",            # great-circle kNN (C5/F2)
     "spatial_viewport_filter",      # P5 pushed-filter viewport
     "llm_fingerprint_dedup",        # exact dedup
     "llm_minhash_candidates",       # MinHash+LSH band join
@@ -95,8 +95,9 @@ _R6_ROTATION = [
     "stats_correlation",
     "stats_ks_price_drift",
     "stats_quality_expectations",
-    # new round-6 oracle — must be driver-checked the round it lands
+    # new round-6 oracles — must be driver-checked the round they land
     "catalog_schema_evolution",
+    "catalog_incremental_minmax",
 ]
 _R6_WINDOW = set(_FLAGSHIP_ANCHORS) | set(_R6_ROTATION)
 assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)

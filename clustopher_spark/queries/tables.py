@@ -222,3 +222,53 @@ def catalog_schema_evolution(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "catalog_incremental_minmax",
+    # recompute over the post-merge table — the driver hash-verifies that
+    # MIN/MAX maintenance (monotone fast path + bounded dirty-group
+    # recompute) equals recompute, the same shared-oracle trick as
+    # catalog_incremental_agg
+    oracle=f"""
+    WITH {_BATCH_CTES},
+    merged AS (
+        SELECT * FROM target
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM inserts)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM deletes)
+        UNION ALL SELECT * FROM updates
+        UNION ALL SELECT * FROM inserts)
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def catalog_incremental_minmax(spark, sf_dir):
+    """MIN/MAX view maintenance (operators/ivm.py): the classic
+    non-invertible aggregate — inserts advance extrema monotonically
+    (table-free); only groups whose removed values tie-or-beat a stored
+    extremum are recomputed, through a broadcast semi-join on the dirty
+    group keys, so the recompute reads O(affected groups' rows), never
+    O(table)."""
+    from clustopher_spark.operators.ivm import incremental_min_max_view
+
+    target, batch = _target_and_batch(spark, sf_dir)
+    base = target.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    cdf = change_feed_frames(target, batch, ["o_orderkey"], op_col="op")
+    post = merge_frames(target, batch, ["o_orderkey"], op_col="op")
+    view = incremental_min_max_view(
+        base, cdf, post, ["o_orderstatus"], "o_totalprice",
+        count_col="n_orders", min_col="min_price", max_col="max_price",
+    )
+    return view.select(
+        "o_orderstatus", "n_orders",
+        F.col("min_price").cast("double").alias("min_price"),
+        F.col("max_price").cast("double").alias("max_price"),
+    ).orderBy("o_orderstatus")

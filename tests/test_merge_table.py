@@ -1021,3 +1021,101 @@ def test_changes_range_spanning_widening_keeps_new_column(spark, tmp_path, targe
     assert post.filter(F.col("note") == "n1").count() == n  # values survive
     assert feed.filter(F.col("_commit_version") == 2)\
         .filter(F.col("note").isNotNull()).count() == 0     # old feed NULL-fills
+
+
+def test_ivm_min_max_view(spark, tmp_path):
+    """MIN/MAX maintenance (operators/ivm.py): inserts advance extrema
+    table-free; a delete of a NON-extremum leaves them valid; only a
+    removal that ties-or-beats a stored extremum triggers the bounded
+    per-group recompute — and every path equals recompute. Also pins the
+    recompute's scale shape: the post-table scan is semi-joined against
+    the BROADCAST dirty key set."""
+    import contextlib
+    import io
+
+    from clustopher_spark.operators.ivm import incremental_min_max_view
+
+    tbl = spark.createDataFrame(
+        [("a", 1.0), ("a", 5.0), ("a", 5.0), ("b", 2.0), ("b", 7.0), ("c", None)],
+        "g string, v double",
+    )
+    base = tbl.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    # one commit: insert a@9 (new max, fast path), delete b@2 (non-extremum
+    # min? 2.0 IS b's min -> dirty), delete ONE a@5 (ties max with a dup
+    # remaining -> dirty, recompute must keep 5), insert d@4 (new group),
+    # delete c's NULL row via update to non-null (all-NULL group gains a value)
+    cdf = spark.createDataFrame(
+        [
+            ("a", 9.0, "insert"),
+            ("a", 5.0, "delete"),
+            ("b", 2.0, "delete"),
+            ("d", 4.0, "insert"),
+            ("c", None, "update_pre"),
+            ("c", 3.0, "update_post"),
+        ],
+        "g string, v double, _change_type string",
+    )
+    post = spark.createDataFrame(
+        [("a", 1.0), ("a", 5.0), ("a", 9.0), ("b", 7.0), ("c", 3.0), ("d", 4.0)],
+        "g string, v double",
+    )
+    view = incremental_min_max_view(
+        base, cdf, post, ["g"], "v", count_col="n", min_col="lo", max_col="hi"
+    )
+    got = {r.g: (r.n, r.lo, r.hi) for r in view.collect()}
+    expect = {
+        r.g: (r.n, r.lo, r.hi)
+        for r in post.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    }
+    assert got == expect  # every path == recompute
+    assert got["a"] == (3, 1.0, 9.0)   # tie-delete kept the duplicate max
+    assert got["b"] == (1, 7.0, 7.0)   # extremum delete -> recomputed
+    assert got["d"] == (1, 4.0, 4.0)   # new group, fast path
+    # group vanishing: delete every remaining d row -> group disappears
+    cdf2 = spark.createDataFrame(
+        [("d", 4.0, "delete")], "g string, v double, _change_type string"
+    )
+    post2 = post.filter(F.col("g") != "d")
+    view2 = incremental_min_max_view(
+        view, cdf2, post2, ["g"], "v", count_col="n", min_col="lo", max_col="hi"
+    )
+    assert "d" not in {r.g for r in view2.collect()}
+    # scale shape: the dirty-group recompute broadcasts the key set
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        view.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_ivm_min_max_tracks_live_commits(spark, tmp_path, target):
+    """MIN/MAX view against REAL MergeTable commits, two deep."""
+    from clustopher_spark.operators.ivm import incremental_min_max_view
+
+    def recompute(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(target, ["o_orderkey"], num_files=4)
+    view = recompute(target)
+    batches = [
+        _mixed_batch(_orders(spark)),
+        _orders(spark).filter(F.col("o_orderkey") % 8 == 1)
+        .withColumn("op", F.lit("delete")),
+    ]
+    for i, batch in enumerate(batches):
+        v = t.merge(batch, op_col="op", batch_id=i)
+        cdf = t.changes(v - 1, v)
+        view = incremental_min_max_view(
+            view, cdf, t.read(), ["o_orderstatus"], "o_totalprice",
+            count_col="n", min_col="lo", max_col="hi",
+        )
+        assert _frames_equal(view, recompute(t.read())), f"diverged at v{v}"
