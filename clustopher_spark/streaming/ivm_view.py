@@ -1,0 +1,172 @@
+"""Durable maintained aggregate view over a MergeTable CDC stream — the
+consumer that completes the table's CDC loop: produce (merge) -> record
+(write-time CDF) -> stream (stream_changes) -> maintain (THIS) -> serve.
+
+A :class:`MaintainedView` keeps a count+sum-per-group aggregate of a
+:class:`~clustopher_spark.sources.merge_table.MergeTable` continuously
+current without ever rescanning the table: each merge commit's change
+feed advances the view by its delta (operators/ivm.py — O(changes +
+affected groups)), and the advanced view is published as a new immutable
+version under the view root with an atomic meta repoint (the same
+commit-then-rename discipline as the table itself). The reference
+recomputes its aggregates per request (cluster/helpers.go metadata
+summaries); at 100 TB a standing aggregate must be maintained, not
+recomputed.
+
+Exactly-once across replay: every change image carries its
+``_commit_version``; the view's meta records the highest version applied,
+and a feed batch is filtered to ``_commit_version > applied`` BEFORE the
+delta — so an availableNow replay from a fresh checkpoint (which re-reads
+every published feed) advances nothing. This watermark is the view-side
+twin of the table's ``batch_id`` replay guard.
+
+Scale shape: the view is aggregate-sized (one row per group), so reading
+the current version + writing the next is O(groups) per commit — the
+delta apply itself is O(changes + affected groups). For a view with an
+enormous group cardinality, range-partition the view files and rewrite
+only affected partitions (the MergeTable's own manifest trick); at that
+point the view IS a MergeTable keyed by the group columns.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clustopher_spark.operators.ivm import (
+    bootstrap_count_sum_view,
+    incremental_count_sum_view,
+)
+from clustopher_spark.sources.merge_table import MergeTable
+from clustopher_spark.streaming.merge_table import stream_changes
+
+
+class MaintainedView:
+    """A durable, versioned count+sum view of a MergeTable.
+
+    ``sum_cols`` maps table column -> view column; ``sum_cast`` (e.g.
+    ``"decimal(18,2)"``) is applied to each source column before
+    aggregation — use an exact type for drift-free maintenance (the IVM
+    module's standing advice).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        group_cols: list[str],
+        sum_cols: dict[str, str],
+        count_col: str = "n_rows",
+        sum_cast: str | None = "decimal(18,2)",
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.group_cols = list(group_cols)
+        self.sum_cols = dict(sum_cols)
+        self.count_col = count_col
+        self.sum_cast = sum_cast
+
+    # --- meta plumbing (the table's atomic-repoint pattern) ---
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "meta.json")
+
+    def _meta(self) -> dict:
+        with open(self._meta_path) as f:
+            return json.load(f)
+
+    def _commit(self, meta: dict) -> None:
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path)
+
+    def _version_path(self, v: int) -> str:
+        return os.path.join(self.root, f"v{v}.parquet")
+
+    def _cast(self, df: DataFrame) -> DataFrame:
+        if self.sum_cast is None:
+            return df
+        for src in self.sum_cols:
+            df = df.withColumn(src, F.col(src).cast(self.sum_cast))
+        return df
+
+    def _write_version(self, df: DataFrame, v: int) -> None:
+        # a view is aggregate-sized: one file is the right layout
+        staging = self._version_path(v) + ".staging"
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        final = self._version_path(v)
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(staging, final)
+
+    # --- lifecycle ---
+
+    def bootstrap(self, table: MergeTable) -> int:
+        """Seed the view from one full aggregate of the table's CURRENT
+        version (with the IVM module's non-null-count state columns, so
+        NULL-sum maintenance is exact from birth). Records the table
+        version it saw; feeds at or below it are already reflected."""
+        os.makedirs(self.root, exist_ok=True)
+        tv = int(table._meta()["latest"])
+        base = bootstrap_count_sum_view(
+            self._cast(table.read()),
+            self.group_cols,
+            self.sum_cols,
+            self.count_col,
+        )
+        self._write_version(base, 1)
+        self._commit({"latest": 1, "applied_commit": tv})
+        return 1
+
+    def read(self, with_state: bool = False) -> DataFrame:
+        meta = self._meta()
+        df = self.spark.read.parquet(self._version_path(int(meta["latest"])))
+        if with_state:
+            return df
+        return df.drop(*[c for c in df.columns if c.startswith("_nn_")])
+
+    def apply_feed(self, cdf_batch: DataFrame) -> int | None:
+        """Advance the view by one CDC batch (which may carry several
+        commits' images). Filters to commits above the applied watermark
+        FIRST, so replay is a no-op. Returns the new view version, or
+        None when nothing fresh arrived."""
+        meta = self._meta()
+        fresh = self._cast(
+            cdf_batch.filter(F.col("_commit_version") > int(meta["applied_commit"]))
+        ).localCheckpoint(eager=True)
+        bounds = fresh.agg(F.max("_commit_version").alias("hi")).collect()[0]
+        if bounds.hi is None:
+            return None
+        view = self.read(with_state=True)
+        advanced = incremental_count_sum_view(
+            view, fresh, self.group_cols, self.sum_cols, self.count_col,
+            keep_state=True,
+        )
+        v = int(meta["latest"]) + 1
+        self._write_version(advanced, v)
+        self._commit({"latest": v, "applied_commit": int(bounds.hi)})
+        # the previous version is superseded; keep exactly one back for
+        # concurrent readers (the table's retention idea, fixed window)
+        old = self._version_path(v - 2)
+        shutil.rmtree(old, ignore_errors=True)
+        return v
+
+    def maintain(self, table_root: str, query_name: str = "maintained_view"):
+        """Drain the table's CDC stream (availableNow) through the view.
+        The checkpoint gives the file source exactly-once delivery; the
+        commit-version watermark makes even a FRESH checkpoint harmless."""
+        q = (
+            stream_changes(self.spark, table_root)
+            .writeStream.foreachBatch(lambda df, bid: self.apply_feed(df))
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", self.root + "_checkpoint")
+            .start()
+        )
+        q.awaitTermination()
+        return q

@@ -1119,3 +1119,63 @@ def test_ivm_min_max_tracks_live_commits(spark, tmp_path, target):
             count_col="n", min_col="lo", max_col="hi",
         )
         assert _frames_equal(view, recompute(t.read())), f"diverged at v{v}"
+
+
+def test_maintained_view_tracks_table_and_replay_is_noop(spark, tmp_path, target):
+    """streaming/ivm_view.py — the CDC loop's durable consumer: bootstrap
+    one full aggregate, then every merge commit advances the view through
+    its change feed (no table rescans); the view equals recompute at every
+    step; a FRESH-checkpoint full replay advances nothing (the
+    commit-version watermark, the view-side twin of the table's batch-id
+    guard); old view versions are pruned to a fixed window."""
+    import os
+    import shutil
+
+    from clustopher_spark.streaming.ivm_view import MaintainedView
+
+    def recompute(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("tp"),
+        )
+
+    root = str(tmp_path / "t")
+    t = MergeTable(spark, root)
+    t.create(target, ["o_orderkey"], num_files=4)
+    view = MaintainedView(
+        spark, str(tmp_path / "view"), ["o_orderstatus"],
+        {"o_totalprice": "tp"},
+    )
+    view.bootstrap(t)
+    assert _frames_equal(view.read(), recompute(target))
+
+    # two commits, then drain the CDC stream once
+    t.merge(_mixed_batch(_orders(spark)), op_col="op", batch_id=0)
+    t.merge(
+        _orders(spark).filter(F.col("o_orderkey") % 8 == 1)
+        .withColumn("op", F.lit("delete")),
+        op_col="op", batch_id=1,
+    )
+    view.maintain(root)
+    assert _frames_equal(view.read(), recompute(t.read()))
+    latest = view._meta()
+
+    # full replay from a FRESH checkpoint: every feed re-delivered, the
+    # watermark filters them all out -> same version, same content
+    shutil.rmtree(str(tmp_path / "view") + "_checkpoint")
+    view.maintain(root)
+    assert view._meta() == latest
+    assert _frames_equal(view.read(), recompute(t.read()))
+
+    # a third commit after the replay still advances normally
+    lo = target.agg(F.min("o_orderkey")).collect()[0][0]
+    t.merge(
+        target.filter(F.col("o_orderkey") <= lo + 10)
+        .withColumn("o_totalprice", F.lit(1.5)),
+        batch_id=2,
+    )
+    view.maintain(root)
+    assert _frames_equal(view.read(), recompute(t.read()))
+    # version retention: at most the current and one previous parquet dir
+    dirs = [d for d in os.listdir(str(tmp_path / "view")) if d.startswith("v")]
+    assert len(dirs) <= 2
