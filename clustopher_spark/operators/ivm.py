@@ -288,9 +288,18 @@ def incremental_min_max_view(
     if not dirty_keys.take(1):
         return merged.drop("_dirty")
     # bounded recompute: ONLY the dirty groups' rows leave the scan —
-    # the dirty key set is batch-bounded, so it broadcasts
+    # the dirty key set is batch-bounded, so it broadcasts. Null-safe
+    # condition, same as every other group-key join in this module: a
+    # NULL group key is a real group, and `on=group_cols` (null-rejecting
+    # equality) would silently drop a NULL-keyed group the moment it
+    # turns dirty (e.g. a delete removes its stored extremum).
     recomputed = (
-        post_table.join(F.broadcast(dirty_keys), on=group_cols, how="left_semi")
+        post_table.alias("t")
+        .join(
+            F.broadcast(dirty_keys.alias("k")),
+            on=_nsjoin("t", "k"),
+            how="left_semi",
+        )
         .groupBy(*group_cols)
         .agg(
             F.count(F.lit(1)).alias(count_col),

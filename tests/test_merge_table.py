@@ -1092,6 +1092,43 @@ def test_ivm_min_max_view(spark, tmp_path):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 
 
+def test_ivm_min_max_null_group_key_survives_dirty_recompute(spark):
+    """A NULL group key is a real group (GROUP BY collects NULLs into one
+    cell), and the dirty-group recompute must use a NULL-SAFE semi-join:
+    a plain `on=group_cols` equality would never match the NULL key, so a
+    NULL-keyed group that turns dirty (its stored extremum removed) would
+    be excluded from `clean` AND missed by the recompute — silently
+    vanishing from the view while recompute still shows it."""
+    from clustopher_spark.operators.ivm import incremental_min_max_view
+
+    tbl = spark.createDataFrame(
+        [(None, 1.0), (None, 9.0), ("a", 5.0)], "g string, v double"
+    )
+    base = tbl.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    # delete the NULL group's max -> the group is dirty and must be
+    # recomputed from the post table (expected survivor: 1.0)
+    cdf = spark.createDataFrame(
+        [(None, 9.0, "delete")], "g string, v double, _change_type string"
+    )
+    post = spark.createDataFrame(
+        [(None, 1.0), ("a", 5.0)], "g string, v double"
+    )
+    view = incremental_min_max_view(
+        base, cdf, post, ["g"], "v", count_col="n", min_col="lo", max_col="hi"
+    )
+    got = {r.g: (r.n, r.lo, r.hi) for r in view.collect()}
+    expect = {
+        r.g: (r.n, r.lo, r.hi)
+        for r in post.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    }
+    assert got == expect
+    assert got[None] == (1, 1.0, 1.0)  # the NULL group survived, recomputed
+
+
 def test_ivm_min_max_tracks_live_commits(spark, tmp_path, target):
     """MIN/MAX view against REAL MergeTable commits, two deep."""
     from clustopher_spark.operators.ivm import incremental_min_max_view
