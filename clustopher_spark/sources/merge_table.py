@@ -580,9 +580,17 @@ class MergeTable:
             # discovers changes/v{N} only once v{N} is real); the
             # commit-then-rename crash window is healed by changes()
             cdf = change_feed_frames(target_touched, source, key_cols, op_col)
-            cdf.withColumn("_commit_version", F.lit(version).cast("long")).write.mode(
-                "overwrite"
-            ).option("compression", "zstd").parquet(
+            # ONE file per commit feed: a streaming CDC consumer's
+            # files-per-trigger limit can then never split a commit's
+            # images across micro-batches (a split would let a
+            # watermark-based consumer — streaming/ivm_view.py — mark the
+            # commit applied after the first slice and drop the rest
+            # forever). The feed is O(batch), so a single-task write is
+            # the right layout, the same argument the maintained view
+            # makes for its own aggregate-sized versions.
+            cdf.coalesce(1).withColumn(
+                "_commit_version", F.lit(version).cast("long")
+            ).write.mode("overwrite").option("compression", "zstd").parquet(
                 os.path.join(self.root, "changes", f"_staging_v{version}")
             )
             merged = merge_frames(target_touched, source, key_cols, op_col)

@@ -18,7 +18,14 @@ Exactly-once across replay: every change image carries its
 and a feed batch is filtered to ``_commit_version > applied`` BEFORE the
 delta — so an availableNow replay from a fresh checkpoint (which re-reads
 every published feed) advances nothing. This watermark is the view-side
-twin of the table's ``batch_id`` replay guard.
+twin of the table's ``batch_id`` replay guard. The watermark is only
+sound if a commit's images are never split across micro-batches:
+merge() guarantees that by writing ONE feed file per commit (no
+files-per-trigger limit can split one file), and apply_feed additionally
+verifies each fresh commit's delivered row count against its feed's
+parquet footers — a partial commit (possible only for feeds written
+before the single-file layout) raises loudly instead of corrupting the
+view.
 
 Scale shape: the view is aggregate-sized (one row per group), so reading
 the current version + writing the next is O(groups) per commit — the
@@ -130,18 +137,39 @@ class MaintainedView:
             return df
         return df.drop(*[c for c in df.columns if c.startswith("_nn_")])
 
-    def apply_feed(self, cdf_batch: DataFrame) -> int | None:
+    def apply_feed(
+        self, cdf_batch: DataFrame, table_root: str | None = None
+    ) -> int | None:
         """Advance the view by one CDC batch (which may carry several
         commits' images). Filters to commits above the applied watermark
         FIRST, so replay is a no-op. Returns the new view version, or
-        None when nothing fresh arrived."""
+        None when nothing fresh arrived.
+
+        With ``table_root`` (maintain() always passes it), every fresh
+        commit's delivered row count is checked against its feed's
+        parquet footers and a PARTIALLY delivered commit raises instead
+        of advancing: the watermark otherwise marks the commit applied
+        after its first slice and the ``> applied_commit`` filter drops
+        the rest forever. merge() writes one file per commit feed, so no
+        files-per-trigger limit can split one — this guard exists for
+        feeds written before that layout (and as the loud failure mode:
+        the file source never redelivers, so a split cannot be deferred,
+        only refused)."""
         meta = self._meta()
         fresh = self._cast(
             cdf_batch.filter(F.col("_commit_version") > int(meta["applied_commit"]))
         ).localCheckpoint(eager=True)
-        bounds = fresh.agg(F.max("_commit_version").alias("hi")).collect()[0]
-        if bounds.hi is None:
+        per_commit = {
+            int(r.v): int(r.n)
+            for r in fresh.groupBy(F.col("_commit_version").alias("v"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if not per_commit:
             return None
+        if table_root is not None:
+            self._check_commits_whole(table_root, per_commit)
+        hi = max(per_commit)
         view = self.read(with_state=True)
         advanced = incremental_count_sum_view(
             view, fresh, self.group_cols, self.sum_cols, self.count_col,
@@ -149,20 +177,60 @@ class MaintainedView:
         )
         v = int(meta["latest"]) + 1
         self._write_version(advanced, v)
-        self._commit({"latest": v, "applied_commit": int(bounds.hi)})
+        self._commit({"latest": v, "applied_commit": hi})
         # the previous version is superseded; keep exactly one back for
         # concurrent readers (the table's retention idea, fixed window)
         old = self._version_path(v - 2)
         shutil.rmtree(old, ignore_errors=True)
         return v
 
-    def maintain(self, table_root: str, query_name: str = "maintained_view"):
+    @staticmethod
+    def _check_commits_whole(table_root: str, per_commit: dict[int, int]) -> None:
+        """Refuse a batch whose slice of any commit's feed is incomplete
+        (delivered rows < the feed's parquet-footer rows). Driver-side,
+        O(feed files) tiny metadata reads per fresh commit; a feed dir
+        already vacuumed (or never published) is skipped — nothing to
+        verify against."""
+        import pyarrow.parquet as pq
+
+        for v, n_seen in per_commit.items():
+            d = os.path.join(table_root, "changes", f"v{v}")
+            if not os.path.isdir(d):
+                continue
+            expected = sum(
+                pq.read_metadata(os.path.join(d, f)).num_rows
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+            if n_seen < expected:
+                raise ValueError(
+                    f"commit v{v}: batch delivered {n_seen} of {expected} "
+                    "change images — a files-per-trigger limit split the "
+                    "commit's feed across micro-batches. Applying a partial "
+                    "commit would corrupt the view (the watermark would drop "
+                    "the rest forever). Delete the view's checkpoint and "
+                    "re-drain WITHOUT maxFilesPerTrigger — the commit-version "
+                    "watermark makes a fresh-checkpoint replay safe. (merge() "
+                    "writes single-file feeds since the coalesce(1) layout, "
+                    "so only pre-layout feeds can trip this.)"
+                )
+
+    def maintain(
+        self,
+        table_root: str,
+        query_name: str = "maintained_view",
+        options: dict | None = None,
+    ):
         """Drain the table's CDC stream (availableNow) through the view.
         The checkpoint gives the file source exactly-once delivery; the
-        commit-version watermark makes even a FRESH checkpoint harmless."""
+        commit-version watermark makes even a FRESH checkpoint harmless;
+        the whole-commit guard in apply_feed makes a file-split feed a
+        loud error instead of silent view drift. ``options`` passes
+        file-source knobs to stream_changes (``maxFilesPerTrigger`` for
+        commit-paced draining is safe: one feed file per commit)."""
         q = (
-            stream_changes(self.spark, table_root)
-            .writeStream.foreachBatch(lambda df, bid: self.apply_feed(df))
+            stream_changes(self.spark, table_root, options=options)
+            .writeStream.foreachBatch(lambda df, bid: self.apply_feed(df, table_root))
             .queryName(query_name)
             .trigger(availableNow=True)
             .option("checkpointLocation", self.root + "_checkpoint")

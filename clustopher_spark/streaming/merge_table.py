@@ -76,7 +76,11 @@ def stream_changes(
       per-trigger working set is time-bounded for a resumed stream.
 
     ``options`` passes file-source knobs through (``maxFileAge``,
-    ``maxFilesPerTrigger`` for commit-paced draining, ...).
+    ``maxFilesPerTrigger`` for commit-paced draining — safe because
+    merge() writes exactly ONE feed file per commit, so a file-count
+    limit delivers whole commits, never a slice of one; watermark-based
+    consumers like MaintainedView depend on that and additionally verify
+    it per batch, ...).
 
     The stream's schema is the table schema AS OF STREAM START: a stream
     started after a widening merge NULL-fills the pre-widening feeds. A

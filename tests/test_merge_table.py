@@ -1092,6 +1092,83 @@ def test_ivm_min_max_view(spark, tmp_path):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 
 
+def test_feed_one_file_per_commit_and_filelimit_drain_exact(spark, tmp_path, target):
+    """The commit-split hazard, closed at the writer: merge() writes ONE
+    feed file per commit, so maxFilesPerTrigger=1 delivers whole commits
+    — a MaintainedView drained commit-paced equals recompute after every
+    batch (previously the first slice of a multi-file feed advanced the
+    watermark and the rest was dropped forever)."""
+    import os
+
+    from clustopher_spark.streaming.ivm_view import MaintainedView
+
+    def recompute(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("tp"),
+        )
+
+    root = str(tmp_path / "t")
+    t = MergeTable(spark, root)
+    t.create(target, ["o_orderkey"], num_files=4)
+    view = MaintainedView(
+        spark, str(tmp_path / "view"), ["o_orderstatus"],
+        {"o_totalprice": "tp"},
+    )
+    view.bootstrap(t)
+    t.merge(_mixed_batch(_orders(spark)), op_col="op", batch_id=0)
+    t.merge(
+        _orders(spark).filter(F.col("o_orderkey") % 8 == 1)
+        .withColumn("op", F.lit("delete")),
+        op_col="op", batch_id=1,
+    )
+    # the layout guarantee the consumer depends on: one data file per feed
+    for v in (2, 3):
+        d = os.path.join(root, "changes", f"v{v}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, f"v{v} feed has {len(files)} files"
+    # commit-paced drain: one file (== one commit) per micro-batch
+    view.maintain(root, options={"maxFilesPerTrigger": "1"})
+    assert _frames_equal(view.read(), recompute(t.read()))
+    assert int(view._meta()["applied_commit"]) == 3
+
+
+def test_maintained_view_refuses_split_commit(spark, tmp_path, target):
+    """Legacy multi-file feeds (written before the coalesce(1) layout) can
+    still be split by a files-per-trigger limit — the file source never
+    redelivers, so the view must REFUSE the partial commit loudly instead
+    of marking it applied and silently dropping the remaining images."""
+    import os
+    import shutil
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from clustopher_spark.streaming.ivm_view import MaintainedView
+
+    root = str(tmp_path / "t")
+    t = MergeTable(spark, root)
+    t.create(target, ["o_orderkey"], num_files=4)
+    view = MaintainedView(
+        spark, str(tmp_path / "view"), ["o_orderstatus"],
+        {"o_totalprice": "tp"},
+    )
+    view.bootstrap(t)
+    t.merge(_mixed_batch(_orders(spark)), op_col="op", batch_id=0)
+    # simulate the pre-layout feed: rewrite v2's single file as two files
+    feed = os.path.join(root, "changes", "v2")
+    two = spark.read.parquet(feed).repartition(2)
+    staging = str(tmp_path / "feed2")
+    two.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(feed)
+    os.replace(staging, feed)
+    files = [f for f in os.listdir(feed) if f.endswith(".parquet")]
+    assert len(files) == 2
+    with pytest.raises(StreamingQueryException, match="change images"):
+        view.maintain(root, options={"maxFilesPerTrigger": "1"})
+    # nothing was applied: the watermark still points at the bootstrap
+    assert int(view._meta()["applied_commit"]) == 1
+
+
 def test_ivm_min_max_null_group_key_survives_dirty_recompute(spark):
     """A NULL group key is a real group (GROUP BY collects NULLs into one
     cell), and the dirty-group recompute must use a NULL-SAFE semi-join:
