@@ -272,3 +272,75 @@ def catalog_incremental_minmax(spark, sf_dir):
         F.col("min_price").cast("double").alias("min_price"),
         F.col("max_price").cast("double").alias("max_price"),
     ).orderBy("o_orderstatus")
+
+
+@register(
+    "catalog_maintained_minmax",
+    # recompute over the table state after BOTH commits — the driver
+    # hash-verifies that the DURABLE maintained view (bootstrap + CDC
+    # stream drain + per-commit time-traveled dirty recompute) equals
+    # recomputing the aggregate over the final table, end to end through
+    # real MergeTable commits and a real Structured Streaming drain
+    oracle=f"""
+    WITH {_BATCH_CTES},
+    merged AS (
+        SELECT * FROM target
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM inserts)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM deletes)
+        UNION ALL SELECT * FROM updates
+        UNION ALL SELECT * FROM inserts),
+    final AS (SELECT * FROM merged WHERE o_orderkey % 8 <> 1)
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def catalog_maintained_minmax(spark, sf_dir):
+    """The DURABLE MIN/MAX maintained view (streaming/ivm_view.py::
+    MaintainedMinMaxView) over live MergeTable commits: create the table,
+    bootstrap the view, commit a mixed merge then a delete wave (keys
+    %8==1 — inserted by the first commit, so their removal dirties
+    extrema), drain the CDC stream, and return the view. The oracle is a
+    pure-SQL recompute of the final table state, so the driver
+    hash-verifies the whole loop: write-time CDF -> streaming drain ->
+    watermark -> bounded dirty recompute at the time-traveled snapshot.
+    Unlike catalog_incremental_minmax (the pure-frame algebra twin), this
+    entry exercises the persisted, versioned, exactly-once path."""
+    import shutil
+    import tempfile
+
+    from clustopher_spark.sources.merge_table import MergeTable
+    from clustopher_spark.streaming.ivm_view import MaintainedMinMaxView
+
+    orders = table(spark, sf_dir, "orders")
+    target, batch = _target_and_batch(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="clustopher_minmax_view_")
+    try:
+        root = f"{tmp}/t"
+        t = MergeTable(spark, root)
+        t.create(target, ["o_orderkey"], num_files=4)
+        view = MaintainedMinMaxView(
+            spark, f"{tmp}/view", ["o_orderstatus"], "o_totalprice",
+            min_col="min_price", max_col="max_price",
+        )
+        view.bootstrap(t)
+        t.merge(batch, op_col="op", batch_id=0)
+        t.merge(
+            orders.filter(F.col("o_orderkey") % 8 == 1)
+            .withColumn("op", F.lit("delete")),
+            op_col="op", batch_id=1,
+        )
+        view.maintain(root, query_name="catalog_maintained_minmax_drain")
+        out = view.read().select(
+            "o_orderstatus", "n_rows",
+            F.col("min_price").cast("double").alias("min_price"),
+            F.col("max_price").cast("double").alias("max_price"),
+        ).orderBy("o_orderstatus")
+        # the view is aggregate-sized: pin it in the block manager so the
+        # temp dir can be deleted before the caller collects
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

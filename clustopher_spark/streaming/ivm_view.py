@@ -1,13 +1,26 @@
-"""Durable maintained aggregate view over a MergeTable CDC stream — the
+"""Durable maintained aggregate views over a MergeTable CDC stream — the
 consumer that completes the table's CDC loop: produce (merge) -> record
 (write-time CDF) -> stream (stream_changes) -> maintain (THIS) -> serve.
 
-A :class:`MaintainedView` keeps a count+sum-per-group aggregate of a
-:class:`~clustopher_spark.sources.merge_table.MergeTable` continuously
-current without ever rescanning the table: each merge commit's change
-feed advances the view by its delta (operators/ivm.py — O(changes +
-affected groups)), and the advanced view is published as a new immutable
-version under the view root with an atomic meta repoint (the same
+Two maintained shapes:
+
+* :class:`MaintainedView` — count+sum per group, advanced purely from the
+  change feed (operators/ivm.py — O(changes + affected groups), never a
+  table access);
+* :class:`MaintainedMinMaxView` — count/MIN/MAX per group, the classic
+  NOT-group-invertible aggregate: inserts advance extrema monotonically
+  from the feed alone, and only groups whose removed values tie-or-beat a
+  stored extremum are recomputed from the POST-COMMIT table snapshot
+  through a broadcast semi-join on the dirty keys (O(affected groups'
+  rows), never O(table)). The snapshot comes from the table's time
+  travel at the batch's max commit version — `_commit_version` IS the
+  table version, so the view never folds in a commit whose feed it has
+  not seen.
+
+Each view keeps its aggregate continuously current without ever
+rescanning the table: a merge commit's change feed advances the view by
+its delta, and the advanced view is published as a new immutable version
+under the view root with an atomic meta repoint (the same
 commit-then-rename discipline as the table itself). The reference
 recomputes its aggregates per request (cluster/helpers.go metadata
 summaries); at 100 TB a standing aggregate must be maintained, not
@@ -32,7 +45,12 @@ the current version + writing the next is O(groups) per commit — the
 delta apply itself is O(changes + affected groups). For a view with an
 enormous group cardinality, range-partition the view files and rewrite
 only affected partitions (the MergeTable's own manifest trick); at that
-point the view IS a MergeTable keyed by the group columns.
+point the view IS a MergeTable keyed by the group columns. The MIN/MAX
+view's lag bound: its dirty recompute time-travels to the applied commit,
+so size the table's ``vacuum(keep_last=...)`` to the slowest consumer's
+lag (the same retention contract stream_changes documents) — a consumer
+below the window fails fast on the missing version rather than silently
+folding in unapplied commits.
 """
 
 from __future__ import annotations
@@ -47,35 +65,20 @@ from pyspark.sql import functions as F
 from clustopher_spark.operators.ivm import (
     bootstrap_count_sum_view,
     incremental_count_sum_view,
+    incremental_min_max_view,
 )
 from clustopher_spark.sources.merge_table import MergeTable
 from clustopher_spark.streaming.merge_table import stream_changes
 
 
-class MaintainedView:
-    """A durable, versioned count+sum view of a MergeTable.
+class _DurableViewBase:
+    """Shared durable-view plumbing: versioned parquet under the view
+    root, atomic meta repoint, commit-version watermark admission, and
+    the availableNow CDC drain."""
 
-    ``sum_cols`` maps table column -> view column; ``sum_cast`` (e.g.
-    ``"decimal(18,2)"``) is applied to each source column before
-    aggregation — use an exact type for drift-free maintenance (the IVM
-    module's standing advice).
-    """
-
-    def __init__(
-        self,
-        spark: SparkSession,
-        root: str,
-        group_cols: list[str],
-        sum_cols: dict[str, str],
-        count_col: str = "n_rows",
-        sum_cast: str | None = "decimal(18,2)",
-    ) -> None:
+    def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
         self.root = root
-        self.group_cols = list(group_cols)
-        self.sum_cols = dict(sum_cols)
-        self.count_col = count_col
-        self.sum_cast = sum_cast
 
     # --- meta plumbing (the table's atomic-repoint pattern) ---
 
@@ -96,13 +99,6 @@ class MaintainedView:
     def _version_path(self, v: int) -> str:
         return os.path.join(self.root, f"v{v}.parquet")
 
-    def _cast(self, df: DataFrame) -> DataFrame:
-        if self.sum_cast is None:
-            return df
-        for src in self.sum_cols:
-            df = df.withColumn(src, F.col(src).cast(self.sum_cast))
-        return df
-
     def _write_version(self, df: DataFrame, v: int) -> None:
         # a view is aggregate-sized: one file is the right layout
         staging = self._version_path(v) + ".staging"
@@ -110,6 +106,136 @@ class MaintainedView:
         final = self._version_path(v)
         shutil.rmtree(final, ignore_errors=True)
         os.replace(staging, final)
+
+    def _publish(self, df: DataFrame, applied_commit: int) -> int:
+        """Write the advanced view as the next version, repoint meta, and
+        prune superseded versions to a fixed window (keep exactly one
+        back for concurrent readers — the table's retention idea)."""
+        v = int(self._meta()["latest"]) + 1
+        self._write_version(df, v)
+        self._commit({"latest": v, "applied_commit": int(applied_commit)})
+        shutil.rmtree(self._version_path(v - 2), ignore_errors=True)
+        return v
+
+    @staticmethod
+    def _check_commits_whole(table_root: str, per_commit: dict[int, int]) -> None:
+        """Refuse a batch whose slice of any commit's feed is incomplete
+        (delivered rows < the feed's parquet-footer rows). Driver-side,
+        O(feed files) tiny metadata reads per fresh commit; a feed dir
+        already vacuumed (or never published) is skipped — nothing to
+        verify against."""
+        import pyarrow.parquet as pq
+
+        for v, n_seen in per_commit.items():
+            d = os.path.join(table_root, "changes", f"v{v}")
+            if not os.path.isdir(d):
+                continue
+            expected = sum(
+                pq.read_metadata(os.path.join(d, f)).num_rows
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+            if n_seen < expected:
+                raise ValueError(
+                    f"commit v{v}: batch delivered {n_seen} of {expected} "
+                    "change images — a files-per-trigger limit split the "
+                    "commit's feed across micro-batches. Applying a partial "
+                    "commit would corrupt the view (the watermark would drop "
+                    "the rest forever). Delete the view's checkpoint and "
+                    "re-drain WITHOUT maxFilesPerTrigger — the commit-version "
+                    "watermark makes a fresh-checkpoint replay safe. (merge() "
+                    "writes single-file feeds since the coalesce(1) layout, "
+                    "so only pre-layout feeds can trip this.)"
+                )
+
+    def _admit(
+        self, cdf_batch: DataFrame, table_root: str | None
+    ) -> tuple[DataFrame, int] | None:
+        """Watermark-filter a CDC batch and verify whole-commit delivery.
+        Returns (fresh change images, max commit version) or None when
+        nothing above the watermark arrived. The fresh frame is
+        localCheckpointed: it is consumed by several jobs (the per-commit
+        census here, then the delta) and a streaming source frame cannot
+        be re-read after the micro-batch ends."""
+        meta = self._meta()
+        fresh = self._cast(
+            cdf_batch.filter(F.col("_commit_version") > int(meta["applied_commit"]))
+        ).localCheckpoint(eager=True)
+        per_commit = {
+            int(r.v): int(r.n)
+            for r in fresh.groupBy(F.col("_commit_version").alias("v"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if not per_commit:
+            return None
+        if table_root is not None:
+            self._check_commits_whole(table_root, per_commit)
+        return fresh, max(per_commit)
+
+    def _cast(self, df: DataFrame) -> DataFrame:  # overridable
+        return df
+
+    def apply_feed(
+        self, cdf_batch: DataFrame, table_root: str | None = None
+    ) -> int | None:
+        raise NotImplementedError
+
+    def maintain(
+        self,
+        table_root: str,
+        query_name: str = "maintained_view",
+        options: dict | None = None,
+    ):
+        """Drain the table's CDC stream (availableNow) through the view.
+        The checkpoint gives the file source exactly-once delivery; the
+        commit-version watermark makes even a FRESH checkpoint harmless;
+        the whole-commit guard in apply_feed makes a file-split feed a
+        loud error instead of silent view drift. ``options`` passes
+        file-source knobs to stream_changes (``maxFilesPerTrigger`` for
+        commit-paced draining is safe: one feed file per commit)."""
+        q = (
+            stream_changes(self.spark, table_root, options=options)
+            .writeStream.foreachBatch(lambda df, bid: self.apply_feed(df, table_root))
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", self.root + "_checkpoint")
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+
+class MaintainedView(_DurableViewBase):
+    """A durable, versioned count+sum view of a MergeTable.
+
+    ``sum_cols`` maps table column -> view column; ``sum_cast`` (e.g.
+    ``"decimal(18,2)"``) is applied to each source column before
+    aggregation — use an exact type for drift-free maintenance (the IVM
+    module's standing advice).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        group_cols: list[str],
+        sum_cols: dict[str, str],
+        count_col: str = "n_rows",
+        sum_cast: str | None = "decimal(18,2)",
+    ) -> None:
+        super().__init__(spark, root)
+        self.group_cols = list(group_cols)
+        self.sum_cols = dict(sum_cols)
+        self.count_col = count_col
+        self.sum_cast = sum_cast
+
+    def _cast(self, df: DataFrame) -> DataFrame:
+        if self.sum_cast is None:
+            return df
+        for src in self.sum_cols:
+            df = df.withColumn(src, F.col(src).cast(self.sum_cast))
+        return df
 
     # --- lifecycle ---
 
@@ -148,93 +274,88 @@ class MaintainedView:
         With ``table_root`` (maintain() always passes it), every fresh
         commit's delivered row count is checked against its feed's
         parquet footers and a PARTIALLY delivered commit raises instead
-        of advancing: the watermark otherwise marks the commit applied
-        after its first slice and the ``> applied_commit`` filter drops
-        the rest forever. merge() writes one file per commit feed, so no
-        files-per-trigger limit can split one — this guard exists for
-        feeds written before that layout (and as the loud failure mode:
-        the file source never redelivers, so a split cannot be deferred,
-        only refused)."""
-        meta = self._meta()
-        fresh = self._cast(
-            cdf_batch.filter(F.col("_commit_version") > int(meta["applied_commit"]))
-        ).localCheckpoint(eager=True)
-        per_commit = {
-            int(r.v): int(r.n)
-            for r in fresh.groupBy(F.col("_commit_version").alias("v"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        if not per_commit:
+        of advancing — see the module docstring."""
+        admitted = self._admit(cdf_batch, table_root)
+        if admitted is None:
             return None
-        if table_root is not None:
-            self._check_commits_whole(table_root, per_commit)
-        hi = max(per_commit)
+        fresh, hi = admitted
         view = self.read(with_state=True)
         advanced = incremental_count_sum_view(
             view, fresh, self.group_cols, self.sum_cols, self.count_col,
             keep_state=True,
         )
-        v = int(meta["latest"]) + 1
-        self._write_version(advanced, v)
-        self._commit({"latest": v, "applied_commit": hi})
-        # the previous version is superseded; keep exactly one back for
-        # concurrent readers (the table's retention idea, fixed window)
-        old = self._version_path(v - 2)
-        shutil.rmtree(old, ignore_errors=True)
-        return v
+        return self._publish(advanced, hi)
 
-    @staticmethod
-    def _check_commits_whole(table_root: str, per_commit: dict[int, int]) -> None:
-        """Refuse a batch whose slice of any commit's feed is incomplete
-        (delivered rows < the feed's parquet-footer rows). Driver-side,
-        O(feed files) tiny metadata reads per fresh commit; a feed dir
-        already vacuumed (or never published) is skipped — nothing to
-        verify against."""
-        import pyarrow.parquet as pq
 
-        for v, n_seen in per_commit.items():
-            d = os.path.join(table_root, "changes", f"v{v}")
-            if not os.path.isdir(d):
-                continue
-            expected = sum(
-                pq.read_metadata(os.path.join(d, f)).num_rows
-                for f in os.listdir(d)
-                if f.endswith(".parquet")
-            )
-            if n_seen < expected:
-                raise ValueError(
-                    f"commit v{v}: batch delivered {n_seen} of {expected} "
-                    "change images — a files-per-trigger limit split the "
-                    "commit's feed across micro-batches. Applying a partial "
-                    "commit would corrupt the view (the watermark would drop "
-                    "the rest forever). Delete the view's checkpoint and "
-                    "re-drain WITHOUT maxFilesPerTrigger — the commit-version "
-                    "watermark makes a fresh-checkpoint replay safe. (merge() "
-                    "writes single-file feeds since the coalesce(1) layout, "
-                    "so only pre-layout feeds can trip this.)"
-                )
+class MaintainedMinMaxView(_DurableViewBase):
+    """A durable, versioned count/MIN/MAX view of a MergeTable — the
+    dashboard aggregate count+sum maintenance cannot serve (MIN/MAX are
+    not group-invertible). Inserts advance extrema from the feed alone;
+    deletes that touch a group's stored extremum trigger the bounded
+    dirty-group recompute against the table's snapshot AT the applied
+    commit version (time travel, so a commit whose feed is still in
+    flight is never folded in early). See operators/ivm.py for the delta
+    algebra and its oracle."""
 
-    def maintain(
+    def __init__(
         self,
-        table_root: str,
-        query_name: str = "maintained_view",
-        options: dict | None = None,
-    ):
-        """Drain the table's CDC stream (availableNow) through the view.
-        The checkpoint gives the file source exactly-once delivery; the
-        commit-version watermark makes even a FRESH checkpoint harmless;
-        the whole-commit guard in apply_feed makes a file-split feed a
-        loud error instead of silent view drift. ``options`` passes
-        file-source knobs to stream_changes (``maxFilesPerTrigger`` for
-        commit-paced draining is safe: one feed file per commit)."""
-        q = (
-            stream_changes(self.spark, table_root, options=options)
-            .writeStream.foreachBatch(lambda df, bid: self.apply_feed(df, table_root))
-            .queryName(query_name)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", self.root + "_checkpoint")
-            .start()
+        spark: SparkSession,
+        root: str,
+        group_cols: list[str],
+        value_col: str,
+        count_col: str = "n_rows",
+        min_col: str = "v_min",
+        max_col: str = "v_max",
+    ) -> None:
+        super().__init__(spark, root)
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self.count_col = count_col
+        self.min_col = min_col
+        self.max_col = max_col
+
+    def bootstrap(self, table: MergeTable) -> int:
+        """Seed the view from one full count/min/max aggregate of the
+        table's CURRENT version."""
+        os.makedirs(self.root, exist_ok=True)
+        tv = int(table._meta()["latest"])
+        base = table.read().groupBy(*self.group_cols).agg(
+            F.count(F.lit(1)).alias(self.count_col),
+            F.min(self.value_col).alias(self.min_col),
+            F.max(self.value_col).alias(self.max_col),
         )
-        q.awaitTermination()
-        return q
+        self._write_version(base, 1)
+        self._commit({"latest": 1, "applied_commit": tv})
+        return 1
+
+    def read(self) -> DataFrame:
+        meta = self._meta()
+        return self.spark.read.parquet(self._version_path(int(meta["latest"])))
+
+    def apply_feed(
+        self, cdf_batch: DataFrame, table_root: str | None = None
+    ) -> int | None:
+        """Advance the view by one CDC batch. Requires ``table_root``:
+        the dirty-group recompute reads the table's snapshot at the
+        batch's max commit version. A multi-commit batch is applied in
+        one shot against that snapshot — every intermediate value of an
+        update chain appears as both an add and a later sub within the
+        window, so any group the one-shot merge could misjudge is dirtied
+        by its own sub images and recomputed (the conservative tie rule
+        in operators/ivm.py)."""
+        if table_root is None:
+            raise ValueError(
+                "MaintainedMinMaxView.apply_feed needs table_root: the "
+                "dirty-group recompute reads the post-commit table snapshot"
+            )
+        admitted = self._admit(cdf_batch, table_root)
+        if admitted is None:
+            return None
+        fresh, hi = admitted
+        post = MergeTable(self.spark, table_root).read(version=hi)
+        advanced = incremental_min_max_view(
+            self.read(), fresh, post, self.group_cols, self.value_col,
+            count_col=self.count_col, min_col=self.min_col,
+            max_col=self.max_col,
+        )
+        return self._publish(advanced, hi)

@@ -1293,3 +1293,80 @@ def test_maintained_view_tracks_table_and_replay_is_noop(spark, tmp_path, target
     # version retention: at most the current and one previous parquet dir
     dirs = [d for d in os.listdir(str(tmp_path / "view")) if d.startswith("v")]
     assert len(dirs) <= 2
+
+
+def test_maintained_minmax_view_tracks_table_and_replay_is_noop(spark, tmp_path, target):
+    """streaming/ivm_view.py::MaintainedMinMaxView — the durable MIN/MAX
+    consumer of the CDC loop: bootstrap one full aggregate, then every
+    merge commit advances the view through its change feed, with the
+    dirty-group recompute time-traveling to the applied commit's table
+    snapshot; the view equals recompute at every step (including a
+    commit-paced maxFilesPerTrigger=1 drain and a multi-commit batch); a
+    FRESH-checkpoint full replay advances nothing; old view versions are
+    pruned to a fixed window."""
+    import os
+    import shutil
+
+    from clustopher_spark.streaming.ivm_view import MaintainedMinMaxView
+
+    def recompute(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+
+    root = str(tmp_path / "t")
+    t = MergeTable(spark, root)
+    t.create(target, ["o_orderkey"], num_files=4)
+    view = MaintainedMinMaxView(
+        spark, str(tmp_path / "view"), ["o_orderstatus"], "o_totalprice",
+        min_col="lo", max_col="hi",
+    )
+    view.bootstrap(t)
+    assert _frames_equal(view.read(), recompute(target))
+
+    # commit 2 (mixed) then commit 3 (deletes that REMOVE current extrema:
+    # the max-price keys per status) — drained commit-paced, so each
+    # micro-batch applies exactly one commit and time-travels to it
+    t.merge(_mixed_batch(_orders(spark)), op_col="op", batch_id=0)
+    cur = t.read()
+    w_max = cur.groupBy("o_orderstatus").agg(
+        F.max("o_totalprice").alias("_mx")
+    )
+    extremum_keys = (
+        cur.join(w_max, on="o_orderstatus")
+        .filter(F.col("o_totalprice") == F.col("_mx"))
+        .drop("_mx")
+        .withColumn("op", F.lit("delete"))
+    )
+    t.merge(extremum_keys, op_col="op", batch_id=1)
+    view.maintain(root, options={"maxFilesPerTrigger": "1"})
+    assert _frames_equal(view.read(), recompute(t.read()))
+    latest = view._meta()
+
+    # full replay from a FRESH checkpoint: watermark filters everything
+    shutil.rmtree(str(tmp_path / "view") + "_checkpoint")
+    view.maintain(root)
+    assert view._meta() == latest
+    assert _frames_equal(view.read(), recompute(t.read()))
+
+    # two MORE commits drained in ONE batch (multi-commit apply: the
+    # one-shot merge against the max-commit snapshot must equal recompute
+    # — update chains dirty themselves via their own sub images)
+    lo_key = target.agg(F.min("o_orderkey")).collect()[0][0]
+    t.merge(
+        target.filter(F.col("o_orderkey") <= lo_key + 10)
+        .withColumn("o_totalprice", F.lit(1.5)),
+        batch_id=2,
+    )
+    t.merge(
+        target.filter(F.col("o_orderkey") <= lo_key + 10)
+        .withColumn("o_totalprice", F.lit(999999.0)),
+        batch_id=3,
+    )
+    view.maintain(root)
+    assert _frames_equal(view.read(), recompute(t.read()))
+    # version retention: at most the current and one previous parquet dir
+    dirs = [d for d in os.listdir(str(tmp_path / "view")) if d.startswith("v")]
+    assert len(dirs) <= 2
