@@ -69,6 +69,14 @@ CHANGE_TYPES = ("insert", "update_pre", "update_post", "delete")
 _VALID_OPS = ("upsert", "delete")
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Two writers raced a commit on the same table root. The loser's
+    data files are uuid-named pool orphans (never version-visible) that
+    vacuum's age-gated orphan sweep collects; the winner's commit is
+    untouched. Serialize writers (the serving tier's per-table lock does)
+    or retry the losing merge against the new latest version."""
+
+
 def _validate_batch(source: DataFrame, key_cols: list[str], op_col: str | None) -> None:
     """Reject a batch carrying NULL keys or unrecognized op values — ONE
     aggregate job over the (batch-sized) source.
@@ -243,6 +251,39 @@ class MergeTable:
             json.dump(meta, f)
         os.replace(tmp, self._meta_path)
 
+    def _write_guard(self, based_on: int):
+        """Optimistic single-writer guard: an exclusive flock on the table
+        root plus a compare-and-swap on ``meta.json``'s ``latest``. Every
+        version-NAMED artifact (staged feed, manifest, schema, meta
+        repoint) is written inside this context, so a losing concurrent
+        writer raises :class:`ConcurrentWriteError` before it can clobber
+        the winner's commit — its only residue is uuid-named pool files,
+        which vacuum's age-gated orphan sweep collects. flock releases on
+        process death (no stale-lock recovery needed); on filesystems
+        without flock the CAS alone still detects the common race."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def guard():
+            with open(os.path.join(self.root, ".write.lock"), "w") as lk:
+                try:
+                    import fcntl
+
+                    fcntl.flock(lk, fcntl.LOCK_EX)
+                except (ImportError, OSError):
+                    pass
+                current = int(self._meta()["latest"])
+                if current != based_on:
+                    raise ConcurrentWriteError(
+                        f"{self.root}: this write was planned against "
+                        f"v{based_on} but v{current} has since committed — "
+                        "a concurrent writer won the race; retry against "
+                        "the new latest version"
+                    )
+                yield
+
+        return guard()
+
     def _manifest(self, version: int) -> list[dict]:
         path = os.path.join(self.root, "versions", f"v{version}", "manifest.json")
         with open(path) as f:
@@ -388,6 +429,11 @@ class MergeTable:
         # streaming bootstrap) — one full scan of the batch, not two.
         if validate:
             _validate_batch(df, key_cols, None)
+        if os.path.isfile(self._meta_path):
+            raise ConcurrentWriteError(
+                f"{self.root}: table already exists — create() would "
+                "clobber it; merge() into it or choose a new root"
+            )
         os.makedirs(self.root, exist_ok=True)
         # exists from birth so a CDC stream can subscribe before the
         # first merge commit publishes a feed
@@ -573,52 +619,60 @@ class MergeTable:
                 # as-written (their NULLs come from the versioned read)
                 target_touched = evolve_target(target_touched, source, op_col)
             version = int(meta["latest"]) + 1
-            # the feed is STAGED under an underscore-prefixed dir (Spark
-            # readers skip _-paths by convention) and published by rename
-            # only AFTER the meta commit below — a crashed merge can never
-            # expose an uncommitted feed to a CDC consumer (stream_changes
-            # discovers changes/v{N} only once v{N} is real); the
-            # commit-then-rename crash window is healed by changes()
             cdf = change_feed_frames(target_touched, source, key_cols, op_col)
-            # ONE file per commit feed: a streaming CDC consumer's
-            # files-per-trigger limit can then never split a commit's
-            # images across micro-batches (a split would let a
-            # watermark-based consumer — streaming/ivm_view.py — mark the
-            # commit applied after the first slice and drop the rest
-            # forever). The feed is O(batch), so a single-task write is
-            # the right layout, the same argument the maintained view
-            # makes for its own aggregate-sized versions.
-            cdf.coalesce(1).withColumn(
-                "_commit_version", F.lit(version).cast("long")
-            ).write.mode("overwrite").option("compression", "zstd").parquet(
-                os.path.join(self.root, "changes", f"_staging_v{version}")
-            )
             merged = merge_frames(target_touched, source, key_cols, op_col)
             nf = num_files or max(1, len(touched_entries)) + 1
+            # data files first: uuid-named, shared-pool, never
+            # version-visible until a manifest references them — a loser
+            # of the write race below leaves only these, as orphans
             new_entries = self._write_files(merged, key_cols, nf)
-            self._write_manifest(version, untouched_entries + new_entries)
-            self._write_schema(version, merged)
+            # every version-NAMED artifact commits inside the write guard
+            # (flock + CAS on meta's latest), so a concurrent merge that
+            # planned the same version number raises instead of
+            # overwriting this commit's manifest/schema/feed
+            with self._write_guard(version - 1):
+                # the feed is STAGED under an underscore-prefixed dir
+                # (Spark readers skip _-paths by convention) and published
+                # by rename only AFTER the meta commit below — a crashed
+                # merge can never expose an uncommitted feed to a CDC
+                # consumer (stream_changes discovers changes/v{N} only
+                # once v{N} is real); the commit-then-rename crash window
+                # is healed by changes(). ONE file per commit feed: a
+                # streaming consumer's files-per-trigger limit can then
+                # never split a commit's images across micro-batches (the
+                # feed is O(batch), so a single-task write is the right
+                # layout). Overwrite mode heals a crashed predecessor's
+                # stale staging for this same version (the CAS proved the
+                # version is genuinely next, so any existing staging dir
+                # for it is dead).
+                cdf.coalesce(1).withColumn(
+                    "_commit_version", F.lit(version).cast("long")
+                ).write.mode("overwrite").option("compression", "zstd").parquet(
+                    os.path.join(self.root, "changes", f"_staging_v{version}")
+                )
+                self._write_manifest(version, untouched_entries + new_entries)
+                self._write_schema(version, merged)
+                meta["latest"] = version
+                if batch_id is not None:
+                    meta["last_batch"] = batch_id
+                if added:
+                    meta["columns"] = list(existing) + added
+                hist_entry = {
+                    "version": version,
+                    "operation": "merge",
+                    "rows": sum(e["rows"] for e in untouched_entries + new_entries),
+                    "files": len(untouched_entries) + len(new_entries),
+                    "files_rewritten": len(touched_entries),
+                    "files_carried": len(untouched_entries),
+                }
+                if added:
+                    hist_entry["schema_added"] = added
+                meta["history"].append(hist_entry)
+                self._commit(meta)
         finally:
             source.unpersist()
             if target_touched is not None and touched_entries:
                 target_touched.unpersist()
-        meta["latest"] = version
-        if batch_id is not None:
-            meta["last_batch"] = batch_id
-        if added:
-            meta["columns"] = list(existing) + added
-        hist_entry = {
-            "version": version,
-            "operation": "merge",
-            "rows": sum(e["rows"] for e in untouched_entries + new_entries),
-            "files": len(untouched_entries) + len(new_entries),
-            "files_rewritten": len(touched_entries),
-            "files_carried": len(untouched_entries),
-        }
-        if added:
-            hist_entry["schema_added"] = added
-        meta["history"].append(hist_entry)
-        self._commit(meta)
         self._heal_staged_feeds(meta)
         return version
 
@@ -778,29 +832,37 @@ class MergeTable:
         key_cols = meta["key_cols"]
         version = int(meta["latest"]) + 1
         new_entries = self._write_files(df, key_cols, num_files)
-        self._write_manifest(version, new_entries)
-        self._write_schema(version, df)
-        meta["latest"] = version
-        meta["history"].append(
-            {
-                "version": version,
-                "operation": "compact",
-                "rows": sum(e["rows"] for e in new_entries),
-                "files": len(new_entries),
-            }
-        )
-        self._commit(meta)
+        with self._write_guard(version - 1):
+            self._write_manifest(version, new_entries)
+            self._write_schema(version, df)
+            meta["latest"] = version
+            meta["history"].append(
+                {
+                    "version": version,
+                    "operation": "compact",
+                    "rows": sum(e["rows"] for e in new_entries),
+                    "files": len(new_entries),
+                }
+            )
+            self._commit(meta)
         return version
 
-    def vacuum(self, keep_last: int = 2) -> list[str]:
+    def vacuum(self, keep_last: int = 2, orphan_grace_sec: float = 3600.0) -> list[str]:
         """Delete data files referenced ONLY by versions older than the
         newest ``keep_last`` (refcount over retained manifests — a file
         shared into the retained window survives, the PyramidStore
         shared-block argument). Old manifests and CDF dirs of dropped
         versions are removed with their exclusive files. Pool files no
-        LIVE manifest references at all — a crashed merge's staged files
-        — are swept too (single-writer assumption: don't vacuum while a
-        merge is in flight)."""
+        LIVE manifest references and staging leftovers — a crashed
+        merge's residue — are swept only once OLDER than
+        ``orphan_grace_sec``: a concurrent in-flight writer (the streaming
+        sink plus an HTTP merge, or a merge racing this vacuum) has live
+        staging and just-moved pool files that are not yet
+        manifest-visible, and an age gate distinguishes those from crash
+        garbage without requiring writers and vacuum to be externally
+        serialized. Size the grace above the longest expected merge;
+        ``orphan_grace_sec=0`` restores the sweep-everything behavior for
+        a provably quiesced table."""
         meta = self._meta()
         versions = sorted(h["version"] for h in meta["history"] if not h.get("data_removed"))
         keep_last = max(1, keep_last)
@@ -825,30 +887,44 @@ class MergeTable:
             h["data_removed"] = True
         # staged-feed sweep: publish any staged feed whose commit landed
         # (crash between commit and rename), then delete true orphans —
-        # a staging dir for an uncommitted version is a crashed merge's
-        # leftover (single-writer: vacuum never runs concurrent to merge)
+        # a staging dir for an uncommitted version this old is a crashed
+        # merge's leftover; a YOUNG one may be an in-flight merge's, so
+        # the age gate leaves it (that merge's own commit publishes it)
+        import time as _time
+
+        cutoff = _time.time() - max(0.0, orphan_grace_sec)
+
+        def _stale(path: str) -> bool:
+            try:
+                return os.path.getmtime(path) <= cutoff
+            except OSError:
+                return False  # vanished underneath us: someone owns it
+
         self._heal_staged_feeds(meta)
         chdir = os.path.join(self.root, "changes")
         for d in os.listdir(chdir) if os.path.isdir(chdir) else []:
-            if d.startswith("_staging_v"):
+            if d.startswith("_staging_v") and _stale(os.path.join(chdir, d)):
                 shutil.rmtree(os.path.join(chdir, d), ignore_errors=True)
                 removed.append(d)
         # data-staging sweep: a crashed merge's parquet staging under
-        # {root}/_staging (single-writer: vacuum never runs concurrent to
-        # a merge, so anything here is dead)
+        # {root}/_staging (age-gated: a concurrent writer's in-flight
+        # staging is younger than the grace)
         dstage = os.path.join(self.root, "_staging")
         for d in os.listdir(dstage) if os.path.isdir(dstage) else []:
-            shutil.rmtree(os.path.join(dstage, d), ignore_errors=True)
-            removed.append(os.path.join("_staging", d))
-        # orphan sweep: files referenced by NO surviving manifest (a merge
-        # that crashed between staging and commit leaves these)
+            if _stale(os.path.join(dstage, d)):
+                shutil.rmtree(os.path.join(dstage, d), ignore_errors=True)
+                removed.append(os.path.join("_staging", d))
+        # orphan sweep: files referenced by NO surviving manifest — a
+        # crashed or race-losing merge leaves these. Age-gated: an
+        # in-flight merge moves files into the pool BEFORE its manifest
+        # exists, and sweeping those mid-commit would corrupt it
         referenced: set[str] = set()
         for h in meta["history"]:
             if not h.get("data_removed"):
                 referenced |= {e["file"] for e in self._manifest(h["version"])}
         pool = os.path.join(self.root, "files")
         for fname in os.listdir(pool) if os.path.isdir(pool) else []:
-            if fname not in referenced:
+            if fname not in referenced and _stale(os.path.join(pool, fname)):
                 os.remove(os.path.join(pool, fname))
                 removed.append(fname)
         if removed or any(h.get("data_removed") for h in meta["history"]):

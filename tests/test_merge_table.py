@@ -210,7 +210,12 @@ def test_vacuum_sweeps_crash_orphans(spark, tmp_path, target):
     target.limit(3).write.mode("overwrite").parquet(str(tmp_path / "o"))
     part = [f for f in os.listdir(str(tmp_path / "o")) if f.endswith(".parquet")][0]
     os.replace(str(tmp_path / "o" / part), orphan)
-    removed = t.vacuum(keep_last=2)
+    # default grace protects a possibly-in-flight writer's fresh files:
+    # the just-planted orphan survives a default vacuum...
+    assert "f-deadbeef.parquet" not in t.vacuum(keep_last=2)
+    assert os.path.isfile(orphan)
+    # ...and is swept once the caller asserts the table is quiesced
+    removed = t.vacuum(keep_last=2, orphan_grace_sec=0)
     assert "f-deadbeef.parquet" in removed
     assert _frames_equal(t.read(), target)  # live data untouched
 
@@ -510,7 +515,7 @@ def test_vacuum_publishes_then_sweeps_staged_feeds(spark, tmp_path, target):
     os.replace(final, staged)
     # and plant garbage for a version that never committed
     _sh.copytree(staged, os.path.join(root, "changes", "_staging_v77"))
-    t.vacuum(keep_last=5)
+    t.vacuum(keep_last=5, orphan_grace_sec=0)
     assert os.path.isdir(final)  # healed, not deleted
     assert not os.path.isdir(staged)
     assert not os.path.isdir(os.path.join(root, "changes", "_staging_v77"))
@@ -824,11 +829,12 @@ def test_ivm_all_null_sum_groups(spark):
     assert {r.g for r in out2.collect()} == {"mixed", "allnull"}
 
 
-def test_concurrent_staging_survives_write(spark, tmp_path, target):
-    """_write_files removes only ITS OWN uuid staging dir: a concurrent
-    writer's in-flight staging under {root}/_staging must survive a merge
-    (the per-table serving lock only serializes HTTP callers); vacuum —
-    documented as never concurrent to a merge — sweeps leftovers."""
+def test_concurrent_staging_survives_write_and_vacuum_grace(spark, tmp_path, target):
+    """_write_files removes only ITS OWN uuid staging dir, and vacuum's
+    age gate protects a concurrent writer's FRESH in-flight staging (the
+    per-table serving lock only serializes HTTP callers, so a streaming
+    sink plus an HTTP merge can overlap a vacuum); only staging older
+    than the grace — crash garbage — is swept."""
     import os
 
     root = str(tmp_path / "t")
@@ -841,7 +847,10 @@ def test_concurrent_staging_survives_write(spark, tmp_path, target):
     t.merge(target.limit(5).withColumn("o_totalprice", F.lit(9.9)), batch_id=1)
     assert os.path.isfile(marker)  # concurrent staging untouched by merge
     t.vacuum(keep_last=1)
-    assert not os.path.isdir(foreign)  # swept by vacuum (single-writer window)
+    assert os.path.isdir(foreign)  # FRESH staging survives a default vacuum
+    os.utime(foreign, (1, 1))  # now it is ancient crash garbage
+    t.vacuum(keep_last=1, orphan_grace_sec=3600)
+    assert not os.path.isdir(foreign)  # swept once older than the grace
 
 
 def test_schema_evolution_add_column(spark, tmp_path, target):
@@ -1370,3 +1379,75 @@ def test_maintained_minmax_view_tracks_table_and_replay_is_noop(spark, tmp_path,
     # version retention: at most the current and one previous parquet dir
     dirs = [d for d in os.listdir(str(tmp_path / "view")) if d.startswith("v")]
     assert len(dirs) <= 2
+
+
+def test_concurrent_merge_conflict_raises_and_winner_intact(
+    spark, tmp_path, target, monkeypatch
+):
+    """The single-writer contract is now enforced, not assumed: all
+    version-named artifacts commit inside a flock+CAS write guard, so of
+    two merges planned against the same version the one that commits
+    second raises ConcurrentWriteError BEFORE touching the winner's
+    manifest/schema/feed/meta; its uuid-named data files are age-gated
+    vacuum orphans. Deterministic interleave: the second writer's full
+    merge is injected between the first's data-file write and its
+    commit."""
+    import os
+
+    from clustopher_spark.sources.merge_table import ConcurrentWriteError
+
+    root = str(tmp_path / "t")
+    t1 = MergeTable(spark, root)
+    t1.create(target, ["o_orderkey"], num_files=2)
+    t2 = MergeTable(spark, root)
+    lo = target.agg(F.min("o_orderkey")).collect()[0][0]
+    batch1 = target.filter(F.col("o_orderkey") <= lo + 10).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    batch2 = target.filter(F.col("o_orderkey") <= lo + 10).withColumn(
+        "o_totalprice", F.lit(2.0)
+    )
+
+    orig = MergeTable._write_files
+    fired = []
+
+    def hijack(self, df, key_cols, num_files):
+        entries = orig(self, df, key_cols, num_files)
+        if self is t1 and not fired:
+            fired.append(True)
+            assert t2.merge(batch2, batch_id=99) == 2  # the race winner
+        return entries
+
+    monkeypatch.setattr(MergeTable, "_write_files", hijack)
+    with pytest.raises(ConcurrentWriteError):
+        t1.merge(batch1, batch_id=0)
+    monkeypatch.setattr(MergeTable, "_write_files", orig)
+
+    # the winner's commit is fully intact: data, manifest, feed, watermark
+    assert t1._meta()["latest"] == 2
+    assert t1._meta()["last_batch"] == 99
+    expected = merge_frames(target, batch2, ["o_orderkey"])
+    assert _frames_equal(t1.read(), expected)
+    assert t1.changes(1, 2).count() > 0  # v2's feed is the winner's
+    got = {r.o_orderkey: r.o_totalprice for r in t1.read().filter(
+        F.col("o_orderkey") <= lo + 10).collect()}
+    assert all(v == 2.0 for v in got.values())  # winner's values, not loser's
+    # the loser's data files are pool orphans the age-gated sweep collects
+    pre = set(os.listdir(os.path.join(root, "files")))
+    t1.vacuum(keep_last=2, orphan_grace_sec=0)
+    referenced = {e["file"] for e in t1._manifest(1)} | {
+        e["file"] for e in t1._manifest(2)
+    }
+    assert set(os.listdir(os.path.join(root, "files"))) == referenced
+    assert referenced < pre  # something was actually swept
+
+
+def test_create_refuses_existing_table(spark, tmp_path, target):
+    """create() on a root that already has a committed table raises
+    instead of silently clobbering it (the create/create race)."""
+    from clustopher_spark.sources.merge_table import ConcurrentWriteError
+
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(target, ["o_orderkey"], num_files=2)
+    with pytest.raises(ConcurrentWriteError, match="already exists"):
+        t.create(target, ["o_orderkey"], num_files=2)
