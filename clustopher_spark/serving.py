@@ -397,32 +397,44 @@ class TableService:
                 raise ValueError(f"missing op column {op_col}")
             cols.append(F.col(op_col).cast("string").alias(op_col))
         batch = raw.select(*cols)
-        # loud on mangled values, as a 400 with the offending columns
-        # named: probe with try_cast (ANSI mode's plain cast would throw a
-        # raw engine error mid-plan; non-ANSI clusters would silently null
-        # — this check is exact under both) and reject the whole request
-        # before anything runs against the table (one aggregate job)
-        mangled = raw.select(
+        # ONE aggregate job validates the whole request (the batch is
+        # request-sized, but each Spark job pays the scheduling floor, so
+        # per-request validation must not fan out into several):
+        # * mangled values, loudly as a 400 with the offending columns
+        #   named: probe with try_cast (ANSI mode's plain cast would throw
+        #   a raw engine error mid-plan; non-ANSI clusters would silently
+        #   null — this check is exact under both);
+        # * MERGE's one-source-row-per-target-row precondition: a batch
+        #   with two rows for the same key would commit duplicate keys and
+        #   a corrupt change feed. HTTP carries no ordering column to
+        #   break the tie, so reject rather than silently pick a winner.
+        #   Checked post-cast ('5' and 5 are the same key once cast) via
+        #   count - count_distinct over the CASTED key struct — a struct
+        #   is non-null even when its fields are, so null-keyed rows
+        #   count correctly (merge()'s own validation rejects them next).
+        key_cols = t._meta()["key_cols"]
+        types = {f.name: f.dataType for f in schema.fields}
+        probe = raw.select(
             *[
                 F.sum(
                     (F.col(f.name).isNotNull() & F.col(f.name).try_cast(f.dataType).isNull()).cast("int")
                 ).alias(f.name)
                 for f in schema.fields
-            ]
+            ],
+            (
+                F.count(F.lit(1))
+                - F.count_distinct(
+                    F.struct(*[F.col(k).try_cast(types[k]) for k in key_cols])
+                )
+            ).alias("_n_dup_keys"),
         ).collect()[0]
-        bad = [c for c in schema.fieldNames() if (mangled[c] or 0) > 0]
+        bad = [c for c in schema.fieldNames() if (probe[c] or 0) > 0]
         if bad:
             raise ValueError(
                 f"column(s) {bad} contain values that do not cast to the "
                 "table's types — request rejected, nothing committed"
             )
-        # MERGE's one-source-row-per-target-row precondition: a batch with
-        # two rows for the same key would commit duplicate keys into the
-        # table and a corrupt change feed. HTTP carries no ordering column
-        # to break the tie, so reject rather than silently pick a winner
-        # (post-cast check: '5' and 5 are the same key once cast).
-        key_cols = t._meta()["key_cols"]
-        dup = batch.count() - batch.dropDuplicates(key_cols).count()
+        dup = int(probe["_n_dup_keys"] or 0)
         if dup:
             raise ValueError(
                 f"batch contains {dup} duplicate row(s) for the same key "
