@@ -309,3 +309,92 @@ def incremental_min_max_view(
     )
     clean = merged.filter(~F.col("_dirty")).drop("_dirty")
     return clean.unionByName(recomputed)
+
+
+def bootstrap_distinct_support(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    mult_col: str = "_mult",
+) -> DataFrame:
+    """Seed the SUPPORT RELATION for a maintainable COUNT(DISTINCT) view:
+    one row per (group, value) with its multiplicity. COUNT(DISTINCT) is
+    not directly invertible (removing one copy of a value must not drop
+    it while duplicates remain), but the support relation IS — every
+    change image contributes ±1 to exactly one (group, value) row — and
+    the distinct count is a trivial projection of it. NULL values ride
+    along (they track group existence) but never count as distinct, per
+    SQL semantics."""
+    return df.groupBy(*group_cols, F.col(value_col)).agg(
+        F.count(F.lit(1)).alias(mult_col)
+    )
+
+
+def incremental_distinct_count_view(
+    support: DataFrame,
+    cdf: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    mult_col: str = "_mult",
+) -> DataFrame:
+    """Advance a COUNT(DISTINCT) support relation by one (or many
+    unioned) commit change feeds. Returns the NEW support relation —
+    chain it across commits, and project the view with
+    :func:`distinct_count_view` (group, n_rows, n_distinct), which
+    equals recomputing ``SELECT g, COUNT(*), COUNT(DISTINCT v)`` over
+    the post-merge table (pinned by the shared-oracle registry entry).
+
+    Scale shape: the support relation is O(distinct (group, value))
+    rows — larger than an aggregate view but far smaller than the table
+    whenever values repeat; for enormous value cardinality, persist it
+    AS a MergeTable keyed by (group, value) and this delta becomes a
+    normal merge (the maintained-view module's standing advice). The
+    delta itself is one O(batch) aggregation plus a full-outer join
+    against the support relation on (group, value) — both sides
+    support-sized, the delta side batch-sized, so Catalyst broadcasts
+    it."""
+    sign = (
+        F.when(F.col("_change_type").isin(*_ADD), F.lit(1))
+        .when(F.col("_change_type").isin(*_SUB), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    delta = cdf.groupBy(*group_cols, F.col(value_col)).agg(
+        F.sum(sign).alias("_d")
+    )
+    keys = [*group_cols, value_col]
+    s, d = support.alias("s"), delta.alias("d")
+    # null-safe on every key: a NULL group key is a real group AND a NULL
+    # value is a real support row (it carries group existence)
+    cond = None
+    for c in keys:
+        eq = F.col(f"s.{c}").eqNullSafe(F.col(f"d.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    joined = s.join(d, on=cond, how="full_outer")
+    out = joined.select(
+        *[F.coalesce(F.col(f"s.{c}"), F.col(f"d.{c}")).alias(c) for c in keys],
+        (
+            F.coalesce(F.col(f"s.{mult_col}"), F.lit(0))
+            + F.coalesce(F.col("d._d"), F.lit(0))
+        ).alias(mult_col),
+    )
+    # multiplicity zero = the value left the group entirely (negative is
+    # impossible for a feed consistent with the table it came from)
+    return out.filter(F.col(mult_col) > 0)
+
+
+def distinct_count_view(
+    support: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    mult_col: str = "_mult",
+    count_col: str = "n_rows",
+    distinct_col: str = "n_distinct",
+) -> DataFrame:
+    """Project (group, n_rows, n_distinct) from a support relation:
+    n_rows = SUM(multiplicity) (COUNT(*) of the underlying table),
+    n_distinct = support rows with a non-null value (COUNT(DISTINCT v)
+    ignores NULLs; a group of only NULL values exists with 0)."""
+    return support.groupBy(*group_cols).agg(
+        F.sum(mult_col).alias(count_col),
+        F.sum(F.col(value_col).isNotNull().cast("int")).alias(distinct_col),
+    )

@@ -35,13 +35,15 @@ import clustopher_spark.queries.tables  # noqa: F401
 # tool named as the mandatory r7 rotation: the SQL-feature galleries,
 # subquery family, drift stats, dbscan, merge_upsert_orders, ...) + the
 # same 13 flagship anchors as r6 (the core-surface regressions that must
-# stay driver-visible every round) + the 1 new round-7 oracle
+# stay driver-visible every round) + the 3 new round-7 oracles
 # (catalog_maintained_minmax — the durable MIN/MAX maintained view over
-# live CDC; new oracles seat the round they land) + 5 seats brought
-# FORWARD from the round-4 cohort (staleness 3 after this round — the r8
-# rotation; seating its 5 heaviest-traffic members now shrinks the r8
-# swap and keeps them bench-aligned: q1/q3/q5 + the two retrieval
-# entries). tools/check_window_rotation.py enforces coverage and
+# live CDC; catalog_incremental_distinct — COUNT(DISTINCT) via the
+# invertible support relation; catalog_incremental_moments — AVG/STDDEV
+# composed from count+sum; new oracles seat the round they land) + 3
+# seats brought FORWARD from the round-4 cohort (staleness 3 after this
+# round — the r8 rotation; seating its heaviest-traffic members now
+# shrinks the r8 swap and keeps them bench-aligned: q1/q3/q5).
+# tools/check_window_rotation.py enforces coverage and
 # freshness; after this round's driver run the stalest unseated cohort is
 # the remaining 26 round-4-checked oracles (staleness 3, at the bound),
 # which are the round-8 rotation.
@@ -93,14 +95,14 @@ _R7_ROTATION = [
     "string_function_gallery",
     "unpivot_lineitem_measures",
     "window_count_distinct",
-    # new round-7 oracle — must be driver-checked the round it lands
+    # new round-7 oracles — must be driver-checked the round they land
     "catalog_maintained_minmax",
+    "catalog_incremental_distinct",
+    "catalog_incremental_moments",
     # round-4 cohort seats brought forward (r8's rotation is the rest)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_revenue_by_nation",
-    "llm_bm25_retrieval",
-    "llm_hybrid_retrieval_rrf",
 ]
 _R7_WINDOW = set(_FLAGSHIP_ANCHORS) | set(_R7_ROTATION)
 assert len(_R7_WINDOW) == 50, len(_R7_WINDOW)

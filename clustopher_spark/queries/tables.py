@@ -344,3 +344,114 @@ def catalog_maintained_minmax(spark, sf_dir):
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "catalog_incremental_distinct",
+    # recompute over the post-merge table — the driver hash-verifies that
+    # COUNT(DISTINCT) maintenance via the invertible support relation
+    # equals recompute, the shared-oracle trick the count/sum and MIN/MAX
+    # entries use
+    oracle=f"""
+    WITH {_BATCH_CTES},
+    merged AS (
+        SELECT * FROM target
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM inserts)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM deletes)
+        UNION ALL SELECT * FROM updates
+        UNION ALL SELECT * FROM inserts)
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_custkey) AS n_distinct
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def catalog_incremental_distinct(spark, sf_dir):
+    """COUNT(DISTINCT) view maintenance (operators/ivm.py): the aggregate
+    itself is not invertible (removing one copy of a value must not drop
+    it while duplicates remain), but its SUPPORT RELATION — one row per
+    (group, value) with multiplicity — is: every change image is ±1 on
+    exactly one support row, and the distinct count is a projection. The
+    support relation is O(distinct (group, value)), never O(table); for
+    enormous cardinality it persists as a MergeTable keyed by (group,
+    value) and the delta becomes a normal merge."""
+    from clustopher_spark.operators.ivm import (
+        bootstrap_distinct_support,
+        distinct_count_view,
+        incremental_distinct_count_view,
+    )
+
+    target, batch = _target_and_batch(spark, sf_dir)
+    support = bootstrap_distinct_support(target, ["o_orderstatus"], "o_custkey")
+    cdf = change_feed_frames(target, batch, ["o_orderkey"], op_col="op")
+    support = incremental_distinct_count_view(
+        support, cdf, ["o_orderstatus"], "o_custkey"
+    )
+    return (
+        distinct_count_view(support, ["o_orderstatus"], "o_custkey")
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "catalog_incremental_moments",
+    # recompute over the post-merge table. AVG/STDDEV need no new
+    # operator at all: SUM(v*v) is just another sum column for the
+    # count+sum machinery, and the moments derive at read time — the
+    # entry exists to pin that composition. stddev (not variance) is the
+    # hashed output: the variance of ~1e5-scale prices is ~1e10, whose
+    # 4-decimal rounding sits below double precision for BOTH engines;
+    # its square root rounds stably.
+    oracle=f"""
+    WITH {_BATCH_CTES},
+    merged AS (
+        SELECT * FROM target
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM inserts)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM deletes)
+        UNION ALL SELECT * FROM updates
+        UNION ALL SELECT * FROM inserts)
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(AVG(o_totalprice), 4) AS avg_price,
+           ROUND(STDDEV_SAMP(o_totalprice), 4) AS std_price
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def catalog_incremental_moments(spark, sf_dir):
+    """AVG/STDDEV view maintenance as a pure COMPOSITION of the existing
+    count+sum machinery (operators/ivm.py): maintain SUM(v) and SUM(v*v)
+    in exact DECIMAL alongside the non-null count, derive mean and
+    sample stddev at read time (var = (sum2/m - mean^2) * m/(m-1) — the
+    sum2/m - mean^2 form keeps intermediates at the magnitude of the
+    answer, so no catastrophic cancellation). Maintenance cost is
+    unchanged: O(changes + affected groups) per commit."""
+    from clustopher_spark.operators.ivm import (
+        bootstrap_count_sum_view,
+        incremental_count_sum_view,
+    )
+
+    target, batch = _target_and_batch(spark, sf_dir)
+    dec = "decimal(28,6)"
+    prep = lambda df: df.withColumn(  # noqa: E731
+        "_v", F.col("o_totalprice").cast(dec)
+    ).withColumn("_v2", (F.col("o_totalprice") * F.col("o_totalprice")).cast(dec))
+    base = bootstrap_count_sum_view(
+        prep(target), ["o_orderstatus"], {"_v": "_s", "_v2": "_s2"},
+        count_col="n_orders",
+    )
+    cdf = prep(change_feed_frames(target, batch, ["o_orderkey"], op_col="op"))
+    view = incremental_count_sum_view(
+        base, cdf, ["o_orderstatus"], {"_v": "_s", "_v2": "_s2"},
+        count_col="n_orders", keep_state=True,
+    )
+    m = F.col("_nn__s").cast("double")
+    mean = F.col("_s").cast("double") / m
+    var = (F.col("_s2").cast("double") / m - mean * mean) * m / (m - F.lit(1.0))
+    return view.select(
+        "o_orderstatus",
+        "n_orders",
+        F.round(mean, 4).alias("avg_price"),
+        F.round(F.sqrt(var), 4).alias("std_price"),
+    ).orderBy("o_orderstatus")

@@ -1451,3 +1451,60 @@ def test_create_refuses_existing_table(spark, tmp_path, target):
     t.create(target, ["o_orderkey"], num_files=2)
     with pytest.raises(ConcurrentWriteError, match="already exists"):
         t.create(target, ["o_orderkey"], num_files=2)
+
+
+def test_ivm_distinct_count_view(spark):
+    """COUNT(DISTINCT) maintenance via the invertible support relation
+    (operators/ivm.py): duplicates decrement without dropping the value,
+    the last copy's removal does drop it, NULL values never count but do
+    keep an all-NULL group alive, and groups vanish at count zero —
+    every step equals recompute."""
+    from clustopher_spark.operators.ivm import (
+        bootstrap_distinct_support,
+        distinct_count_view,
+        incremental_distinct_count_view,
+    )
+
+    tbl = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 7), ("c", None)],
+        "g string, v int",
+    )
+    support = bootstrap_distinct_support(tbl, ["g"], "v")
+    cdf = spark.createDataFrame(
+        [
+            ("a", 1, "delete"),        # one copy of a dup: distinct stays 2
+            ("a", 3, "insert"),        # new value: distinct -> 3
+            ("b", 7, "update_pre"),    # value change 7 -> 9
+            ("b", 9, "update_post"),
+            ("c", None, "insert"),     # another NULL: group alive, 0 distinct
+            ("d", 5, "insert"),        # new group
+        ],
+        "g string, v int, _change_type string",
+    )
+    post = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 9), ("c", None), ("c", None), ("d", 5)],
+        "g string, v int",
+    )
+    support2 = incremental_distinct_count_view(support, cdf, ["g"], "v")
+    view = distinct_count_view(support2, ["g"], "v")
+    got = {r.g: (r.n_rows, r.n_distinct) for r in view.collect()}
+    expect = {
+        r.g: (r.n_rows, r.n_distinct)
+        for r in post.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("v").alias("n_distinct"),
+        ).collect()
+    }
+    assert got == expect
+    assert got["a"] == (3, 3) and got["b"] == (1, 1)
+    assert got["c"] == (2, 0)  # NULL-only group exists with 0 distinct
+    # chaining: delete everything in d and one more of a's former dup
+    cdf2 = spark.createDataFrame(
+        [("d", 5, "delete"), ("a", 1, "delete")],
+        "g string, v int, _change_type string",
+    )
+    support3 = incremental_distinct_count_view(support2, cdf2, ["g"], "v")
+    view2 = distinct_count_view(support3, ["g"], "v")
+    got2 = {r.g: (r.n_rows, r.n_distinct) for r in view2.collect()}
+    assert "d" not in got2          # group vanished at count zero
+    assert got2["a"] == (2, 2)      # value 1's LAST copy removed
