@@ -398,3 +398,138 @@ def distinct_count_view(
         F.sum(mult_col).alias(count_col),
         F.sum(F.col(value_col).isNotNull().cast("int")).alias(distinct_col),
     )
+
+
+def incremental_top_k_view(
+    base: DataFrame,
+    cdf: DataFrame,
+    post_table: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int,
+    count_col: str = "n_rows",
+    topk_col: str = "top_k",
+) -> DataFrame:
+    """Maintain a per-group COUNT + TOP-K-VALUES view across a commit's
+    change feed — the generalization of :func:`incremental_min_max_view`
+    (MAX is k=1): the stored array of the k largest non-null values is
+    not invertible (removing a member forgets the runner-up), so the
+    maintenance splits the same way:
+
+    * **inserts / update_post** merge monotonically — sort-merge the
+      stored array with the batch's per-group top-k and keep the first
+      k, a pure aggregate-sized array op, no table access;
+    * **deletes / update_pre** below the stored k-th value cannot touch
+      the array — table-free;
+    * a removal that TIES-OR-BEATS the stored k-th value (or hits a
+      group whose stored array is shorter than k, i.e. the array IS the
+      group's whole non-null multiset) marks the group DIRTY, recomputed
+      from ``post_table`` through a broadcast null-safe semi-join on the
+      batch-bounded dirty key set — O(affected groups' rows), never
+      O(table).
+
+    Soundness under a multi-commit feed (the maintained-view drain):
+    merging adds can only move the k-th threshold UP, so any removed
+    value that could sit in the naively-merged array is >= the BASE
+    k-th value and therefore dirties the group — the same
+    self-dirtying argument as MIN/MAX update chains.
+
+    ``base`` carries (group_cols..., count_col, topk_col:
+    array<value> sorted descending); seed it with
+    ``df.groupBy(...).agg(F.count(F.lit(1)), F.slice(F.sort_array(
+    F.collect_list(v), asc=False), 1, k))``. NULL values never enter
+    the array (SQL aggregate semantics) but do count rows. Equals
+    recomputing the view — pinned by the registry oracle and tests.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    v = F.col(value_col)
+    add = cdf.filter(F.col("_change_type").isin(*_ADD))
+    sub = cdf.filter(F.col("_change_type").isin(*_SUB))
+    add_agg = add.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_a_n"),
+        F.slice(F.sort_array(F.collect_list(v), asc=False), 1, k).alias("_a_top"),
+    )
+    sub_agg = sub.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_s_n"),
+        F.max(v).alias("_s_max"),
+    )
+
+    def _nsjoin(lalias, ralias):
+        cond = None
+        for c in group_cols:
+            eq = F.col(f"{lalias}.{c}").eqNullSafe(F.col(f"{ralias}.{c}"))
+            cond = eq if cond is None else (cond & eq)
+        return cond
+
+    b, a = base.alias("b"), add_agg.alias("a")
+    empty = F.array().cast(f"array<{dict(base.dtypes)[topk_col][6:-1]}>")
+    j1 = b.join(a, on=_nsjoin("b", "a"), how="full_outer").select(
+        *[
+            F.coalesce(F.col(f"b.{c}"), F.col(f"a.{c}")).alias(c)
+            for c in group_cols
+        ],
+        F.col(f"b.{count_col}").alias("_b_n"),
+        F.col(f"b.{topk_col}").alias("_b_top"),
+        "_a_n", "_a_top",
+    )
+    j = j1.alias("j").join(
+        sub_agg.alias("s"), on=_nsjoin("j", "s"), how="left_outer"
+    )
+    n_new = (
+        F.coalesce(F.col("_b_n"), F.lit(0))
+        + F.coalesce(F.col("_a_n"), F.lit(0))
+        - F.coalesce(F.col("_s_n"), F.lit(0))
+    )
+    merged_top = F.slice(
+        F.sort_array(
+            F.concat(
+                F.coalesce(F.col("_b_top"), empty),
+                F.coalesce(F.col("_a_top"), empty),
+            ),
+            asc=False,
+        ),
+        1,
+        k,
+    )
+    # a removal dirties the group when the stored array cannot prove it
+    # unaffected: the array is shorter than k (it IS the group's whole
+    # non-null multiset — a non-null removal is in it), the group is new
+    # to the base, or the removed max ties-or-beats the stored k-th
+    # value (tie included: which copy left is unknowable from values).
+    # A NULL-valued removal never dirties a FULL array (_s_max NULL ->
+    # comparison NULL -> coalesced False); on a short array it triggers
+    # a recompute that is merely unnecessary, not wrong. The OR is
+    # ordered so element_at is short-circuited away whenever the array
+    # could be empty.
+    dirty = F.col("_s_n").isNotNull() & F.coalesce(
+        F.col("_b_top").isNull()
+        | (F.size("_b_top") < F.lit(k))
+        | (F.col("_s_max") >= F.element_at("_b_top", F.size("_b_top"))),
+        F.lit(False),
+    )
+    merged = j.select(
+        *[F.col(f"j.{c}").alias(c) for c in group_cols],
+        n_new.alias(count_col),
+        merged_top.alias(topk_col),
+        F.coalesce(dirty, F.lit(False)).alias("_dirty"),
+    ).filter(F.col(count_col) > 0)
+    merged = merged.localCheckpoint(eager=True)
+    dirty_keys = merged.filter(F.col("_dirty")).select(*group_cols)
+    if not dirty_keys.take(1):
+        return merged.drop("_dirty")
+    recomputed = (
+        post_table.alias("t")
+        .join(
+            F.broadcast(dirty_keys.alias("dk")),
+            on=_nsjoin("t", "dk"),
+            how="left_semi",
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias(count_col),
+            F.slice(F.sort_array(F.collect_list(v), asc=False), 1, k).alias(topk_col),
+        )
+    )
+    clean = merged.filter(~F.col("_dirty")).drop("_dirty")
+    return clean.unionByName(recomputed)

@@ -35,14 +35,15 @@ import clustopher_spark.queries.tables  # noqa: F401
 # tool named as the mandatory r7 rotation: the SQL-feature galleries,
 # subquery family, drift stats, dbscan, merge_upsert_orders, ...) + the
 # same 13 flagship anchors as r6 (the core-surface regressions that must
-# stay driver-visible every round) + the 3 new round-7 oracles
+# stay driver-visible every round) + the 4 new round-7 oracles
 # (catalog_maintained_minmax — the durable MIN/MAX maintained view over
 # live CDC; catalog_incremental_distinct — COUNT(DISTINCT) via the
 # invertible support relation; catalog_incremental_moments — AVG/STDDEV
-# composed from count+sum; new oracles seat the round they land) + 3
-# seats brought FORWARD from the round-4 cohort (staleness 3 after this
+# composed from count+sum; catalog_incremental_topk — the MIN/MAX
+# generalization; new oracles seat the round they land) + 2 seats
+# brought FORWARD from the round-4 cohort (staleness 3 after this
 # round — the r8 rotation; seating its heaviest-traffic members now
-# shrinks the r8 swap and keeps them bench-aligned: q1/q3/q5).
+# shrinks the r8 swap and keeps them bench-aligned: q1/q3).
 # tools/check_window_rotation.py enforces coverage and
 # freshness; after this round's driver run the stalest unseated cohort is
 # the remaining 26 round-4-checked oracles (staleness 3, at the bound),
@@ -99,10 +100,10 @@ _R7_ROTATION = [
     "catalog_maintained_minmax",
     "catalog_incremental_distinct",
     "catalog_incremental_moments",
+    "catalog_incremental_topk",
     # round-4 cohort seats brought forward (r8's rotation is the rest)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_revenue_by_nation",
 ]
 _R7_WINDOW = set(_FLAGSHIP_ANCHORS) | set(_R7_ROTATION)
 assert len(_R7_WINDOW) == 50, len(_R7_WINDOW)

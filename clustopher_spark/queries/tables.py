@@ -455,3 +455,68 @@ def catalog_incremental_moments(spark, sf_dir):
         F.round(mean, 4).alias("avg_price"),
         F.round(F.sqrt(var), 4).alias("std_price"),
     ).orderBy("o_orderstatus")
+
+
+@register(
+    "catalog_incremental_topk",
+    # recompute over the post-merge table, exploded to (group, rank,
+    # value) rows: with duplicate values the rank assignment among equal
+    # values is arbitrary in BOTH engines but the row SET is identical,
+    # so the driver's sorted hash matches exactly (values are raw table
+    # doubles — no arithmetic, no float drift)
+    oracle=f"""
+    WITH {_BATCH_CTES},
+    merged AS (
+        SELECT * FROM target
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM inserts)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM deletes)
+        UNION ALL SELECT * FROM updates
+        UNION ALL SELECT * FROM inserts),
+    ranked AS (
+        SELECT o_orderstatus,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderstatus ORDER BY o_totalprice DESC
+               ) AS rnk,
+               o_totalprice AS price
+        FROM merged)
+    SELECT o_orderstatus, rnk, price
+    FROM ranked WHERE rnk <= 5
+    ORDER BY o_orderstatus, rnk
+    """,
+)
+def catalog_incremental_topk(spark, sf_dir):
+    """TOP-K view maintenance (operators/ivm.py::incremental_top_k_view)
+    — the MIN/MAX generalization (MAX is k=1): inserts sort-merge into
+    the stored per-group array table-free; only removals that tie-or-beat
+    the stored k-th value trigger the bounded dirty-group recompute via a
+    broadcast null-safe semi-join (O(affected groups' rows), never
+    O(table)). The maintained view is exploded to (group, rank, value)
+    rows so DuckDB hash-verifies it equals recomputing the window top-k
+    over the post-merge table."""
+    from clustopher_spark.operators.ivm import incremental_top_k_view
+
+    k = 5
+    target, batch = _target_and_batch(spark, sf_dir)
+    base = target.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.slice(
+            F.sort_array(F.collect_list("o_totalprice"), asc=False), 1, k
+        ).alias("top_k"),
+    )
+    cdf = change_feed_frames(target, batch, ["o_orderkey"], op_col="op")
+    post = merge_frames(target, batch, ["o_orderkey"], op_col="op")
+    view = incremental_top_k_view(
+        base, cdf, post, ["o_orderstatus"], "o_totalprice", k
+    )
+    return (
+        view.select(
+            "o_orderstatus", F.posexplode("top_k").alias("pos", "price")
+        )
+        .select(
+            "o_orderstatus",
+            (F.col("pos") + 1).cast("long").alias("rnk"),
+            "price",
+        )
+        .orderBy("o_orderstatus", "rnk")
+    )

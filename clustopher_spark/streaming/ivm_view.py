@@ -2,13 +2,15 @@
 consumer that completes the table's CDC loop: produce (merge) -> record
 (write-time CDF) -> stream (stream_changes) -> maintain (THIS) -> serve.
 
-Two maintained shapes:
+Three maintained shapes:
 
 * :class:`MaintainedView` — count+sum per group, advanced purely from the
   change feed (operators/ivm.py — O(changes + affected groups), never a
   table access);
-* :class:`MaintainedMinMaxView` — count/MIN/MAX per group, the classic
-  NOT-group-invertible aggregate: inserts advance extrema monotonically
+* :class:`MaintainedMinMaxView` — count/MIN/MAX per group, and
+  :class:`MaintainedTopKView` — count + the k largest values per group
+  (MIN/MAX is its k=1 case) — the classic
+  NOT-group-invertible aggregates: inserts advance extrema monotonically
   from the feed alone, and only groups whose removed values tie-or-beat a
   stored extremum are recomputed from the POST-COMMIT table snapshot
   through a broadcast semi-join on the dirty keys (O(affected groups'
@@ -66,6 +68,7 @@ from clustopher_spark.operators.ivm import (
     bootstrap_count_sum_view,
     incremental_count_sum_view,
     incremental_min_max_view,
+    incremental_top_k_view,
 )
 from clustopher_spark.sources.merge_table import MergeTable
 from clustopher_spark.streaming.merge_table import stream_changes
@@ -357,5 +360,76 @@ class MaintainedMinMaxView(_DurableViewBase):
             self.read(), fresh, post, self.group_cols, self.value_col,
             count_col=self.count_col, min_col=self.min_col,
             max_col=self.max_col,
+        )
+        return self._publish(advanced, hi)
+
+
+class MaintainedTopKView(_DurableViewBase):
+    """A durable, versioned count + TOP-K-VALUES view of a MergeTable —
+    the MIN/MAX view's generalization (MAX is k=1), same maintenance
+    split: inserts sort-merge into the stored per-group array from the
+    feed alone; removals that tie-or-beat the stored k-th value trigger
+    the bounded dirty recompute against the table snapshot AT the
+    applied commit version. See operators/ivm.py::incremental_top_k_view
+    for the delta algebra and its multi-commit soundness argument."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        group_cols: list[str],
+        value_col: str,
+        k: int,
+        count_col: str = "n_rows",
+        topk_col: str = "top_k",
+    ) -> None:
+        super().__init__(spark, root)
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self.k = int(k)
+        self.count_col = count_col
+        self.topk_col = topk_col
+
+    def bootstrap(self, table: MergeTable) -> int:
+        """Seed the view from one full count + top-k aggregate of the
+        table's CURRENT version."""
+        os.makedirs(self.root, exist_ok=True)
+        tv = int(table._meta()["latest"])
+        base = table.read().groupBy(*self.group_cols).agg(
+            F.count(F.lit(1)).alias(self.count_col),
+            F.slice(
+                F.sort_array(F.collect_list(self.value_col), asc=False),
+                1,
+                self.k,
+            ).alias(self.topk_col),
+        )
+        self._write_version(base, 1)
+        self._commit({"latest": 1, "applied_commit": tv})
+        return 1
+
+    def read(self) -> DataFrame:
+        meta = self._meta()
+        return self.spark.read.parquet(self._version_path(int(meta["latest"])))
+
+    def apply_feed(
+        self, cdf_batch: DataFrame, table_root: str | None = None
+    ) -> int | None:
+        """Advance the view by one CDC batch. Requires ``table_root``:
+        the dirty-group recompute reads the table's snapshot at the
+        batch's max commit version (never a commit whose feed is still
+        undelivered)."""
+        if table_root is None:
+            raise ValueError(
+                "MaintainedTopKView.apply_feed needs table_root: the "
+                "dirty-group recompute reads the post-commit table snapshot"
+            )
+        admitted = self._admit(cdf_batch, table_root)
+        if admitted is None:
+            return None
+        fresh, hi = admitted
+        post = MergeTable(self.spark, table_root).read(version=hi)
+        advanced = incremental_top_k_view(
+            self.read(), fresh, post, self.group_cols, self.value_col,
+            self.k, count_col=self.count_col, topk_col=self.topk_col,
         )
         return self._publish(advanced, hi)

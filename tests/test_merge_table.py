@@ -1508,3 +1508,141 @@ def test_ivm_distinct_count_view(spark):
     got2 = {r.g: (r.n_rows, r.n_distinct) for r in view2.collect()}
     assert "d" not in got2          # group vanished at count zero
     assert got2["a"] == (2, 2)      # value 1's LAST copy removed
+
+
+def test_ivm_top_k_view(spark):
+    """TOP-K maintenance (operators/ivm.py) — the MIN/MAX generalization:
+    inserts sort-merge into the stored array table-free; a delete below
+    the k-th value leaves it valid; a delete that ties-or-beats the k-th
+    (or hits a shorter-than-k array) triggers the bounded recompute —
+    every path equals recompute, including ties with surviving
+    duplicates, new groups, group vanish, and NULL values."""
+    import contextlib
+    import io
+
+    from clustopher_spark.operators.ivm import incremental_top_k_view
+
+    k = 3
+    tbl = spark.createDataFrame(
+        [("a", 9.0), ("a", 9.0), ("a", 7.0), ("a", 5.0), ("a", 1.0),
+         ("b", 4.0), ("b", 2.0), ("c", None)],
+        "g string, v double",
+    )
+
+    def snap(df):
+        return df.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.slice(F.sort_array(F.collect_list("v"), asc=False), 1, k).alias("top_k"),
+        )
+
+    base = snap(tbl)
+    cdf = spark.createDataFrame(
+        [
+            ("a", 9.0, "delete"),       # ties the top: dup must survive -> dirty
+            ("a", 1.0, "delete"),       # below the k-th: table-free
+            ("a", 8.0, "insert"),       # enters the array: monotone merge
+            ("b", 2.0, "update_pre"),   # b is shorter than k -> dirty
+            ("b", 6.0, "update_post"),
+            ("d", 3.0, "insert"),       # new group
+            ("c", None, "insert"),      # NULL never enters the array
+        ],
+        "g string, v double, _change_type string",
+    )
+    post = spark.createDataFrame(
+        [("a", 9.0), ("a", 8.0), ("a", 7.0), ("a", 5.0),
+         ("b", 4.0), ("b", 6.0), ("c", None), ("c", None), ("d", 3.0)],
+        "g string, v double",
+    )
+    view = incremental_top_k_view(base, cdf, post, ["g"], "v", k)
+    got = {r.g: (r.n_rows, list(r.top_k)) for r in view.collect()}
+    expect = {r.g: (r.n_rows, list(r.top_k)) for r in snap(post).collect()}
+    assert got == expect
+    assert got["a"] == (4, [9.0, 8.0, 7.0])   # one 9.0 survived the tie-delete
+    assert got["b"] == (2, [6.0, 4.0])
+    assert got["c"] == (2, [])                # all-NULL group: empty array
+    assert got["d"] == (1, [3.0])
+    # chained: delete everything in d -> group vanishes; plan shape: the
+    # dirty recompute broadcasts the key set
+    cdf2 = spark.createDataFrame(
+        [("d", 3.0, "delete")], "g string, v double, _change_type string"
+    )
+    post2 = post.filter(F.col("g") != "d")
+    view2 = incremental_top_k_view(view, cdf2, post2, ["g"], "v", k)
+    assert "d" not in {r.g for r in view2.collect()}
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        view.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_maintained_topk_view_tracks_table_and_replay_is_noop(spark, tmp_path, target):
+    """streaming/ivm_view.py::MaintainedTopKView — bootstrap, advance
+    through live commits (commit-paced drain incl. deletes that remove
+    stored array members), fresh-checkpoint replay no-op, multi-commit
+    batch, retention — view == recompute at every step."""
+    import os
+    import shutil
+
+    from clustopher_spark.streaming.ivm_view import MaintainedTopKView
+
+    k = 4
+
+    def recompute(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.slice(
+                F.sort_array(F.collect_list("o_totalprice"), asc=False), 1, k
+            ).alias("top_k"),
+        )
+
+    root = str(tmp_path / "t")
+    t = MergeTable(spark, root)
+    t.create(target, ["o_orderkey"], num_files=4)
+    view = MaintainedTopKView(
+        spark, str(tmp_path / "view"), ["o_orderstatus"], "o_totalprice", k
+    )
+    view.bootstrap(t)
+    assert _frames_equal(view.read(), recompute(target))
+
+    # commit 2 (mixed) then commit 3: delete each status's TOP-k rows —
+    # the stored array is fully invalidated, forcing the dirty recompute
+    t.merge(_mixed_batch(_orders(spark)), op_col="op", batch_id=0)
+    cur = t.read()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    top_rows = (
+        cur.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .withColumn("op", F.lit("delete"))
+    )
+    t.merge(top_rows, op_col="op", batch_id=1)
+    view.maintain(root, options={"maxFilesPerTrigger": "1"})
+    assert _frames_equal(view.read(), recompute(t.read()))
+    latest = view._meta()
+
+    # fresh-checkpoint replay: watermark filters everything
+    shutil.rmtree(str(tmp_path / "view") + "_checkpoint")
+    view.maintain(root)
+    assert view._meta() == latest
+
+    # two more commits in ONE drained batch (update chain through the top)
+    lo_key = target.agg(F.min("o_orderkey")).collect()[0][0]
+    t.merge(
+        target.filter(F.col("o_orderkey") <= lo_key + 10)
+        .withColumn("o_totalprice", F.lit(999999.0)),
+        batch_id=2,
+    )
+    t.merge(
+        target.filter(F.col("o_orderkey") <= lo_key + 10)
+        .withColumn("o_totalprice", F.lit(2.5)),
+        batch_id=3,
+    )
+    view.maintain(root)
+    assert _frames_equal(view.read(), recompute(t.read()))
+    dirs = [d for d in os.listdir(str(tmp_path / "view")) if d.startswith("v")]
+    assert len(dirs) <= 2
