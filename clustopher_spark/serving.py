@@ -248,9 +248,13 @@ def _json_row(row) -> dict:
 
 class TableService:
     """Copy-on-write MERGE tables over HTTP (/api/tables): listing,
-    commit history, manifest-pruned point lookup, CDC feed reads, and
-    live merge commits. One root holds many tables
-    (``{root}/{table_id}/meta.json``) — the serving face of
+    commit history, manifest-pruned point lookup, CDC feed reads, live
+    merge commits, and MAINTAINED VIEWS (create/refresh/read — the CDC
+    loop's serve leg: a dashboard GET reads a standing O(groups)
+    aggregate kept current by draining the change stream, instead of
+    recomputing per request). One root holds many tables
+    (``{root}/{table_id}/meta.json``; views live under each table's
+    ``_views/`` with a persisted spec) — the serving face of
     sources/merge_table.py, mirroring how /api/vectors fronts the ANN
     index and /api/clusters the pyramid."""
 
@@ -361,6 +365,159 @@ class TableService:
             "total": len(rows) if not has_more else None,
             "has_more": has_more,
             "rows": [_json_row(r) for r in rows],
+        }
+
+    # --- maintained views (the CDC loop's serve leg) ---
+
+    _VIEW_KINDS = ("sum", "minmax", "topk")
+
+    def _views_dir(self, table_id: str) -> str:
+        import os
+
+        self._table(table_id)  # 404 before any path is created
+        return os.path.join(self.root, table_id, "_views")
+
+    @staticmethod
+    def _check_view_id(view_id: str) -> None:
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9_-]{0,63}", view_id or ""):
+            raise ValueError(
+                "view_id must be 1-64 chars of [A-Za-z0-9_-] starting "
+                "alphanumeric"
+            )
+
+    def _view_handle(self, table_id: str, view_id: str, spec: dict):
+        import os
+
+        from clustopher_spark.streaming.ivm_view import (
+            MaintainedMinMaxView,
+            MaintainedTopKView,
+            MaintainedView,
+        )
+
+        vroot = os.path.join(self._views_dir(table_id), view_id)
+        kind = spec["kind"]
+        if kind == "sum":
+            return MaintainedView(
+                self.spark, vroot, spec["group_cols"], spec["sum_cols"]
+            )
+        if kind == "minmax":
+            return MaintainedMinMaxView(
+                self.spark, vroot, spec["group_cols"], spec["value_col"]
+            )
+        return MaintainedTopKView(
+            self.spark, vroot, spec["group_cols"], spec["value_col"],
+            int(spec["k"]),
+        )
+
+    def _view_spec(self, table_id: str, view_id: str) -> dict:
+        import os
+
+        self._check_view_id(view_id)
+        path = os.path.join(self._views_dir(table_id), view_id, "spec.json")
+        if not os.path.isfile(path):
+            raise FileNotFoundError(f"{table_id}/{view_id}")
+        with open(path) as f:
+            return json.load(f)
+
+    def create_view(self, table_id: str, view_id: str, spec: dict) -> dict:
+        """Create + bootstrap a durable maintained view over the table —
+        kind 'sum' (count+sum per group), 'minmax' (count/MIN/MAX), or
+        'topk' (count + k largest values). The spec persists next to the
+        view so any later process can refresh it; refresh() drains the
+        table's CDC stream exactly-once through the commit-version
+        watermark, so a dashboard GET reads a standing aggregate instead
+        of recomputing per request (the reference recomputes —
+        cluster/helpers.go)."""
+        import os
+
+        self._check_view_id(view_id)
+        t = self._table(table_id)
+        kind = spec.get("kind")
+        if kind not in self._VIEW_KINDS:
+            raise ValueError(f"kind must be one of {list(self._VIEW_KINDS)}")
+        cols = set(t._meta().get("columns") or t.read().columns)
+        group_cols = spec.get("group_cols") or []
+        if not group_cols or not set(group_cols) <= cols:
+            raise ValueError(f"group_cols must be non-empty table columns ({sorted(cols)})")
+        clean = {"kind": kind, "group_cols": list(group_cols)}
+        if kind == "sum":
+            sum_cols = spec.get("sum_cols") or {}
+            if not sum_cols or not set(sum_cols) <= cols:
+                raise ValueError("sum_cols must map existing table columns to view names")
+            clean["sum_cols"] = dict(sum_cols)
+        else:
+            value_col = spec.get("value_col")
+            if value_col not in cols:
+                raise ValueError(f"value_col must be a table column ({sorted(cols)})")
+            clean["value_col"] = value_col
+            if kind == "topk":
+                k = int(spec.get("k", 0))
+                if k < 1:
+                    raise ValueError("k must be >= 1")
+                clean["k"] = k
+        vroot = os.path.join(self._views_dir(table_id), view_id)
+        if os.path.isfile(os.path.join(vroot, "spec.json")):
+            raise ValueError(f"view '{view_id}' already exists")
+        with self._write_lock(f"{table_id}/_views/{view_id}"):
+            view = self._view_handle(table_id, view_id, clean)
+            view.bootstrap(t)
+            with open(os.path.join(vroot, "spec.json"), "w") as f:
+                json.dump(clean, f)
+        return {"view_id": view_id, **clean, **view._meta()}
+
+    def list_views(self, table_id: str) -> list[dict]:
+        import os
+
+        vd = self._views_dir(table_id)
+        out = []
+        for d in sorted(os.listdir(vd)) if os.path.isdir(vd) else []:
+            sp = os.path.join(vd, d, "spec.json")
+            if not os.path.isfile(sp):
+                continue
+            with open(sp) as f:
+                spec = json.load(f)
+            view = self._view_handle(table_id, d, spec)
+            out.append({"view_id": d, **spec, **view._meta()})
+        return out
+
+    def refresh_view(self, table_id: str, view_id: str) -> dict:
+        """Drain the table's CDC stream through the view (availableNow).
+        Safe concurrent to merges (the stream reads only published
+        feeds); per-view lock serializes concurrent refreshes of the
+        same view (they would race its meta repoint)."""
+        import os
+
+        spec = self._view_spec(table_id, view_id)
+        view = self._view_handle(table_id, view_id, spec)
+        with self._write_lock(f"{table_id}/_views/{view_id}"):
+            view.maintain(
+                os.path.join(self.root, table_id),
+                query_name=f"view_refresh_{table_id}_{view_id}",
+            )
+        return {"view_id": view_id, **view._meta()}
+
+    def read_view(self, table_id: str, view_id: str, limit: int = 1000) -> dict:
+        """The standing aggregate, served: O(groups) read of the view's
+        current version — no table scan, no recompute."""
+        from decimal import Decimal
+
+        spec = self._view_spec(table_id, view_id)
+        view = self._view_handle(table_id, view_id, spec)
+        rows = view.read().limit(int(limit) + 1).collect()
+        has_more = len(rows) > int(limit)
+        out = []
+        for r in rows[: int(limit)]:
+            d = _json_row(r)
+            out.append(
+                {k: float(v) if isinstance(v, Decimal) else v for k, v in d.items()}
+            )
+        return {
+            "view_id": view_id,
+            **view._meta(),
+            "has_more": has_more,
+            "rows": out,
         }
 
     def merge(self, table_id: str, rows, batch_id: int, op_col: str | None = None) -> dict:
@@ -688,6 +845,15 @@ def make_handler(service: ClusterService):
                                 limit=int(q.get("limit", 1000)),
                             )
                         )
+                    if len(parts) == 4 and parts[3] == "views":
+                        return self._json(service.tables.list_views(parts[2]))
+                    if len(parts) == 5 and parts[3] == "views":
+                        return self._json(
+                            service.tables.read_view(
+                                parts[2], parts[4],
+                                limit=int(q.get("limit", 1000)),
+                            )
+                        )
                     return self._json({"error": "not found"}, 404)
                 if len(parts) == 3 and parts[:2] == ["api", "clusters"]:
                     return self._json(
@@ -774,6 +940,30 @@ def make_handler(service: ClusterService):
                     )
                 except FileNotFoundError:
                     return self._json({"error": "table not found"}, 404)
+                except (TypeError, ValueError) as e:
+                    return self._json({"error": f"bad request: {e}"}, 400)
+                except Exception as e:
+                    return self._json({"error": str(e)[:500]}, 500)
+            if (
+                len(parts) in (4, 6)
+                and parts[:2] == ["api", "tables"]
+                and parts[3] == "views"
+            ):
+                if service.tables is None:
+                    return self._json({"error": "table serving not configured"}, 404)
+                try:
+                    if len(parts) == 4:
+                        vid = payload.get("view_id")
+                        return self._json(
+                            service.tables.create_view(parts[2], vid, payload)
+                        )
+                    if parts[5] != "refresh":
+                        return self._json({"error": "not found"}, 404)
+                    return self._json(
+                        service.tables.refresh_view(parts[2], parts[4])
+                    )
+                except FileNotFoundError as e:
+                    return self._json({"error": f"not found: {e}"}, 404)
                 except (TypeError, ValueError) as e:
                     return self._json({"error": f"bad request: {e}"}, 400)
                 except Exception as e:

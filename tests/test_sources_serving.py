@@ -692,12 +692,12 @@ def table_server(spark, tmp_path_factory):
         table_root=troot,
     )
     httpd = serve(svc, port=18737)
-    yield "http://127.0.0.1:18737", orders
+    yield "http://127.0.0.1:18737", orders, troot
     httpd.shutdown()
 
 
 def test_table_serving_end_to_end(table_server):
-    server, orders = table_server
+    server, orders, _troot = table_server
     listed = _get(f"{server}/api/tables")
     assert [t["table_id"] for t in listed] == ["orders"]
     assert listed[0]["key_cols"] == ["o_orderkey"] and listed[0]["latest"] == 1
@@ -781,4 +781,120 @@ def test_table_serving_end_to_end(table_server):
     assert e.value.code == 400 and "cast" in e.value.read().decode()
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{server}/api/tables/nope/history")
+    assert e.value.code == 404
+
+
+def test_table_view_serving_end_to_end(spark, table_server):
+    """Maintained views over HTTP — the CDC loop's serve leg: create +
+    bootstrap a view, commit a merge, refresh (drains the CDC stream
+    exactly-once), and GET the standing aggregate; the served rows equal
+    a recompute over the live table at every step. Runs after the merge
+    test (module-scoped server), so the view bootstraps mid-history —
+    the watermark handles it."""
+    import urllib.error
+
+    from clustopher_spark.sources.merge_table import MergeTable
+
+    server, orders, troot = table_server
+    t = MergeTable(spark, f"{troot}/orders")
+
+    made = _post(
+        f"{server}/api/tables/orders/views",
+        {"view_id": "price-extrema", "kind": "minmax",
+         "group_cols": ["o_orderstatus"], "value_col": "o_totalprice"},
+    )
+    assert made["view_id"] == "price-extrema" and made["latest"] == 1
+    assert made["applied_commit"] == t._meta()["latest"]
+    listed = _get(f"{server}/api/tables/orders/views")
+    assert [v["view_id"] for v in listed] == ["price-extrema"]
+
+    def recompute():
+        return {
+            r.o_orderstatus: (r.n_rows, r.v_min, r.v_max)
+            for r in t.read().groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("o_totalprice").alias("v_min"),
+                F.max("o_totalprice").alias("v_max"),
+            ).collect()
+        }
+
+    def served():
+        got = _get(f"{server}/api/tables/orders/views/price-extrema")
+        return {
+            r["o_orderstatus"]: (r["n_rows"], r["v_min"], r["v_max"])
+            for r in got["rows"]
+        }
+
+    assert served() == recompute()  # bootstrap state
+
+    # a merge that REMOVES a stored extremum (forces the dirty-group
+    # recompute through the time-traveled snapshot), then refresh
+    top = t.read().orderBy(F.desc("o_totalprice")).limit(1).collect()[0]
+    row = {k: (v.isoformat() if hasattr(v, "isoformat") else v)
+           for k, v in top.asDict().items()}
+    res = _post(
+        f"{server}/api/tables/orders/merge",
+        {"rows": [dict(row, op="delete")], "op_col": "op", "batch": 50},
+    )
+    assert res["merged"] is True
+    ref = _post(f"{server}/api/tables/orders/views/price-extrema/refresh", {})
+    assert ref["applied_commit"] == t._meta()["latest"]
+    assert served() == recompute()
+    # refresh again: nothing fresh, meta unchanged
+    ref2 = _post(f"{server}/api/tables/orders/views/price-extrema/refresh", {})
+    assert ref2 == ref
+
+    # the other two kinds round-trip too (sum with decimal-to-float JSON,
+    # topk with its array column)
+    _post(
+        f"{server}/api/tables/orders/views",
+        {"view_id": "rev", "kind": "sum", "group_cols": ["o_orderstatus"],
+         "sum_cols": {"o_totalprice": "revenue"}},
+    )
+    got = _get(f"{server}/api/tables/orders/views/rev")
+    want = {
+        r.o_orderstatus: (r.n_rows, float(r.revenue))
+        for r in t.read().groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        ).collect()
+    }
+    assert {
+        r["o_orderstatus"]: (r["n_rows"], r["revenue"]) for r in got["rows"]
+    } == pytest.approx(want)
+    _post(
+        f"{server}/api/tables/orders/views",
+        {"view_id": "top3", "kind": "topk", "group_cols": ["o_orderstatus"],
+         "value_col": "o_totalprice", "k": 3},
+    )
+    got3 = _get(f"{server}/api/tables/orders/views/top3")
+    want3 = {
+        r.o_orderstatus: list(r.top_k)
+        for r in t.read().groupBy("o_orderstatus").agg(
+            F.slice(F.sort_array(F.collect_list("o_totalprice"), asc=False), 1, 3).alias("top_k")
+        ).collect()
+    }
+    assert {r["o_orderstatus"]: r["top_k"] for r in got3["rows"]} == want3
+
+    # validation: bad kind 400, duplicate 400, unknown view 404,
+    # traversal-shaped id 400, unknown table 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/api/tables/orders/views",
+              {"view_id": "x", "kind": "median", "group_cols": ["o_orderstatus"]})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/api/tables/orders/views",
+              {"view_id": "rev", "kind": "sum", "group_cols": ["o_orderstatus"],
+               "sum_cols": {"o_totalprice": "revenue"}})
+    assert e.value.code == 400 and "exists" in json.loads(e.value.read())["error"]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/api/tables/orders/views/nope")
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/api/tables/orders/views",
+              {"view_id": "../escape", "kind": "minmax",
+               "group_cols": ["o_orderstatus"], "value_col": "o_totalprice"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/api/tables/nope/views")
     assert e.value.code == 404
