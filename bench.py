@@ -995,6 +995,39 @@ def family_merge_table(spark, timings, reps):
             f" on a {n10:,}-row table",
             warmup=1,
         )
+
+        # maintained-view refresh on the 10M table (streaming/ivm_view.py,
+        # the CDC loop's serve leg): after each 10k merge, drain the
+        # change stream through a durable MIN/MAX view over 50 groups —
+        # the refresh must cost O(changes + affected groups' rows)
+        # (update_pre images that tie a group extremum trigger the
+        # bounded dirty recompute), never O(table). Merge + batch prep
+        # untimed; the timed span is exactly the refresh a dashboard
+        # pays. Rep 1 warms the streaming checkpoint machinery.
+        from clustopher_spark.streaming.ivm_view import MaintainedMinMaxView
+
+        view = MaintainedMinMaxView(
+            spark, f"{root}/t10m_view", ["source"], "amount"
+        )
+        view.bootstrap(mt10)
+        v_times = []
+        for i in (11, 12, 13):
+            bv = spark.range(0, 10_000, 1, 4).selectExpr(
+                f"if(pmod(id, 2) = 0, id * 10, id + {n10} * {i}) as row_key",
+                f"{float(i)} as amount",
+                "concat('s', pmod(id, 50)) as source",
+            ).localCheckpoint(eager=True)
+            bv.count()
+            mt10.merge(bv, batch_id=i)
+            t0 = time.perf_counter()
+            view.maintain(f"{root}/t10m", query_name=f"bench_view_refresh_{i}")
+            v_times.append(time.perf_counter() - t0)
+        _report(
+            spark, timings, reps, "merge_table_view_refresh_10m", v_times,
+            "min/max view over 50 groups advanced by one 10k commit"
+            " on the 10M table",
+            warmup=1,
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
