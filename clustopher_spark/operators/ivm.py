@@ -44,6 +44,18 @@ def _nn(col: str) -> str:
     return f"_nn_{col}"
 
 
+def _ns_cond(lalias: str, ralias: str, cols: list[str]):
+    """Null-safe equality over ``cols`` between two aliased frames — THE
+    group-key join condition for every IVM join in this module (a NULL
+    group key is a real group; plain equality would silently split or
+    drop it — the round-7 advice bug class)."""
+    cond = None
+    for c in cols:
+        eq = F.col(f"{lalias}.{c}").eqNullSafe(F.col(f"{ralias}.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return cond
+
+
 def bootstrap_count_sum_view(
     df: DataFrame,
     group_cols: list[str],
@@ -129,15 +141,7 @@ def apply_agg_delta(
             ],
         )
     b, d = base.alias("b"), delta.alias("d")
-    # null-safe equality: a NULL group key is a real group in an
-    # aggregate view (GROUP BY collects NULLs into one cell); a plain
-    # equality join would keep base's and delta's NULL rows separate and
-    # the view would drift from recompute on every commit
-    cond = None
-    for c in group_cols:
-        eq = F.col(f"b.{c}").eqNullSafe(F.col(f"d.{c}"))
-        cond = eq if cond is None else (cond & eq)
-    joined = b.join(d, on=cond, how="full_outer")
+    joined = b.join(d, on=_ns_cond("b", "d", group_cols), how="full_outer")
     nn_sum = {
         c: (
             F.coalesce(F.col(f"b.{_nn(c)}"), F.lit(0))
@@ -237,15 +241,8 @@ def incremental_min_max_view(
         F.max(v).alias("_s_max"),
     )
 
-    def _nsjoin(lalias, ralias):
-        cond = None
-        for c in group_cols:
-            eq = F.col(f"{lalias}.{c}").eqNullSafe(F.col(f"{ralias}.{c}"))
-            cond = eq if cond is None else (cond & eq)
-        return cond
-
     b, a = base.alias("b"), add_agg.alias("a")
-    j1 = b.join(a, on=_nsjoin("b", "a"), how="full_outer").select(
+    j1 = b.join(a, on=_ns_cond("b", "a", group_cols), how="full_outer").select(
         *[
             F.coalesce(F.col(f"b.{c}"), F.col(f"a.{c}")).alias(c)
             for c in group_cols
@@ -256,7 +253,7 @@ def incremental_min_max_view(
         "_a_n", "_a_min", "_a_max",
     )
     j = j1.alias("j").join(
-        sub_agg.alias("s"), on=_nsjoin("j", "s"), how="left_outer"
+        sub_agg.alias("s"), on=_ns_cond("j", "s", group_cols), how="left_outer"
     )
     n_new = (
         F.coalesce(F.col("_b_n"), F.lit(0))
@@ -297,7 +294,7 @@ def incremental_min_max_view(
         post_table.alias("t")
         .join(
             F.broadcast(dirty_keys.alias("k")),
-            on=_nsjoin("t", "k"),
+            on=_ns_cond("t", "k", group_cols),
             how="left_semi",
         )
         .groupBy(*group_cols)
@@ -365,11 +362,7 @@ def incremental_distinct_count_view(
     s, d = support.alias("s"), delta.alias("d")
     # null-safe on every key: a NULL group key is a real group AND a NULL
     # value is a real support row (it carries group existence)
-    cond = None
-    for c in keys:
-        eq = F.col(f"s.{c}").eqNullSafe(F.col(f"d.{c}"))
-        cond = eq if cond is None else (cond & eq)
-    joined = s.join(d, on=cond, how="full_outer")
+    joined = s.join(d, on=_ns_cond("s", "d", keys), how="full_outer")
     out = joined.select(
         *[F.coalesce(F.col(f"s.{c}"), F.col(f"d.{c}")).alias(c) for c in keys],
         (
@@ -455,16 +448,9 @@ def incremental_top_k_view(
         F.max(v).alias("_s_max"),
     )
 
-    def _nsjoin(lalias, ralias):
-        cond = None
-        for c in group_cols:
-            eq = F.col(f"{lalias}.{c}").eqNullSafe(F.col(f"{ralias}.{c}"))
-            cond = eq if cond is None else (cond & eq)
-        return cond
-
     b, a = base.alias("b"), add_agg.alias("a")
     empty = F.array().cast(f"array<{dict(base.dtypes)[topk_col][6:-1]}>")
-    j1 = b.join(a, on=_nsjoin("b", "a"), how="full_outer").select(
+    j1 = b.join(a, on=_ns_cond("b", "a", group_cols), how="full_outer").select(
         *[
             F.coalesce(F.col(f"b.{c}"), F.col(f"a.{c}")).alias(c)
             for c in group_cols
@@ -474,7 +460,7 @@ def incremental_top_k_view(
         "_a_n", "_a_top",
     )
     j = j1.alias("j").join(
-        sub_agg.alias("s"), on=_nsjoin("j", "s"), how="left_outer"
+        sub_agg.alias("s"), on=_ns_cond("j", "s", group_cols), how="left_outer"
     )
     n_new = (
         F.coalesce(F.col("_b_n"), F.lit(0))
@@ -512,7 +498,8 @@ def incremental_top_k_view(
         *[F.col(f"j.{c}").alias(c) for c in group_cols],
         n_new.alias(count_col),
         merged_top.alias(topk_col),
-        F.coalesce(dirty, F.lit(False)).alias("_dirty"),
+        # dirty is already never-NULL (isNotNull & a coalesced inner)
+        dirty.alias("_dirty"),
     ).filter(F.col(count_col) > 0)
     merged = merged.localCheckpoint(eager=True)
     dirty_keys = merged.filter(F.col("_dirty")).select(*group_cols)
@@ -522,7 +509,7 @@ def incremental_top_k_view(
         post_table.alias("t")
         .join(
             F.broadcast(dirty_keys.alias("dk")),
-            on=_nsjoin("t", "dk"),
+            on=_ns_cond("t", "dk", group_cols),
             how="left_semi",
         )
         .groupBy(*group_cols)

@@ -458,9 +458,12 @@ class TableService:
                     raise ValueError("k must be >= 1")
                 clean["k"] = k
         vroot = os.path.join(self._views_dir(table_id), view_id)
-        if os.path.isfile(os.path.join(vroot, "spec.json")):
-            raise ValueError(f"view '{view_id}' already exists")
         with self._write_lock(f"{table_id}/_views/{view_id}"):
+            # existence check under the lock: two concurrent creates of
+            # the same id would otherwise both pass and the second would
+            # silently overwrite the first's definition
+            if os.path.isfile(os.path.join(vroot, "spec.json")):
+                raise ValueError(f"view '{view_id}' already exists")
             view = self._view_handle(table_id, view_id, clean)
             view.bootstrap(t)
             with open(os.path.join(vroot, "spec.json"), "w") as f:

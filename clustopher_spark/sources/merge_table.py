@@ -251,20 +251,16 @@ class MergeTable:
             json.dump(meta, f)
         os.replace(tmp, self._meta_path)
 
-    def _write_guard(self, based_on: int):
-        """Optimistic single-writer guard: an exclusive flock on the table
-        root plus a compare-and-swap on ``meta.json``'s ``latest``. Every
-        version-NAMED artifact (staged feed, manifest, schema, meta
-        repoint) is written inside this context, so a losing concurrent
-        writer raises :class:`ConcurrentWriteError` before it can clobber
-        the winner's commit — its only residue is uuid-named pool files,
-        which vacuum's age-gated orphan sweep collects. flock releases on
-        process death (no stale-lock recovery needed); on filesystems
-        without flock the CAS alone still detects the common race."""
+    def _flock(self):
+        """Exclusive advisory lock on the table root (released on close,
+        and by the OS on process death — no stale-lock recovery needed).
+        Serializes the meta read-modify-write regions of merge, compact,
+        and vacuum against each other; on filesystems without flock the
+        callers' CAS still detects the common race."""
         from contextlib import contextmanager
 
         @contextmanager
-        def guard():
+        def lock():
             with open(os.path.join(self.root, ".write.lock"), "w") as lk:
                 try:
                     import fcntl
@@ -272,7 +268,31 @@ class MergeTable:
                     fcntl.flock(lk, fcntl.LOCK_EX)
                 except (ImportError, OSError):
                     pass
-                current = int(self._meta()["latest"])
+                yield
+
+        return lock()
+
+    def _write_guard(self, based_on: int):
+        """Optimistic single-writer guard: the table flock plus a
+        compare-and-swap on ``meta.json``'s ``latest``. Every
+        version-NAMED artifact (staged feed, manifest, schema, meta
+        repoint) is written inside this context, so a losing concurrent
+        writer raises :class:`ConcurrentWriteError` before it can clobber
+        the winner's commit — its only residue is uuid-named pool files,
+        which vacuum's age-gated orphan sweep collects.
+
+        Yields the FRESH meta read under the lock: the caller must apply
+        its mutations to THAT dict, not to a snapshot read at entry —
+        a vacuum may have committed ``data_removed`` flags since, and
+        committing a stale snapshot would erase them (the next vacuum
+        would then read a manifest whose directory is already gone)."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def guard():
+            with self._flock():
+                meta = self._meta()
+                current = int(meta["latest"])
                 if current != based_on:
                     raise ConcurrentWriteError(
                         f"{self.root}: this write was planned against "
@@ -280,7 +300,7 @@ class MergeTable:
                         "a concurrent writer won the race; retry against "
                         "the new latest version"
                     )
-                yield
+                yield meta
 
         return guard()
 
@@ -630,7 +650,7 @@ class MergeTable:
             # (flock + CAS on meta's latest), so a concurrent merge that
             # planned the same version number raises instead of
             # overwriting this commit's manifest/schema/feed
-            with self._write_guard(version - 1):
+            with self._write_guard(version - 1) as fresh:
                 # the feed is STAGED under an underscore-prefixed dir
                 # (Spark readers skip _-paths by convention) and published
                 # by rename only AFTER the meta commit below — a crashed
@@ -652,11 +672,14 @@ class MergeTable:
                 )
                 self._write_manifest(version, untouched_entries + new_entries)
                 self._write_schema(version, merged)
-                meta["latest"] = version
+                # mutate the FRESH meta the guard read under the lock —
+                # the entry snapshot may predate a vacuum's data_removed
+                # flags, and committing it would erase them
+                fresh["latest"] = version
                 if batch_id is not None:
-                    meta["last_batch"] = batch_id
+                    fresh["last_batch"] = batch_id
                 if added:
-                    meta["columns"] = list(existing) + added
+                    fresh["columns"] = list(existing) + added
                 hist_entry = {
                     "version": version,
                     "operation": "merge",
@@ -667,13 +690,13 @@ class MergeTable:
                 }
                 if added:
                     hist_entry["schema_added"] = added
-                meta["history"].append(hist_entry)
-                self._commit(meta)
+                fresh["history"].append(hist_entry)
+                self._commit(fresh)
         finally:
             source.unpersist()
             if target_touched is not None and touched_entries:
                 target_touched.unpersist()
-        self._heal_staged_feeds(meta)
+        self._heal_staged_feeds(fresh)
         return version
 
     def _publish_feed(self, version: int) -> None:
@@ -832,11 +855,11 @@ class MergeTable:
         key_cols = meta["key_cols"]
         version = int(meta["latest"]) + 1
         new_entries = self._write_files(df, key_cols, num_files)
-        with self._write_guard(version - 1):
+        with self._write_guard(version - 1) as fresh:
             self._write_manifest(version, new_entries)
             self._write_schema(version, df)
-            meta["latest"] = version
-            meta["history"].append(
+            fresh["latest"] = version
+            fresh["history"].append(
                 {
                     "version": version,
                     "operation": "compact",
@@ -844,7 +867,7 @@ class MergeTable:
                     "files": len(new_entries),
                 }
             )
-            self._commit(meta)
+            self._commit(fresh)
         return version
 
     def vacuum(self, keep_last: int = 2, orphan_grace_sec: float = 3600.0) -> list[str]:
@@ -863,70 +886,76 @@ class MergeTable:
         serialized. Size the grace above the longest expected merge;
         ``orphan_grace_sec=0`` restores the sweep-everything behavior for
         a provably quiesced table."""
-        meta = self._meta()
-        versions = sorted(h["version"] for h in meta["history"] if not h.get("data_removed"))
-        keep_last = max(1, keep_last)
-        retained = set(versions[-keep_last:])
-        retained.add(int(meta["latest"]))
-        live: set[str] = set()
-        for v in retained:
-            live |= {e["file"] for e in self._manifest(v)}
-        removed: list[str] = []
-        for h in meta["history"]:
-            v = h["version"]
-            if v in retained or h.get("data_removed"):
-                continue
-            for e in self._manifest(v):
-                if e["file"] not in live:
-                    p = os.path.join(self.root, "files", e["file"])
-                    if os.path.isfile(p):
-                        os.remove(p)
-                        removed.append(e["file"])
-            shutil.rmtree(os.path.join(self.root, "versions", f"v{v}"), ignore_errors=True)
-            shutil.rmtree(os.path.join(self.root, "changes", f"v{v}"), ignore_errors=True)
-            h["data_removed"] = True
-        # staged-feed sweep: publish any staged feed whose commit landed
-        # (crash between commit and rename), then delete true orphans —
-        # a staging dir for an uncommitted version this old is a crashed
-        # merge's leftover; a YOUNG one may be an in-flight merge's, so
-        # the age gate leaves it (that merge's own commit publishes it)
-        import time as _time
+        # the whole meta read-modify-write runs under the table flock:
+        # vacuum mutates history (data_removed) and a concurrent merge's
+        # guarded commit re-reads meta under the same lock, so neither
+        # can erase the other's changes (an unlocked vacuum commit could
+        # roll latest back to its entry snapshot)
+        with self._flock():
+            meta = self._meta()
+            versions = sorted(h["version"] for h in meta["history"] if not h.get("data_removed"))
+            keep_last = max(1, keep_last)
+            retained = set(versions[-keep_last:])
+            retained.add(int(meta["latest"]))
+            live: set[str] = set()
+            for v in retained:
+                live |= {e["file"] for e in self._manifest(v)}
+            removed: list[str] = []
+            for h in meta["history"]:
+                v = h["version"]
+                if v in retained or h.get("data_removed"):
+                    continue
+                for e in self._manifest(v):
+                    if e["file"] not in live:
+                        p = os.path.join(self.root, "files", e["file"])
+                        if os.path.isfile(p):
+                            os.remove(p)
+                            removed.append(e["file"])
+                shutil.rmtree(os.path.join(self.root, "versions", f"v{v}"), ignore_errors=True)
+                shutil.rmtree(os.path.join(self.root, "changes", f"v{v}"), ignore_errors=True)
+                h["data_removed"] = True
+            # staged-feed sweep: publish any staged feed whose commit landed
+            # (crash between commit and rename), then delete true orphans —
+            # a staging dir for an uncommitted version this old is a crashed
+            # merge's leftover; a YOUNG one may be an in-flight merge's, so
+            # the age gate leaves it (that merge's own commit publishes it)
+            import time as _time
 
-        cutoff = _time.time() - max(0.0, orphan_grace_sec)
+            cutoff = _time.time() - max(0.0, orphan_grace_sec)
 
-        def _stale(path: str) -> bool:
-            try:
-                return os.path.getmtime(path) <= cutoff
-            except OSError:
-                return False  # vanished underneath us: someone owns it
+            def _stale(path: str) -> bool:
+                try:
+                    return os.path.getmtime(path) <= cutoff
+                except OSError:
+                    return False  # vanished underneath us: someone owns it
 
-        self._heal_staged_feeds(meta)
-        chdir = os.path.join(self.root, "changes")
-        for d in os.listdir(chdir) if os.path.isdir(chdir) else []:
-            if d.startswith("_staging_v") and _stale(os.path.join(chdir, d)):
-                shutil.rmtree(os.path.join(chdir, d), ignore_errors=True)
-                removed.append(d)
-        # data-staging sweep: a crashed merge's parquet staging under
-        # {root}/_staging (age-gated: a concurrent writer's in-flight
-        # staging is younger than the grace)
-        dstage = os.path.join(self.root, "_staging")
-        for d in os.listdir(dstage) if os.path.isdir(dstage) else []:
-            if _stale(os.path.join(dstage, d)):
-                shutil.rmtree(os.path.join(dstage, d), ignore_errors=True)
-                removed.append(os.path.join("_staging", d))
-        # orphan sweep: files referenced by NO surviving manifest — a
-        # crashed or race-losing merge leaves these. Age-gated: an
-        # in-flight merge moves files into the pool BEFORE its manifest
-        # exists, and sweeping those mid-commit would corrupt it
-        referenced: set[str] = set()
-        for h in meta["history"]:
-            if not h.get("data_removed"):
-                referenced |= {e["file"] for e in self._manifest(h["version"])}
-        pool = os.path.join(self.root, "files")
-        for fname in os.listdir(pool) if os.path.isdir(pool) else []:
-            if fname not in referenced and _stale(os.path.join(pool, fname)):
-                os.remove(os.path.join(pool, fname))
-                removed.append(fname)
-        if removed or any(h.get("data_removed") for h in meta["history"]):
-            self._commit(meta)
-        return removed
+            self._heal_staged_feeds(meta)
+            chdir = os.path.join(self.root, "changes")
+            for d in os.listdir(chdir) if os.path.isdir(chdir) else []:
+                if d.startswith("_staging_v") and _stale(os.path.join(chdir, d)):
+                    shutil.rmtree(os.path.join(chdir, d), ignore_errors=True)
+                    removed.append(d)
+            # data-staging sweep: a crashed merge's parquet staging under
+            # {root}/_staging (age-gated: a concurrent writer's in-flight
+            # staging is younger than the grace)
+            dstage = os.path.join(self.root, "_staging")
+            for d in os.listdir(dstage) if os.path.isdir(dstage) else []:
+                if _stale(os.path.join(dstage, d)):
+                    shutil.rmtree(os.path.join(dstage, d), ignore_errors=True)
+                    removed.append(os.path.join("_staging", d))
+            # orphan sweep: files referenced by NO surviving manifest — a
+            # crashed or race-losing merge leaves these. Age-gated: an
+            # in-flight merge moves files into the pool BEFORE its manifest
+            # exists, and sweeping those mid-commit would corrupt it
+            referenced: set[str] = set()
+            for h in meta["history"]:
+                if not h.get("data_removed"):
+                    referenced |= {e["file"] for e in self._manifest(h["version"])}
+            pool = os.path.join(self.root, "files")
+            for fname in os.listdir(pool) if os.path.isdir(pool) else []:
+                if fname not in referenced and _stale(os.path.join(pool, fname)):
+                    os.remove(os.path.join(pool, fname))
+                    removed.append(fname)
+            if removed or any(h.get("data_removed") for h in meta["history"]):
+                self._commit(meta)
+            return removed

@@ -179,6 +179,11 @@ class _DurableViewBase:
     def _cast(self, df: DataFrame) -> DataFrame:  # overridable
         return df
 
+    def read(self) -> DataFrame:
+        """The view's current version (one aggregate-sized parquet)."""
+        meta = self._meta()
+        return self.spark.read.parquet(self._version_path(int(meta["latest"])))
+
     def apply_feed(
         self, cdf_batch: DataFrame, table_root: str | None = None
     ) -> int | None:
@@ -202,7 +207,9 @@ class _DurableViewBase:
             .writeStream.foreachBatch(lambda df, bid: self.apply_feed(df, table_root))
             .queryName(query_name)
             .trigger(availableNow=True)
-            .option("checkpointLocation", self.root + "_checkpoint")
+            .option(
+                "checkpointLocation", os.path.join(self.root, "_checkpoint")
+            )
             .start()
         )
         q.awaitTermination()
@@ -249,8 +256,12 @@ class MaintainedView(_DurableViewBase):
         version it saw; feeds at or below it are already reflected."""
         os.makedirs(self.root, exist_ok=True)
         tv = int(table._meta()["latest"])
+        # read AT tv, not latest: a merge committing between the two
+        # reads would seed the view from post-commit data while the
+        # watermark records the pre-commit version — the next refresh
+        # would re-apply that commit (permanent double-count)
         base = bootstrap_count_sum_view(
-            self._cast(table.read()),
+            self._cast(table.read(version=tv)),
             self.group_cols,
             self.sum_cols,
             self.count_col,
@@ -260,8 +271,7 @@ class MaintainedView(_DurableViewBase):
         return 1
 
     def read(self, with_state: bool = False) -> DataFrame:
-        meta = self._meta()
-        df = self.spark.read.parquet(self._version_path(int(meta["latest"])))
+        df = super().read()
         if with_state:
             return df
         return df.drop(*[c for c in df.columns if c.startswith("_nn_")])
@@ -322,7 +332,8 @@ class MaintainedMinMaxView(_DurableViewBase):
         table's CURRENT version."""
         os.makedirs(self.root, exist_ok=True)
         tv = int(table._meta()["latest"])
-        base = table.read().groupBy(*self.group_cols).agg(
+        # version-pinned read — see MaintainedView.bootstrap
+        base = table.read(version=tv).groupBy(*self.group_cols).agg(
             F.count(F.lit(1)).alias(self.count_col),
             F.min(self.value_col).alias(self.min_col),
             F.max(self.value_col).alias(self.max_col),
@@ -330,10 +341,6 @@ class MaintainedMinMaxView(_DurableViewBase):
         self._write_version(base, 1)
         self._commit({"latest": 1, "applied_commit": tv})
         return 1
-
-    def read(self) -> DataFrame:
-        meta = self._meta()
-        return self.spark.read.parquet(self._version_path(int(meta["latest"])))
 
     def apply_feed(
         self, cdf_batch: DataFrame, table_root: str | None = None
@@ -395,7 +402,8 @@ class MaintainedTopKView(_DurableViewBase):
         table's CURRENT version."""
         os.makedirs(self.root, exist_ok=True)
         tv = int(table._meta()["latest"])
-        base = table.read().groupBy(*self.group_cols).agg(
+        # version-pinned read — see MaintainedView.bootstrap
+        base = table.read(version=tv).groupBy(*self.group_cols).agg(
             F.count(F.lit(1)).alias(self.count_col),
             F.slice(
                 F.sort_array(F.collect_list(self.value_col), asc=False),
@@ -406,10 +414,6 @@ class MaintainedTopKView(_DurableViewBase):
         self._write_version(base, 1)
         self._commit({"latest": 1, "applied_commit": tv})
         return 1
-
-    def read(self) -> DataFrame:
-        meta = self._meta()
-        return self.spark.read.parquet(self._version_path(int(meta["latest"])))
 
     def apply_feed(
         self, cdf_batch: DataFrame, table_root: str | None = None

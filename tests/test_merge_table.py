@@ -1285,7 +1285,7 @@ def test_maintained_view_tracks_table_and_replay_is_noop(spark, tmp_path, target
 
     # full replay from a FRESH checkpoint: every feed re-delivered, the
     # watermark filters them all out -> same version, same content
-    shutil.rmtree(str(tmp_path / "view") + "_checkpoint")
+    shutil.rmtree(str(tmp_path / "view" / "_checkpoint"))
     view.maintain(root)
     assert view._meta() == latest
     assert _frames_equal(view.read(), recompute(t.read()))
@@ -1355,7 +1355,7 @@ def test_maintained_minmax_view_tracks_table_and_replay_is_noop(spark, tmp_path,
     latest = view._meta()
 
     # full replay from a FRESH checkpoint: watermark filters everything
-    shutil.rmtree(str(tmp_path / "view") + "_checkpoint")
+    shutil.rmtree(str(tmp_path / "view" / "_checkpoint"))
     view.maintain(root)
     assert view._meta() == latest
     assert _frames_equal(view.read(), recompute(t.read()))
@@ -1626,7 +1626,7 @@ def test_maintained_topk_view_tracks_table_and_replay_is_noop(spark, tmp_path, t
     latest = view._meta()
 
     # fresh-checkpoint replay: watermark filters everything
-    shutil.rmtree(str(tmp_path / "view") + "_checkpoint")
+    shutil.rmtree(str(tmp_path / "view" / "_checkpoint"))
     view.maintain(root)
     assert view._meta() == latest
 
@@ -1646,3 +1646,58 @@ def test_maintained_topk_view_tracks_table_and_replay_is_noop(spark, tmp_path, t
     assert _frames_equal(view.read(), recompute(t.read()))
     dirs = [d for d in os.listdir(str(tmp_path / "view")) if d.startswith("v")]
     assert len(dirs) <= 2
+
+
+def test_vacuum_concurrent_to_merge_preserves_history_flags(
+    spark, tmp_path, target, monkeypatch
+):
+    """The vacuum/merge meta race (round-7 review): a vacuum that commits
+    data_removed flags while a merge is mid-flight must not have them
+    erased by the merge's commit — the merge's write guard re-reads meta
+    under the table lock and grafts its mutations onto THAT snapshot
+    (committing the entry snapshot would resurrect vacuumed versions,
+    and the next vacuum would crash reading their deleted manifests)."""
+    root = str(tmp_path / "t")
+    t = MergeTable(spark, root)
+    t.create(target, ["o_orderkey"], num_files=4)
+    lo = target.agg(F.min("o_orderkey")).collect()[0][0]
+    batch = target.filter(F.col("o_orderkey") <= lo + 10).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    t.merge(batch, batch_id=0)  # v2
+    t.merge(batch.withColumn("o_totalprice", F.lit(2.0)), batch_id=1)  # v3
+
+    vac = MergeTable(spark, root)
+    orig = MergeTable._write_files
+    fired = []
+
+    def hijack(self, df, key_cols, num_files):
+        entries = orig(self, df, key_cols, num_files)
+        if not fired:
+            fired.append(True)
+            # vacuum lands BETWEEN the merge's entry meta read and its
+            # guarded commit; the default grace keeps the in-flight
+            # merge's fresh pool files alive
+            removed = vac.vacuum(keep_last=2)
+            assert removed  # v1's exclusive files went
+        return entries
+
+    monkeypatch.setattr(MergeTable, "_write_files", hijack)
+    v = t.merge(batch.withColumn("o_totalprice", F.lit(3.0)), batch_id=2)
+    monkeypatch.setattr(MergeTable, "_write_files", orig)
+    assert v == 4
+
+    meta = t._meta()
+    flagged = [h["version"] for h in meta["history"] if h.get("data_removed")]
+    assert flagged == [1]  # vacuum's flags survived the merge commit
+    assert meta["latest"] == 4 and meta["last_batch"] == 2
+    # a follow-up vacuum walks history without touching v1's gone manifest
+    t.vacuum(keep_last=2, orphan_grace_sec=0)
+    expected = merge_frames(
+        merge_frames(
+            merge_frames(target, batch, ["o_orderkey"]),
+            batch.withColumn("o_totalprice", F.lit(2.0)), ["o_orderkey"],
+        ),
+        batch.withColumn("o_totalprice", F.lit(3.0)), ["o_orderkey"],
+    )
+    assert _frames_equal(t.read(), expected)
