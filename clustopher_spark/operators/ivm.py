@@ -485,13 +485,17 @@ def incremental_top_k_view(
     # value (tie included: which copy left is unknowable from values).
     # A NULL-valued removal never dirties a FULL array (_s_max NULL ->
     # comparison NULL -> coalesced False); on a short array it triggers
-    # a recompute that is merely unnecessary, not wrong. The OR is
-    # ordered so element_at is short-circuited away whenever the array
-    # could be empty.
+    # a recompute that is merely unnecessary, not wrong. element_at is
+    # guarded by an explicit CASE branch (not OR ordering): only a
+    # non-null array of size >= k >= 1 ever reaches it, so correctness
+    # does not depend on Or's undocumented left-to-right short-circuit
+    # (the round-7 advice finding — INVALID_INDEX_OF_ZERO on an empty
+    # array if an optimizer ever reorders the disjuncts).
     dirty = F.col("_s_n").isNotNull() & F.coalesce(
-        F.col("_b_top").isNull()
-        | (F.size("_b_top") < F.lit(k))
-        | (F.col("_s_max") >= F.element_at("_b_top", F.size("_b_top"))),
+        F.when(
+            F.col("_b_top").isNotNull() & (F.size("_b_top") >= F.lit(k)),
+            F.col("_s_max") >= F.element_at("_b_top", F.size("_b_top")),
+        ).otherwise(F.lit(True)),
         F.lit(False),
     )
     merged = j.select(

@@ -369,7 +369,7 @@ class TableService:
 
     # --- maintained views (the CDC loop's serve leg) ---
 
-    _VIEW_KINDS = ("sum", "minmax", "topk")
+    _VIEW_KINDS = ("sum", "minmax", "topk", "distinct")
 
     def _views_dir(self, table_id: str) -> str:
         import os
@@ -391,6 +391,7 @@ class TableService:
         import os
 
         from clustopher_spark.streaming.ivm_view import (
+            MaintainedDistinctView,
             MaintainedMinMaxView,
             MaintainedTopKView,
             MaintainedView,
@@ -404,6 +405,10 @@ class TableService:
             )
         if kind == "minmax":
             return MaintainedMinMaxView(
+                self.spark, vroot, spec["group_cols"], spec["value_col"]
+            )
+        if kind == "distinct":
+            return MaintainedDistinctView(
                 self.spark, vroot, spec["group_cols"], spec["value_col"]
             )
         return MaintainedTopKView(
@@ -423,8 +428,10 @@ class TableService:
 
     def create_view(self, table_id: str, view_id: str, spec: dict) -> dict:
         """Create + bootstrap a durable maintained view over the table —
-        kind 'sum' (count+sum per group), 'minmax' (count/MIN/MAX), or
-        'topk' (count + k largest values). The spec persists next to the
+        kind 'sum' (count+sum per group), 'minmax' (count/MIN/MAX),
+        'topk' (count + k largest values), or 'distinct' (count +
+        COUNT(DISTINCT value), maintained through the invertible support
+        relation). The spec persists next to the
         view so any later process can refresh it; refresh() drains the
         table's CDC stream exactly-once through the commit-version
         watermark, so a dashboard GET reads a standing aggregate instead
@@ -446,6 +453,39 @@ class TableService:
             sum_cols = spec.get("sum_cols") or {}
             if not sum_cols or not set(sum_cols) <= cols:
                 raise ValueError("sum_cols must map existing table columns to view names")
+            # validate the VALUES too (the view's output columns): a name
+            # colliding with a group col, the count col, or another sum
+            # col would bootstrap a view with duplicate/ambiguous columns
+            # instead of 400-ing here; and a non-numeric source would
+            # silently cast to NULL under the default decimal sum_cast —
+            # both are create-time errors, not broken views
+            outs = list(sum_cols.values())
+            reserved = set(group_cols) | {"n_rows"}
+            colliding = sorted(
+                {o for o in outs if o in reserved or outs.count(o) > 1}
+            )
+            if colliding:
+                raise ValueError(
+                    f"sum_cols output name(s) {colliding} collide with "
+                    "group_cols, the count column 'n_rows', or each other"
+                )
+            from pyspark.sql.types import NumericType
+
+            sch = t._schema(int(t._meta()["latest"]))
+            dtypes = {
+                f.name: f.dataType
+                for f in (sch.fields if sch is not None else t.read().schema.fields)
+            }
+            non_numeric = sorted(
+                src
+                for src in sum_cols
+                if not isinstance(dtypes.get(src), NumericType)
+            )
+            if non_numeric:
+                raise ValueError(
+                    f"sum_cols source column(s) {non_numeric} are not "
+                    "numeric — summing them would cast every value to NULL"
+                )
             clean["sum_cols"] = dict(sum_cols)
         else:
             value_col = spec.get("value_col")

@@ -26,11 +26,15 @@ Layout::
     {root}/changes/v{N}/              CDF parquet for the commit that made
                                       vN (merge commits; O(batch) rows)
 
-Scale shape per merge: the batch's key set is broadcast (micro-batches
-fit; the Bloom-filter recheck is the documented overflow fallback, same
-argument as the ingest-dedup semi-join reduction in queries/llm.py), so
-the anti/inner joins against the touched files are map-side — the only
-exchange is O(batch) for the rewrite's range partitioning. Read volume is
+Scale shape per merge: the batch's key set is broadcast while its
+approximate distinct-key count is within ``_BROADCAST_KEY_LIMIT``
+(micro-batches always are), so the anti/inner joins against the touched
+files are map-side — the only exchange is O(batch) for the rewrite's
+range partitioning. A bulk backfill past the limit drops the hint and
+lets Catalyst/AQE shuffle the join (or runtime-broadcast if the set
+proves small) instead of forcing an over-sized build side onto every
+executor — the size-gated fallback, measured by the same aggregate job
+that prunes the manifest. Read volume is
 O(touched files), chosen by driver-side interval checks over the manifest
 (a few hundred bytes per file), not by scanning the table. The
 change-data-feed is captured AT WRITE TIME from rows the merge already
@@ -64,9 +68,54 @@ from pyspark.sql import functions as F
 # merely coarser) — the _DRIVER_DIRTY_LIMIT pattern.
 _DRIVER_KEY_LIMIT = 200_000
 
+# Past this many distinct batch keys, the merge/CDF joins drop their
+# broadcast hint and let Catalyst pick the join strategy (AQE still
+# broadcasts if the key set turns out small enough): a micro-batch fits
+# executor memory by contract, but a bulk backfill merged through the
+# same path must not force a multi-GB key-set broadcast onto every
+# executor — the over-broadcast fallback the module docstring promises.
+_BROADCAST_KEY_LIMIT = 5_000_000
+
 CHANGE_TYPES = ("insert", "update_pre", "update_post", "delete")
 
 _VALID_OPS = ("upsert", "delete")
+
+# period of the staging-dir mtime heartbeat a long write emits so a
+# concurrent vacuum's orphan age gate never mistakes it for crash garbage
+_HEARTBEAT_SEC = 60.0
+
+
+def _mtime_heartbeat(path: str):
+    """Context manager: a driver-side daemon refreshes ``path``'s mtime
+    every ``_HEARTBEAT_SEC`` while the body runs. Used around the Spark
+    staging write: vacuum's orphan sweep age-gates on mtime, and a write
+    that stalls past the grace would otherwise look like a crashed
+    merge's residue and be swept mid-commit. With the heartbeat, an ALIVE
+    writer can never age out — the grace only has to exceed the
+    heartbeat period, not the longest possible write."""
+    import threading
+    from contextlib import contextmanager
+
+    @contextmanager
+    def beat():
+        stop = threading.Event()
+
+        def _loop() -> None:
+            while not stop.wait(_HEARTBEAT_SEC):
+                try:
+                    os.utime(path)
+                except OSError:
+                    pass  # Spark's overwrite recreates the dir; next beat lands
+
+        t = threading.Thread(target=_loop, daemon=True)
+        t.start()
+        try:
+            yield
+        finally:
+            stop.set()
+            t.join(timeout=5.0)
+
+    return beat()
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -136,6 +185,7 @@ def merge_frames(
     source: DataFrame,
     key_cols: list[str],
     op_col: str | None = None,
+    broadcast_keys: bool = True,
 ) -> DataFrame:
     """The pure MERGE algebra: whole-row upserts + key deletes.
 
@@ -148,7 +198,12 @@ def merge_frames(
 
     Plan shape: ONE broadcast anti-join of the batch's key set against the
     target plus a union — the target is never shuffled, so the exchange
-    cost is O(batch) at any table size.
+    cost is O(batch) at any table size. ``broadcast_keys=False`` is the
+    over-broadcast fallback for a bulk batch whose key set would not fit
+    an executor: the hint is dropped and Catalyst/AQE pick the strategy
+    (a shuffled join — O(batch + touched-target) exchange — or a runtime
+    broadcast if the set proves small). :meth:`MergeTable.merge` gates
+    this automatically on the batch's approximate key count.
     """
     data_cols = [c for c in target.columns]
     if op_col is not None:
@@ -157,7 +212,10 @@ def merge_frames(
     else:
         upserts = source.select(*data_cols)
         affected = source.select(*key_cols)
-    kept = target.join(F.broadcast(affected.distinct()), on=key_cols, how="left_anti")
+    keys = affected.distinct()
+    if broadcast_keys:
+        keys = F.broadcast(keys)
+    kept = target.join(keys, on=key_cols, how="left_anti")
     return kept.unionByName(upserts)
 
 
@@ -166,6 +224,7 @@ def change_feed_frames(
     source: DataFrame,
     key_cols: list[str],
     op_col: str | None = None,
+    broadcast_keys: bool = True,
 ) -> DataFrame:
     """Row-level change feed the merge implies, computed from the rows the
     merge already touches (O(batch) output): target's columns plus
@@ -182,7 +241,8 @@ def change_feed_frames(
     (upsert -> pre+post, delete -> delete), all inside codegen. Inserts
     are the batch anti-joined against the (batch-sized, broadcast)
     matched key set. The target side is never shuffled and never re-read
-    per change type.
+    per change type. ``broadcast_keys=False`` is the same over-broadcast
+    fallback as :func:`merge_frames` — hints dropped, Catalyst/AQE pick.
     """
     data_cols = [c for c in target.columns]
     non_key = [c for c in data_cols if c not in key_cols]
@@ -193,7 +253,8 @@ def change_feed_frames(
     renamed = src.select(
         *key_cols, *[F.col(c).alias(f"_src_{c}") for c in non_key], "_op"
     )
-    matched = target.join(F.broadcast(renamed), on=key_cols, how="inner")
+    batch_side = F.broadcast(renamed) if broadcast_keys else renamed
+    matched = target.join(batch_side, on=key_cols, how="inner")
     old_img = F.struct(
         *[F.col(c).alias(c) for c in non_key],
         F.lit("update_pre").alias("_change_type"),
@@ -218,9 +279,11 @@ def change_feed_frames(
         F.col("_img._change_type").alias("_change_type"),
     )
     matched_up_keys = matched.filter(F.col("_op") == F.lit("upsert")).select(*key_cols)
+    if broadcast_keys:
+        matched_up_keys = F.broadcast(matched_up_keys)
     ins = (
         src.filter(F.col("_op") == F.lit("upsert"))
-        .join(F.broadcast(matched_up_keys), on=key_cols, how="left_anti")
+        .join(matched_up_keys, on=key_cols, how="left_anti")
         .select(*data_cols)
         .withColumn("_change_type", F.lit("insert"))
     )
@@ -355,13 +418,15 @@ class MergeTable:
         import pyarrow.parquet as pq
 
         staging = os.path.join(self.root, "_staging", uuid.uuid4().hex[:12])
-        (
-            df.repartitionByRange(max(1, num_files), *key_cols)
-            .sortWithinPartitions(*key_cols)
-            .write.mode("overwrite")
-            .option("compression", "zstd")
-            .parquet(staging)
-        )
+        os.makedirs(staging, exist_ok=True)
+        with _mtime_heartbeat(staging):
+            (
+                df.repartitionByRange(max(1, num_files), *key_cols)
+                .sortWithinPartitions(*key_cols)
+                .write.mode("overwrite")
+                .option("compression", "zstd")
+                .parquet(staging)
+            )
         pool = os.path.join(self.root, "files")
         os.makedirs(pool, exist_ok=True)
         entries: list[dict] = []
@@ -370,6 +435,12 @@ class MergeTable:
                 continue
             fname = f"f-{uuid.uuid4().hex[:16]}.parquet"
             os.replace(os.path.join(staging, name), os.path.join(pool, fname))
+            # rename carries the WRITE-time mtime — for a long job the
+            # first task's file can already be near the vacuum grace by
+            # the time this loop moves it; restamp so the age gate
+            # measures from pool entry, the point the file becomes a
+            # candidate orphan
+            os.utime(os.path.join(pool, fname))
             md = pq.read_metadata(os.path.join(pool, fname))
             if md.num_rows == 0:
                 os.remove(os.path.join(pool, fname))
@@ -548,21 +619,27 @@ class MergeTable:
 
     # --- MERGE ---
 
-    def _touched(self, entries: list[dict], source: DataFrame, key0: str) -> set[str]:
-        """File names whose key range can contain a batch key (sound
-        overapproximation; driver-side over the manifest)."""
+    def _touched(
+        self, entries: list[dict], source: DataFrame, key0: str
+    ) -> tuple[set[str], int]:
+        """(file names whose key range can contain a batch key, approx
+        distinct batch keys). The file set is a sound overapproximation,
+        computed driver-side over the manifest; the key count feeds the
+        merge's broadcast-vs-shuffle gate so the one aggregate job here
+        serves both decisions."""
         agg = source.agg(
             F.min(key0).alias("lo"),
             F.max(key0).alias("hi"),
             F.approx_count_distinct(key0).alias("n"),
         ).collect()[0]
         if agg.lo is None:
-            return set()
+            return set(), 0
         unstat = [e for e in entries if e["min_key"] is None]  # always hit
         stat = [e for e in entries if e["min_key"] is not None]
         in_range = [e for e in stat if not (e["max_key"] < agg.lo or e["min_key"] > agg.hi)]
         if agg.n > _DRIVER_KEY_LIMIT or not in_range:
-            return {e["file"] for e in in_range} | {e["file"] for e in unstat}
+            files = {e["file"] for e in in_range} | {e["file"] for e in unstat}
+            return files, int(agg.n)
         keys = sorted(
             r[0]
             for r in source.select(key0).distinct().filter(
@@ -574,7 +651,7 @@ class MergeTable:
             i = bisect_left(keys, e["min_key"])
             if i < len(keys) and keys[i] <= e["max_key"]:
                 touched.add(e["file"])
-        return touched
+        return touched, int(agg.n)
 
     def merge(
         self,
@@ -620,7 +697,13 @@ class MergeTable:
             added = [
                 c for c in source.columns if c not in existing and c != op_col
             ]
-            touched = self._touched(entries, source, key_cols[0])
+            touched, n_keys = self._touched(entries, source, key_cols[0])
+            # the over-broadcast fallback: a micro-batch's key set
+            # broadcasts (map-side joins, O(batch) exchange); a bulk
+            # backfill past the limit drops the hint and lets
+            # Catalyst/AQE shuffle or runtime-broadcast instead of
+            # forcing a multi-GB build side onto every executor
+            bcast = n_keys <= _BROADCAST_KEY_LIMIT
             touched_entries = [e for e in entries if e["file"] in touched]
             untouched_entries = [e for e in entries if e["file"] not in touched]
             if touched_entries:
@@ -639,8 +722,12 @@ class MergeTable:
                 # as-written (their NULLs come from the versioned read)
                 target_touched = evolve_target(target_touched, source, op_col)
             version = int(meta["latest"]) + 1
-            cdf = change_feed_frames(target_touched, source, key_cols, op_col)
-            merged = merge_frames(target_touched, source, key_cols, op_col)
+            cdf = change_feed_frames(
+                target_touched, source, key_cols, op_col, broadcast_keys=bcast
+            )
+            merged = merge_frames(
+                target_touched, source, key_cols, op_col, broadcast_keys=bcast
+            )
             nf = num_files or max(1, len(touched_entries)) + 1
             # data files first: uuid-named, shared-pool, never
             # version-visible until a manifest references them — a loser
@@ -883,7 +970,11 @@ class MergeTable:
         staging and just-moved pool files that are not yet
         manifest-visible, and an age gate distinguishes those from crash
         garbage without requiring writers and vacuum to be externally
-        serialized. Size the grace above the longest expected merge;
+        serialized. An ALIVE merge can never age out: ``_write_files``
+        heartbeats its staging dir's mtime every 60 s for the duration of
+        the write and restamps pool files at the moment they enter the
+        pool, so the default grace only has to exceed the heartbeat
+        period plus the commit tail, not the longest possible merge.
         ``orphan_grace_sec=0`` restores the sweep-everything behavior for
         a provably quiesced table."""
         # the whole meta read-modify-write runs under the table flock:
@@ -957,5 +1048,23 @@ class MergeTable:
                     os.remove(os.path.join(pool, fname))
                     removed.append(fname)
             if removed or any(h.get("data_removed") for h in meta["history"]):
-                self._commit(meta)
+                # graft-then-commit instead of committing the entry
+                # snapshot: _flock silently no-ops where fcntl/flock is
+                # unavailable, and vacuum itself mutates only the
+                # data_removed flags — so re-read the CURRENT meta and
+                # graft this vacuum's flags onto it. A merge that
+                # committed mid-vacuum (possible only without a working
+                # flock) keeps its latest/history entry instead of being
+                # rolled back to vacuum's snapshot (the lost-update the
+                # old unconditional self._commit(meta) allowed).
+                flagged = {
+                    h["version"]
+                    for h in meta["history"]
+                    if h.get("data_removed")
+                }
+                fresh = self._meta()
+                for h in fresh["history"]:
+                    if h["version"] in flagged:
+                        h["data_removed"] = True
+                self._commit(fresh)
             return removed

@@ -2,11 +2,18 @@
 consumer that completes the table's CDC loop: produce (merge) -> record
 (write-time CDF) -> stream (stream_changes) -> maintain (THIS) -> serve.
 
-Three maintained shapes:
+Four maintained shapes:
 
 * :class:`MaintainedView` — count+sum per group, advanced purely from the
   change feed (operators/ivm.py — O(changes + affected groups), never a
   table access);
+* :class:`MaintainedDistinctView` — count + COUNT(DISTINCT value) per
+  group, maintained through the invertible SUPPORT RELATION (one row per
+  (group, value) with multiplicity — operators/ivm.py): every change
+  image is ±1 on exactly one support row, so the view advances from the
+  feed alone, never a table access. The persisted state is the support
+  relation (O(distinct (group, value)) rows, not O(table)); the served
+  view is its projection;
 * :class:`MaintainedMinMaxView` — count/MIN/MAX per group, and
   :class:`MaintainedTopKView` — count + the k largest values per group
   (MIN/MAX is its k=1 case) — the classic
@@ -66,7 +73,10 @@ from pyspark.sql import functions as F
 
 from clustopher_spark.operators.ivm import (
     bootstrap_count_sum_view,
+    bootstrap_distinct_support,
+    distinct_count_view,
     incremental_count_sum_view,
+    incremental_distinct_count_view,
     incremental_min_max_view,
     incremental_top_k_view,
 )
@@ -79,9 +89,17 @@ class _DurableViewBase:
     root, atomic meta repoint, commit-version watermark admission, and
     the availableNow CDC drain."""
 
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    def __init__(
+        self, spark: SparkSession, root: str, keep_versions: int = 2
+    ) -> None:
         self.spark = spark
         self.root = root
+        # retention window for published view versions: how many of the
+        # newest versions survive each publish (>= 1; default 2 = current
+        # plus one back for concurrent readers — the table's
+        # vacuum(keep_last=...) contract, now configurable here too
+        # instead of a hard-coded v-2 prune)
+        self.keep_versions = max(1, int(keep_versions))
 
     # --- meta plumbing (the table's atomic-repoint pattern) ---
 
@@ -112,12 +130,23 @@ class _DurableViewBase:
 
     def _publish(self, df: DataFrame, applied_commit: int) -> int:
         """Write the advanced view as the next version, repoint meta, and
-        prune superseded versions to a fixed window (keep exactly one
-        back for concurrent readers — the table's retention idea)."""
+        prune superseded versions to the ``keep_versions`` window (the
+        table's retention idea; default keeps one back for concurrent
+        readers). Pruning lists the root rather than assuming a single
+        v-2 candidate, so raising or lowering keep_versions mid-life
+        converges instead of leaking versions."""
         v = int(self._meta()["latest"]) + 1
         self._write_version(df, v)
         self._commit({"latest": v, "applied_commit": int(applied_commit)})
-        shutil.rmtree(self._version_path(v - 2), ignore_errors=True)
+        for name in os.listdir(self.root):
+            if not (name.startswith("v") and name.endswith(".parquet")):
+                continue
+            try:
+                old = int(name[1:-len(".parquet")])
+            except ValueError:
+                continue
+            if old <= v - self.keep_versions:
+                shutil.rmtree(self._version_path(old), ignore_errors=True)
         return v
 
     @staticmethod
@@ -202,6 +231,15 @@ class _DurableViewBase:
         loud error instead of silent view drift. ``options`` passes
         file-source knobs to stream_changes (``maxFilesPerTrigger`` for
         commit-paced draining is safe: one feed file per commit)."""
+        # one-time layout migration: the checkpoint used to live at the
+        # SIBLING path `{root}_checkpoint` (string concat); a view created
+        # under that layout would otherwise silently abandon its
+        # checkpoint here (safe via the watermark, but a full feed
+        # replay) and leak the old directory on disk forever
+        legacy = self.root.rstrip(os.sep) + "_checkpoint"
+        current = os.path.join(self.root, "_checkpoint")
+        if os.path.isdir(legacy) and not os.path.exists(current):
+            os.replace(legacy, current)
         q = (
             stream_changes(self.spark, table_root, options=options)
             .writeStream.foreachBatch(lambda df, bid: self.apply_feed(df, table_root))
@@ -233,8 +271,9 @@ class MaintainedView(_DurableViewBase):
         sum_cols: dict[str, str],
         count_col: str = "n_rows",
         sum_cast: str | None = "decimal(18,2)",
+        keep_versions: int = 2,
     ) -> None:
-        super().__init__(spark, root)
+        super().__init__(spark, root, keep_versions=keep_versions)
         self.group_cols = list(group_cols)
         self.sum_cols = dict(sum_cols)
         self.count_col = count_col
@@ -319,8 +358,9 @@ class MaintainedMinMaxView(_DurableViewBase):
         count_col: str = "n_rows",
         min_col: str = "v_min",
         max_col: str = "v_max",
+        keep_versions: int = 2,
     ) -> None:
-        super().__init__(spark, root)
+        super().__init__(spark, root, keep_versions=keep_versions)
         self.group_cols = list(group_cols)
         self.value_col = value_col
         self.count_col = count_col
@@ -389,8 +429,9 @@ class MaintainedTopKView(_DurableViewBase):
         k: int,
         count_col: str = "n_rows",
         topk_col: str = "top_k",
+        keep_versions: int = 2,
     ) -> None:
-        super().__init__(spark, root)
+        super().__init__(spark, root, keep_versions=keep_versions)
         self.group_cols = list(group_cols)
         self.value_col = value_col
         self.k = int(k)
@@ -435,5 +476,91 @@ class MaintainedTopKView(_DurableViewBase):
         advanced = incremental_top_k_view(
             self.read(), fresh, post, self.group_cols, self.value_col,
             self.k, count_col=self.count_col, topk_col=self.topk_col,
+        )
+        return self._publish(advanced, hi)
+
+
+class MaintainedDistinctView(_DurableViewBase):
+    """A durable, versioned count + COUNT(DISTINCT) view of a MergeTable.
+
+    COUNT(DISTINCT) is not group-invertible (removing one copy of a
+    value must not drop it while duplicates remain), but its SUPPORT
+    RELATION — one row per (group, value) with multiplicity
+    (operators/ivm.py::bootstrap_distinct_support) — is: every change
+    image contributes ±1 to exactly one support row, so unlike the
+    MIN/MAX and TOP-K views this one needs NO table access, ever — the
+    feed alone is enough (the count+sum views' property, recovered by
+    factoring the aggregate through an invertible relation).
+
+    What persists per version is the support relation itself; ``read()``
+    serves its (group, n_rows, n_distinct) projection. Scale shape: the
+    state is O(distinct (group, value)) rows — larger than an aggregate
+    view but far smaller than the table whenever values repeat, and each
+    publish rewrites it wholesale (one coalesced file, like its
+    siblings). For enormous (group, value) cardinality, persist the
+    support relation AS a MergeTable keyed by (group, value) so a commit
+    rewrites only the key-range-touched files and the delta becomes a
+    normal merge — the design operators/ivm.py prescribes; this class
+    keeps the simpler versioned-parquet layout that matches the rest of
+    the view family and its serving tier.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        group_cols: list[str],
+        value_col: str,
+        count_col: str = "n_rows",
+        distinct_col: str = "n_distinct",
+        keep_versions: int = 2,
+    ) -> None:
+        super().__init__(spark, root, keep_versions=keep_versions)
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self.count_col = count_col
+        self.distinct_col = distinct_col
+
+    def bootstrap(self, table: MergeTable) -> int:
+        """Seed the support relation from one full pass over the table's
+        CURRENT version."""
+        os.makedirs(self.root, exist_ok=True)
+        tv = int(table._meta()["latest"])
+        # version-pinned read — see MaintainedView.bootstrap
+        support = bootstrap_distinct_support(
+            table.read(version=tv), self.group_cols, self.value_col
+        )
+        self._write_version(support, 1)
+        self._commit({"latest": 1, "applied_commit": tv})
+        return 1
+
+    def read(self, with_state: bool = False) -> DataFrame:
+        """The served aggregate (group, n_rows, n_distinct) — or the
+        underlying support relation with ``with_state=True``."""
+        support = super().read()
+        if with_state:
+            return support
+        return distinct_count_view(
+            support,
+            self.group_cols,
+            self.value_col,
+            count_col=self.count_col,
+            distinct_col=self.distinct_col,
+        )
+
+    def apply_feed(
+        self, cdf_batch: DataFrame, table_root: str | None = None
+    ) -> int | None:
+        """Advance the support relation by one CDC batch (which may carry
+        several commits' images — the support delta is linear in the
+        feed, so a multi-commit batch folds in one pass with no
+        self-dirtying argument needed). Watermark-first, so replay is a
+        no-op; the published version is the NEW support relation."""
+        admitted = self._admit(cdf_batch, table_root)
+        if admitted is None:
+            return None
+        fresh, hi = admitted
+        advanced = incremental_distinct_count_view(
+            self.read(with_state=True), fresh, self.group_cols, self.value_col
         )
         return self._publish(advanced, hi)

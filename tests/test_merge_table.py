@@ -1701,3 +1701,322 @@ def test_vacuum_concurrent_to_merge_preserves_history_flags(
         batch.withColumn("o_totalprice", F.lit(3.0)), ["o_orderkey"],
     )
     assert _frames_equal(t.read(), expected)
+
+
+def test_vacuum_without_flock_grafts_flags_onto_concurrent_commit(
+    spark, tmp_path, target, monkeypatch
+):
+    """The round-7 advice's lost-update: on a filesystem where flock
+    silently no-ops, a merge committing mid-vacuum must NOT be rolled
+    back by vacuum's final meta write. Vacuum now re-reads meta and
+    GRAFTS its data_removed flags onto whatever is current — the merge's
+    latest/history entry survives AND the vacuum's flags land.
+    Deterministic interleave: the merge is injected between vacuum's
+    meta read and its final commit (via the _heal_staged_feeds hook that
+    runs exactly there), with _flock patched to the no-op it degrades to
+    without fcntl."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def no_flock(self):
+        yield
+
+    monkeypatch.setattr(MergeTable, "_flock", no_flock)
+
+    root = str(tmp_path / "t")
+    t = MergeTable(spark, root)
+    t.create(target, ["o_orderkey"], num_files=4)
+    lo = target.agg(F.min("o_orderkey")).collect()[0][0]
+    batch = target.filter(F.col("o_orderkey") <= lo + 10).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    t.merge(batch, batch_id=0)  # v2
+    t.merge(batch.withColumn("o_totalprice", F.lit(2.0)), batch_id=1)  # v3
+
+    orig_heal = MergeTable._heal_staged_feeds
+    vac = MergeTable(spark, root)
+    state = {"raced": False}
+    late = batch.withColumn("o_totalprice", F.lit(3.0))
+
+    def heal_and_race(self, meta):
+        orig_heal(self, meta)
+        if self is vac and not state["raced"]:
+            state["raced"] = True
+            # the concurrent merge commits AFTER vacuum read its meta
+            # snapshot but BEFORE vacuum's final commit
+            assert MergeTable(spark, root).merge(late, batch_id=2) == 4
+
+    monkeypatch.setattr(MergeTable, "_heal_staged_feeds", heal_and_race)
+    removed = vac.vacuum(keep_last=2, orphan_grace_sec=0)
+    monkeypatch.setattr(MergeTable, "_heal_staged_feeds", orig_heal)
+    assert removed  # v1's exclusive files went
+    assert state["raced"]
+
+    meta = t._meta()
+    # the merge's commit survived vacuum's final write...
+    assert meta["latest"] == 4 and meta["last_batch"] == 2
+    assert [h["version"] for h in meta["history"]] == [1, 2, 3, 4]
+    # ...and vacuum's flags survived too
+    assert [h["version"] for h in meta["history"] if h.get("data_removed")] == [1]
+    expected = merge_frames(
+        merge_frames(
+            merge_frames(target, batch, ["o_orderkey"]),
+            batch.withColumn("o_totalprice", F.lit(2.0)), ["o_orderkey"],
+        ),
+        late, ["o_orderkey"],
+    )
+    assert _frames_equal(t.read(), expected)
+
+
+def test_write_heartbeat_keeps_staging_fresh(tmp_path, monkeypatch):
+    """_mtime_heartbeat (sources/merge_table.py): a long staging write
+    refreshes its dir mtime so vacuum's orphan age gate can never sweep
+    an ALIVE merge's staging mid-commit (round-7 advice — previously a
+    write stalling past the grace aged out silently)."""
+    import os
+    import time
+
+    import clustopher_spark.sources.merge_table as mt_mod
+
+    d = str(tmp_path / "staging")
+    os.makedirs(d)
+    old = time.time() - 7200.0
+    os.utime(d, (old, old))
+    monkeypatch.setattr(mt_mod, "_HEARTBEAT_SEC", 0.02)
+    with mt_mod._mtime_heartbeat(d):
+        time.sleep(0.2)
+        assert os.path.getmtime(d) > time.time() - 60.0  # beat landed
+    # and the thread stops on exit: backdate again, no further beats
+    os.utime(d, (old, old))
+    time.sleep(0.1)
+    assert os.path.getmtime(d) < time.time() - 3600.0
+
+
+def test_merge_nonbroadcast_fallback_matches_algebra(
+    spark, tmp_path, target, monkeypatch
+):
+    """The over-broadcast fallback (round-7 verdict item 4): past
+    _BROADCAST_KEY_LIMIT approximate distinct keys, merge_frames /
+    change_feed_frames drop their broadcast hints and Catalyst picks the
+    join. Results are hint-independent, and a live MergeTable.merge
+    through the gated path (limit forced to 0) commits the same table
+    and change feed as the broadcast path."""
+    import clustopher_spark.sources.merge_table as mt_mod
+
+    batch = _mixed_batch(_orders(spark))
+    for fn, kw in (
+        (merge_frames, {}),
+        (change_feed_frames, {}),
+    ):
+        hinted = fn(target, batch, ["o_orderkey"], op_col="op", **kw)
+        unhinted = fn(
+            target, batch, ["o_orderkey"], op_col="op",
+            broadcast_keys=False, **kw,
+        )
+        assert _frames_equal(hinted, unhinted)
+
+    monkeypatch.setattr(mt_mod, "_BROADCAST_KEY_LIMIT", 0)
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(target, ["o_orderkey"], num_files=4)
+    assert t.merge(batch, op_col="op", batch_id=0) == 2
+    expected = merge_frames(target, batch, ["o_orderkey"], op_col="op")
+    assert _frames_equal(t.read(), expected)
+    # the CDF recorded through the non-broadcast path is the same feed
+    expected_cdf = change_feed_frames(target, batch, ["o_orderkey"], op_col="op")
+    got_cdf = t.changes(1).drop("_commit_version")
+    assert _frames_equal(got_cdf, expected_cdf)
+
+
+def test_maintained_distinct_view_tracks_table_and_replay_is_noop(
+    spark, tmp_path, target
+):
+    """streaming/ivm_view.py::MaintainedDistinctView — the durable
+    COUNT(DISTINCT) consumer of the CDC loop, maintained through the
+    invertible support relation (no table access, ever): bootstrap,
+    advance through live merge commits (commit-paced AND multi-commit
+    batches), equal recompute at every step; a FRESH-checkpoint full
+    replay advances nothing; old versions pruned to the keep window."""
+    import os
+    import shutil
+
+    from clustopher_spark.streaming.ivm_view import MaintainedDistinctView
+
+    def recompute(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_custkey").alias("n_distinct"),
+        )
+
+    root = str(tmp_path / "t")
+    t = MergeTable(spark, root)
+    t.create(target, ["o_orderkey"], num_files=4)
+    view = MaintainedDistinctView(
+        spark, str(tmp_path / "view"), ["o_orderstatus"], "o_custkey"
+    )
+    view.bootstrap(t)
+    assert _frames_equal(view.read(), recompute(target))
+
+    # commit 2 (mixed: updates can MOVE a row between custkeys) then
+    # commit 3 (delete a whole custkey's rows from one status — the
+    # multiplicity of that (group, value) support row must hit zero and
+    # the distinct count must drop, the non-invertible case a naive
+    # delta would get wrong)
+    t.merge(_mixed_batch(_orders(spark)), op_col="op", batch_id=0)
+    victim = t.read().select("o_orderstatus", "o_custkey").first()
+    doomed = (
+        t.read()
+        .filter(
+            (F.col("o_orderstatus") == victim.o_orderstatus)
+            & (F.col("o_custkey") == victim.o_custkey)
+        )
+        .withColumn("op", F.lit("delete"))
+    )
+    t.merge(doomed, op_col="op", batch_id=1)
+    view.maintain(root, options={"maxFilesPerTrigger": "1"})
+    assert _frames_equal(view.read(), recompute(t.read()))
+    latest = view._meta()
+
+    # full replay from a FRESH checkpoint: watermark filters everything
+    shutil.rmtree(str(tmp_path / "view" / "_checkpoint"))
+    view.maintain(root)
+    assert view._meta() == latest
+    assert _frames_equal(view.read(), recompute(t.read()))
+
+    # two MORE commits drained in ONE batch (the support delta is linear
+    # in the feed, so a multi-commit fold needs no dirtying argument)
+    lo_key = target.agg(F.min("o_orderkey")).collect()[0][0]
+    t.merge(
+        target.filter(F.col("o_orderkey") <= lo_key + 10)
+        .withColumn("o_custkey", F.lit(424242).cast("long")),
+        batch_id=2,
+    )
+    t.merge(
+        target.filter(F.col("o_orderkey") <= lo_key + 5)
+        .withColumn("op", F.lit("delete")),
+        op_col="op", batch_id=3,
+    )
+    view.maintain(root)
+    assert _frames_equal(view.read(), recompute(t.read()))
+    # version retention: at most keep_versions parquet dirs remain
+    dirs = [d for d in os.listdir(str(tmp_path / "view")) if d.startswith("v")]
+    assert len(dirs) <= 2
+
+
+def test_maintained_view_checkpoint_migrates_from_sibling_layout(
+    spark, tmp_path, target
+):
+    """maintain() used to checkpoint at the SIBLING path
+    `{root}_checkpoint`; a view created under that layout must not
+    silently abandon it (full feed replay + leaked dir — round-7
+    advice). First maintain() under the new layout renames it into the
+    view root."""
+    import os
+
+    from clustopher_spark.streaming.ivm_view import MaintainedView
+
+    root = str(tmp_path / "t")
+    t = MergeTable(spark, root)
+    t.create(target, ["o_orderkey"], num_files=4)
+    vroot = str(tmp_path / "view")
+    view = MaintainedView(
+        spark, vroot, ["o_orderstatus"], {"o_totalprice": "revenue"}
+    )
+    view.bootstrap(t)
+    t.merge(_mixed_batch(_orders(spark)), op_col="op", batch_id=0)
+    view.maintain(root)
+    # simulate the legacy layout: move the checkpoint to the sibling path
+    legacy = vroot.rstrip(os.sep) + "_checkpoint"
+    os.replace(os.path.join(vroot, "_checkpoint"), legacy)
+    t.merge(
+        target.limit(20).withColumn("op", F.lit("delete")),
+        op_col="op", batch_id=1,
+    )
+    view.maintain(root)
+    assert not os.path.exists(legacy)  # migrated, not leaked
+    assert os.path.isdir(os.path.join(vroot, "_checkpoint"))
+    expected = t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+    )
+    assert _frames_equal(view.read(), expected)
+
+
+def test_maintained_view_keep_versions_window(spark, tmp_path, target):
+    """keep_versions (round-7 verdict item 6): the durable views'
+    retention window is configurable — keep_versions=3 retains three
+    published versions, and shrinking it back converges by listing the
+    root instead of assuming a single v-2 candidate."""
+    import os
+
+    from clustopher_spark.streaming.ivm_view import MaintainedView
+
+    root = str(tmp_path / "t")
+    t = MergeTable(spark, root)
+    t.create(target, ["o_orderkey"], num_files=4)
+    vroot = str(tmp_path / "view")
+    view = MaintainedView(
+        spark, vroot, ["o_orderstatus"], {"o_totalprice": "revenue"},
+        keep_versions=3,
+    )
+    view.bootstrap(t)
+    lo = target.agg(F.min("o_orderkey")).collect()[0][0]
+    for i in range(4):
+        t.merge(
+            target.filter(F.col("o_orderkey") <= lo + 5)
+            .withColumn("o_totalprice", F.lit(float(i + 1))),
+            batch_id=i,
+        )
+        view.maintain(root)
+
+    def versions():
+        return sorted(
+            int(d[1:-len(".parquet")])
+            for d in os.listdir(vroot)
+            if d.startswith("v") and d.endswith(".parquet")
+        )
+
+    assert versions() == [3, 4, 5]  # 1+4 publishes, window of 3
+    # shrink the window: the next publish prunes down to 1
+    view.keep_versions = 1
+    t.merge(
+        target.filter(F.col("o_orderkey") <= lo + 5)
+        .withColumn("o_totalprice", F.lit(99.0)),
+        batch_id=4,
+    )
+    view.maintain(root)
+    assert versions() == [6]
+
+
+def test_topk_dirty_guard_handles_empty_stored_array(spark, tmp_path):
+    """incremental_top_k_view's dirty predicate must not depend on Or's
+    evaluation order (round-7 advice): a group whose stored top-k array
+    is EMPTY (all values NULL) with a removal in the feed reaches the
+    element_at branch only under the explicit size>=k CASE guard —
+    previously only left-to-right short-circuit saved it from
+    INVALID_INDEX_OF_ZERO. The maintained result still equals
+    recompute."""
+    from clustopher_spark.streaming.ivm_view import MaintainedTopKView
+
+    rows = [
+        (1, "A", 10.0), (2, "A", 7.0), (3, "A", 5.0),
+        # group B: all-NULL values -> stored top_k array is []
+        (4, "B", None), (5, "B", None), (6, "B", None),
+    ]
+    df = spark.createDataFrame(rows, "k int, g string, v double")
+    root = str(tmp_path / "t")
+    t = MergeTable(spark, root)
+    t.create(df, ["k"], num_files=2)
+    view = MaintainedTopKView(spark, str(tmp_path / "view"), ["g"], "v", k=2)
+    view.bootstrap(t)
+    # delete one NULL-valued row from B (a removal against the empty
+    # array) and one real value from A
+    batch = spark.createDataFrame(
+        [(1, "A", 10.0), (4, "B", None)], "k int, g string, v double"
+    ).withColumn("op", F.lit("delete"))
+    t.merge(batch, op_col="op", batch_id=0)
+    view.maintain(root)
+    expected = t.read().groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.slice(F.sort_array(F.collect_list("v"), asc=False), 1, 2).alias("top_k"),
+    )
+    assert _frames_equal(view.read(), expected)

@@ -876,6 +876,44 @@ def test_table_view_serving_end_to_end(spark, table_server):
     }
     assert {r["o_orderstatus"]: r["top_k"] for r in got3["rows"]} == want3
 
+    # the distinct kind: count + COUNT(DISTINCT) served from the
+    # support-relation view (round-8: the durable distinct leg)
+    _post(
+        f"{server}/api/tables/orders/views",
+        {"view_id": "cust", "kind": "distinct",
+         "group_cols": ["o_orderstatus"], "value_col": "o_custkey"},
+    )
+    gotd = _get(f"{server}/api/tables/orders/views/cust")
+    wantd = {
+        r.o_orderstatus: (r.n_rows, r.n_distinct)
+        for r in t.read().groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_custkey").alias("n_distinct"),
+        ).collect()
+    }
+    assert {
+        r["o_orderstatus"]: (r["n_rows"], r["n_distinct"]) for r in gotd["rows"]
+    } == wantd
+    # a refresh with nothing fresh is a no-op on its meta
+    refd = _post(f"{server}/api/tables/orders/views/cust/refresh", {})
+    assert refd["applied_commit"] == t._meta()["latest"]
+
+    # sum_cols OUTPUT-name collisions and non-numeric sources are 400s
+    # at create time, not broken views (round-7 advice)
+    import urllib.error as _ue
+
+    for bad in (
+        {"sum_cols": {"o_totalprice": "o_orderstatus"}},  # collides: group col
+        {"sum_cols": {"o_totalprice": "n_rows"}},         # collides: count col
+        {"sum_cols": {"o_totalprice": "x", "o_custkey": "x"}},  # self-collide
+        {"sum_cols": {"o_orderpriority": "p"}},           # non-numeric source
+    ):
+        with pytest.raises(_ue.HTTPError) as e:
+            _post(f"{server}/api/tables/orders/views",
+                  {"view_id": "badv", "kind": "sum",
+                   "group_cols": ["o_orderstatus"], **bad})
+        assert e.value.code == 400
+
     # validation: bad kind 400, duplicate 400, unknown view 404,
     # traversal-shaped id 400, unknown table 404
     with pytest.raises(urllib.error.HTTPError) as e:

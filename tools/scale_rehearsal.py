@@ -421,7 +421,7 @@ def main():
         st10 = mt10.stats()
         t_stats = time.perf_counter() - t0
         t0 = time.perf_counter()
-        touched10 = mt10._touched(
+        touched10, _nk = mt10._touched(
             mt10._manifest(mt10._meta()["latest"]), mb10, "row_key"
         )
         t_touch = time.perf_counter() - t0
