@@ -27,27 +27,24 @@ import clustopher_spark.queries.stats  # noqa: F401
 import clustopher_spark.queries.tables  # noqa: F401
 
 
-# Round-7 window (r6 verdict items 2/7): the driver's CORRECTNESS gate
+# Round-8 window (r7 verdict item 1): the driver's CORRECTNESS gate
 # hashes the first 50 oracle-backed registry entries, so the window must
 # rotate or an oracle goes stale (driver-green once, never re-hashed).
-# This round's 50 slots = the ENTIRE 31-oracle stalest cohort (last
-# driver-hashed in round 3 — exactly the cohort the r6 judge's rotation
-# tool named as the mandatory r7 rotation: the SQL-feature galleries,
-# subquery family, drift stats, dbscan, merge_upsert_orders, ...) + the
-# same 13 flagship anchors as r6 (the core-surface regressions that must
-# stay driver-visible every round) + the 4 new round-7 oracles
-# (catalog_maintained_minmax — the durable MIN/MAX maintained view over
-# live CDC; catalog_incremental_distinct — COUNT(DISTINCT) via the
-# invertible support relation; catalog_incremental_moments — AVG/STDDEV
-# composed from count+sum; catalog_incremental_topk — the MIN/MAX
-# generalization; new oracles seat the round they land) + 2 seats
-# brought FORWARD from the round-4 cohort (staleness 3 after this
-# round — the r8 rotation; seating its heaviest-traffic members now
-# shrinks the r8 swap and keeps them bench-aligned: q1/q3).
-# tools/check_window_rotation.py enforces coverage and
-# freshness; after this round's driver run the stalest unseated cohort is
-# the remaining 26 round-4-checked oracles (staleness 3, at the bound),
-# which are the round-8 rotation.
+# This round's 50 slots = the ENTIRE 29-oracle stalest cohort (last
+# driver-hashed in round 4 — exactly the cohort the r7 judge's rotation
+# tool named as the mandatory r8 rotation: the TPC-H q2/q4-q22 tail,
+# join_range_price_bands, join_salted_skew_agg, the BM25/RRF/PMI/Zipf
+# retrieval family, ...) + the same 13 flagship anchors (the
+# core-surface regressions that must stay driver-visible every round) +
+# the 1 new round-8 oracle (catalog_maintained_distinct — the durable
+# COUNT(DISTINCT) maintained view drained over live CDC; new oracles
+# seat the round they land) + 7 seats brought FORWARD from the
+# round-5-checked cohort (staleness 3 after this round — the r9
+# rotation; seating a representative slice now shrinks the r9 swap
+# from 37 to 30). tools/check_window_rotation.py enforces coverage and
+# freshness; after this round's driver run the stalest unseated cohort
+# is the remaining 30 round-5-checked oracles (staleness 4 at round 9's
+# start), which are the round-9 rotation.
 _FLAGSHIP_ANCHORS = [
     "spatial_cluster_invariants",   # greedy kernel conservation laws
     "spatial_grid_centroids",       # A2 weighted-centroid algebra
@@ -63,50 +60,52 @@ _FLAGSHIP_ANCHORS = [
     "catalog_merge_upsert",         # MERGE algebra (CoW table core)
     "catalog_incremental_agg",      # IVM == recompute (shared oracle)
 ]
-_R7_ROTATION = [
-    # the whole 31-entry stalest cohort: last driver-hashed in round 3
-    "agg_grouping_sets",
-    "bitwise_function_gallery",
-    "datetime_function_gallery",
-    "events_sliding_1h_30m",
-    "events_views_within_hour_of_purchase",
-    "join_brand_cooccurrence",
-    "join_fuzzy_name_levenshtein",
-    "llm_corpus_shard_plan",
-    "llm_embedding_norms_by_label",
-    "llm_feature_hashing",
-    "llm_lang_quality_histogram",
-    "llm_text_normalize",
-    "llm_text_stats",
-    "llm_token_heavy_hitters",
-    "map_functions_gallery",
-    "merge_upsert_orders",
-    "recursive_cte_zoom_scales",
-    "spatial_dbscan",
-    "spatial_geojson_features",
-    "spatial_haversine_distance",
-    "sql_text_exists_subquery",
-    "sql_text_in_subquery_with_cte",
-    "sql_text_lateral_subquery",
-    "sql_text_scalar_subquery",
-    "stats_linear_regression",
-    "stats_moments",
-    "stats_price_histogram",
-    "stats_psi_price_drift",
-    "string_function_gallery",
-    "unpivot_lineitem_measures",
-    "window_count_distinct",
-    # new round-7 oracles — must be driver-checked the round they land
-    "catalog_maintained_minmax",
-    "catalog_incremental_distinct",
-    "catalog_incremental_moments",
-    "catalog_incremental_topk",
-    # round-4 cohort seats brought forward (r8's rotation is the rest)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
+_R8_ROTATION = [
+    # the whole 29-entry stalest cohort: last driver-hashed in round 4
+    "join_range_price_bands",
+    "join_salted_skew_agg",
+    "llm_bm25_retrieval",
+    "llm_cross_corpus_overlap",
+    "llm_dedup_keep_best",
+    "llm_hybrid_retrieval_rrf",
+    "llm_random_projection",
+    "llm_token_pmi_pairs",
+    "llm_token_zipf_fit",
+    "q2_min_cost_supplier",
+    "q4_order_priority_check",
+    "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "q7_volume_shipping_pairs",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_by_quantity_band",
+    "q13_customer_order_distribution",
+    "q14_brand_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    # new round-8 oracle — must be driver-checked the round it lands
+    "catalog_maintained_distinct",
+    # round-5-checked cohort seats brought forward (r9's rotation is the
+    # rest): one representative per family — rollup aggs, ranking
+    # windows, anti join, set ops, spatial kNN, SimHash dedup, HOFs
+    "agg_rollup_flag_status",
+    "window_ranking_family",
+    "join_anti_customers_without_orders",
+    "setop_union_all_keys",
+    "spatial_knn_query",
+    "llm_simhash_near_pairs",
+    "hof_array_gallery",
 ]
-_R7_WINDOW = set(_FLAGSHIP_ANCHORS) | set(_R7_ROTATION)
-assert len(_R7_WINDOW) == 50, len(_R7_WINDOW)
+_R8_WINDOW = set(_FLAGSHIP_ANCHORS) | set(_R8_ROTATION)
+assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
 
 
 def _window_priority(name: str) -> int:
@@ -115,7 +114,7 @@ def _window_priority(name: str) -> int:
 
     Tiering (oracle-backed only; rows-only queries go last so they never
     displace an oracle from the window):
-      0. the round-7 window (_R7_WINDOW): flagship anchors and the
+      0. the round-8 window (_R8_WINDOW): flagship anchors and the
          stalest re-checks
       1. every other oracle (all driver-green in round 1 or 2 and still
          locally oracle-verified by test_oracle_parity)
@@ -123,7 +122,7 @@ def _window_priority(name: str) -> int:
     """
     if name not in ORACLES:
         return 2
-    if name in _R7_WINDOW:
+    if name in _R8_WINDOW:
         return 0
     return 1
 

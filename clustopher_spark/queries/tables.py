@@ -520,3 +520,72 @@ def catalog_incremental_topk(spark, sf_dir):
         )
         .orderBy("o_orderstatus", "rnk")
     )
+
+
+@register(
+    "catalog_maintained_distinct",
+    # recompute over the table state after BOTH commits — the driver
+    # hash-verifies that the DURABLE COUNT(DISTINCT) maintained view
+    # (bootstrap + CDC stream drain + support-relation delta, no table
+    # access ever) equals recomputing the aggregate over the final
+    # table, end to end through real MergeTable commits and a real
+    # Structured Streaming drain
+    oracle=f"""
+    WITH {_BATCH_CTES},
+    merged AS (
+        SELECT * FROM target
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM inserts)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM deletes)
+        UNION ALL SELECT * FROM updates
+        UNION ALL SELECT * FROM inserts),
+    final AS (SELECT * FROM merged WHERE o_orderkey % 8 <> 1)
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_custkey) AS n_distinct
+    FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def catalog_maintained_distinct(spark, sf_dir):
+    """The DURABLE COUNT(DISTINCT) maintained view (streaming/
+    ivm_view.py::MaintainedDistinctView) over live MergeTable commits:
+    create the table, bootstrap the view's support relation, commit a
+    mixed merge then a delete wave (keys %8==1 — among them whole
+    custkeys leave a status, the case where naive count maintenance
+    breaks and the support relation's multiplicity-zero rule is what
+    keeps the view exact), drain the CDC stream, and return the served
+    projection. Unlike catalog_incremental_distinct (the pure-frame
+    algebra twin), this entry exercises the persisted, versioned,
+    exactly-once path — and unlike the MIN/MAX/TOP-K durable views it
+    never reads the table after bootstrap: the support relation is
+    invertible, so the feed alone advances it."""
+    import shutil
+    import tempfile
+
+    from clustopher_spark.sources.merge_table import MergeTable
+    from clustopher_spark.streaming.ivm_view import MaintainedDistinctView
+
+    orders = table(spark, sf_dir, "orders")
+    target, batch = _target_and_batch(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="clustopher_distinct_view_")
+    try:
+        root = f"{tmp}/t"
+        t = MergeTable(spark, root)
+        t.create(target, ["o_orderkey"], num_files=4)
+        view = MaintainedDistinctView(
+            spark, f"{tmp}/view", ["o_orderstatus"], "o_custkey"
+        )
+        view.bootstrap(t)
+        t.merge(batch, op_col="op", batch_id=0)
+        t.merge(
+            orders.filter(F.col("o_orderkey") % 8 == 1)
+            .withColumn("op", F.lit("delete")),
+            op_col="op", batch_id=1,
+        )
+        view.maintain(root, query_name="catalog_maintained_distinct_drain")
+        out = view.read().orderBy("o_orderstatus")
+        # the view is aggregate-sized: pin it in the block manager so the
+        # temp dir can be deleted before the caller collects
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
