@@ -176,6 +176,7 @@ class Clustopher:
         self,
         max_rows_per_partition: int = 2_000_000,
         zooms: list[int] | None = None,
+        prewarm: bool = False,
     ) -> dict[int, int]:
         """Split the materialized pyramid into one cached DataFrame per zoom
         so a cold viewport query scans only its own level (round-2 verdict:
@@ -188,7 +189,14 @@ class Clustopher:
         tile server only exposes a zoom band: caching every level would
         pin ~corpus-sized deep levels for queries that never touch them,
         while one level is bounded by occupied r-cells regardless of
-        corpus size. Un-cached zooms fall back to the Spark path."""
+        corpus size. Un-cached zooms fall back to the Spark path.
+
+        ``prewarm=True`` additionally runs ONE empty-range tile-fetch job
+        per cached zoom so the first real viewport touch pays only
+        scheduling + data, not the fetch plan's codegen/Arrow warm-up —
+        a dataset-load-time cost (one tiny job per level) a serving
+        deployment should always pay rather than billing it to the first
+        user request."""
         if self._zoom_levels is None:
             raise ValueError("materialize() first")
         lv = self._zoom_levels
@@ -238,6 +246,14 @@ class Clustopher:
             )
             counts[z] = frame.count()  # materialize now: serve path stays cold-start-free
             self._zoom_frames[z] = frame
+            if prewarm:
+                # same filter shape as _fetch_tiles over an empty tile
+                # range: compiles the fetch plan and warms the Arrow
+                # collect path without fetching (or caching) any tile
+                frame.filter(
+                    (F.col("tile_x") >= -2) & (F.col("tile_x") <= -1)
+                    & (F.col("tile_y") >= -2) & (F.col("tile_y") <= -1)
+                ).toPandas()
         return counts
 
     def release_caches(self) -> None:
