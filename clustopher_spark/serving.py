@@ -34,23 +34,76 @@ from clustopher_spark.sources.generators import generate_test_points
 
 
 class DatasetCache:
-    """LRU of loaded (materialized) datasets, reference-default capacity 5."""
+    """LRU of loaded (materialized) datasets, reference-default capacity 5.
 
-    def __init__(self, max_datasets: int = 5):
+    ``ttl_sec`` additionally enables the reference's idle-dataset sweeper
+    (runner/runner.go:113-140 — a 30-min ticker unloads datasets nobody
+    has touched for the TTL): a daemon thread evicts entries idle longer
+    than the TTL, releasing their cached zoom frames. Capacity-based LRU
+    alone bounds memory but holds the last ``max_datasets`` pyramids
+    forever on an idle server; the TTL returns that memory to executors.
+    Off by default (None) — serving tests and steady-traffic deployments
+    rely on residency; the reference default is 30 min."""
+
+    def __init__(self, max_datasets: int = 5, ttl_sec: float | None = None):
         self.max_datasets = max_datasets
+        self.ttl_sec = ttl_sec
         self._entries: OrderedDict[str, Clustopher] = OrderedDict()
+        self._last_access: dict[str, float] = {}
         self._lock = threading.Lock()
         # per-key load gate: concurrent misses for the same dataset share
         # ONE loader invocation (the load is a full pyramid read + serve
         # cache build — letting N requests race it N-plicates the most
         # expensive operation in the serving tier)
         self._loading: dict[str, threading.Event] = {}
+        self._sweeper_stop: threading.Event | None = None
+        if ttl_sec is not None:
+            self._sweeper_stop = threading.Event()
+            t = threading.Thread(
+                target=self._sweep_loop, name="dataset-cache-ttl", daemon=True
+            )
+            t.start()
+
+    def _sweep_loop(self) -> None:
+        # sample at ttl/10 (min 1 s): an entry is evicted at most 10%
+        # past its TTL, and the sweep itself is an O(entries) dict walk
+        interval = max(1.0, (self.ttl_sec or 0) / 10.0)
+        while not self._sweeper_stop.wait(interval):
+            self.sweep_idle()
+
+    def sweep_idle(self) -> int:
+        """Evict every entry idle longer than the TTL; returns how many.
+        Public so a deployment without the daemon (or a test) can drive
+        the sweep explicitly."""
+        if self.ttl_sec is None:
+            return 0
+        cutoff = time.monotonic() - self.ttl_sec
+        doomed: list[Clustopher] = []
+        with self._lock:
+            for key in [
+                k for k, ts in self._last_access.items() if ts <= cutoff
+            ]:
+                entry = self._entries.pop(key, None)
+                self._last_access.pop(key, None)
+                if entry is not None:
+                    doomed.append(entry)
+        # release outside the lock: unpersist is a JVM call and a slow
+        # block-manager round-trip must not stall concurrent gets
+        for entry in doomed:
+            entry.release_caches()
+        return len(doomed)
+
+    def close(self) -> None:
+        """Stop the TTL sweeper thread (tests / orderly shutdown)."""
+        if self._sweeper_stop is not None:
+            self._sweeper_stop.set()
 
     def get(self, dataset_id: str, loader) -> Clustopher:
         while True:
             with self._lock:
                 if dataset_id in self._entries:
                     self._entries.move_to_end(dataset_id)  # refresh last-accessed
+                    self._last_access[dataset_id] = time.monotonic()
                     return self._entries[dataset_id]
                 gate = self._loading.get(dataset_id)
                 if gate is None:
@@ -70,8 +123,10 @@ class DatasetCache:
                 with self._lock:
                     self._entries[dataset_id] = engine
                     self._entries.move_to_end(dataset_id)
+                    self._last_access[dataset_id] = time.monotonic()
                     while len(self._entries) > self.max_datasets:
-                        _, evicted = self._entries.popitem(last=False)
+                        key, evicted = self._entries.popitem(last=False)
+                        self._last_access.pop(key, None)
                         if evicted._zoom_levels is not None:
                             evicted._zoom_levels.unpersist()
                     self._loading.pop(dataset_id, None)
@@ -655,10 +710,13 @@ class ClusterService:
     def __init__(self, spark: SparkSession, catalog_root: str,
                  opts: ClusterOptions = ClusterOptions(radius=100.0, min_points=2, max_zoom=10),
                  vector_root: str | None = None,
-                 table_root: str | None = None):
+                 table_root: str | None = None,
+                 dataset_ttl_sec: float | None = None):
         self.spark = spark
         self.catalog = ClusterCatalog(spark, catalog_root)
-        self.cache = DatasetCache()
+        # dataset_ttl_sec enables the reference's idle-dataset sweeper
+        # (30 min there); None keeps capacity-only LRU
+        self.cache = DatasetCache(ttl_sec=dataset_ttl_sec)
         self.opts = opts
         self.vectors = (
             VectorService(spark, vector_root) if vector_root is not None else None

@@ -936,3 +936,61 @@ def test_table_view_serving_end_to_end(spark, table_server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{server}/api/tables/nope/views")
     assert e.value.code == 404
+
+
+def test_dataset_cache_ttl_sweeper_evicts_idle():
+    """DatasetCache TTL (the reference's 30-min idle-dataset sweeper,
+    runner/runner.go:113-140): entries idle past the TTL are evicted and
+    their caches released; a freshly-touched entry survives. Driven via
+    the public sweep_idle() (the daemon thread calls the same method)."""
+    import time
+
+    from clustopher_spark.serving import DatasetCache
+
+    released = []
+
+    def loader(ds_id):
+        class Eng:
+            _zoom_levels = None
+
+            def release_caches(self, _id=ds_id):
+                released.append(_id)
+
+        return Eng()
+
+    cache = DatasetCache(max_datasets=5, ttl_sec=0.15)
+    try:
+        cache.get("old", loader)
+        cache.get("fresh", loader)
+        time.sleep(0.2)
+        cache.get("fresh", loader)  # touch: resets its idle clock
+        n = cache.sweep_idle()
+        assert n == 1 and released == ["old"]
+        # the evicted entry reloads on next access; the fresh one is a hit
+        reload_calls = []
+        cache.get("old", lambda d: (reload_calls.append(d), loader(d))[1])
+        assert reload_calls == ["old"]
+        assert cache.sweep_idle() == 0  # both just touched
+        # with no TTL the sweep is a no-op by contract
+        assert DatasetCache(max_datasets=2).sweep_idle() == 0
+    finally:
+        cache.close()
+
+
+def test_dataset_cache_ttl_daemon_sweeps_without_explicit_calls():
+    """The TTL daemon itself fires: an idle entry disappears within a few
+    sweep intervals with no explicit sweep_idle() call."""
+    import time
+
+    from clustopher_spark.serving import DatasetCache
+
+    cache = DatasetCache(max_datasets=5, ttl_sec=0.2)
+    try:
+        cache.get("x", lambda d: type("Eng", (), {
+            "_zoom_levels": None, "release_caches": lambda self: None})())
+        deadline = time.time() + 5.0
+        while time.time() < deadline and "x" in cache._entries:
+            time.sleep(0.05)
+        assert "x" not in cache._entries
+    finally:
+        cache.close()
