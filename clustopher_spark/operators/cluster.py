@@ -167,6 +167,40 @@ def _greedy_assign(ids: np.ndarray, xs: np.ndarray, ys: np.ndarray,
     return cluster_of
 
 
+def _assign_sorted(
+    ids_s: np.ndarray,
+    xs_s: np.ndarray,
+    ys_s: np.ndarray,
+    bounds: np.ndarray,
+    radius: float,
+    min_points: int,
+) -> np.ndarray:
+    """Greedy assignment over supercell-SORTED arrays (``bounds`` marks
+    the segment boundaries, len = n_segments + 1): the native C kernel
+    when available (operators/native.py — same algorithm, same IEEE
+    arithmetic, bit-identical by test, ~10-70x faster per task), else
+    the per-segment numpy reference loop. The single shared entry point
+    for every kernel caller (distributed mapInPandas partitions and the
+    driver-side pyramid tails), so both paths stay pinned to one
+    behavior."""
+    from clustopher_spark.operators import native
+
+    out = native.assign_sorted_segments(
+        ids_s, xs_s, ys_s, bounds, radius, min_points
+    )
+    if out is not None:
+        return out
+    out = np.empty(len(ids_s), dtype=np.int64)
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e - s == 1:
+            out[s] = ids_s[s]
+        else:
+            out[s:e] = _greedy_assign(
+                ids_s[s:e], xs_s[s:e], ys_s[s:e], radius, min_points
+            )
+    return out
+
+
 def assign_clusters(
     points: DataFrame,
     zoom: int,
@@ -240,14 +274,7 @@ def assign_clusters(
             np.concatenate(([True], (gx[1:] != gx[:-1]) | (gy[1:] != gy[:-1])))
         )
         bounds = np.append(bounds, n)
-        assigned = np.empty(n, dtype=np.int64)
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if e - s == 1:
-                assigned[s] = ids[s]
-            else:
-                assigned[s:e] = _greedy_assign(
-                    ids[s:e], pxs[s:e], pys[s:e], radius, min_points
-                )
+        assigned = _assign_sorted(ids, pxs, pys, bounds, radius, min_points)
         out = pd.DataFrame({"id": ids, "cluster_id": assigned, "px": pxs, "py": pys})
         for col in passthrough:
             out[col] = pdf[col].to_numpy()[order]

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from clustopher_spark.operators.cluster import (
     ClusterOptions,
-    _greedy_assign,
+    _assign_sorted,
     cluster_at_zoom,
 )
 from clustopher_spark.plans.projection import project_np, unproject_np
@@ -40,7 +40,20 @@ def _cluster_level_local(
     """One zoom level of the pyramid computed driver-side in numpy — the
     same greedy kernel + A1/A2 algebra as the distributed path (pinned
     against it by tests). Input/output frames use the zoom_levels schema
-    minus the zoom column, with `id`/`num_points`/metric names on input."""
+    minus the zoom column, with `id`/`num_points`/metric names on input.
+
+    Round-8 optimization (guide §1.2 step 2, per-task work; results
+    bit-identical, pinned by the fused-vs-level-at-a-time equivalence
+    tests): the kernel runs through :func:`_assign_sorted` (native C
+    when available), and the aggregation splits singleton clusters out
+    of the pandas groupby — a singleton's aggregate is its own row
+    (sum of one element is the element; the centroid still pays the
+    (px*w)/w double-rounding so floats match the groupby path
+    bit-for-bit), and at sparse zooms singletons are >95% of rows, so
+    the groupby shrinks from O(level) to O(rows-in-multi-clusters)."""
+    n = len(pdf)
+    if n == 0:
+        return _empty_level_frame(metric_cols)
     px, py = project_np(pdf["lng"].to_numpy(), pdf["lat"].to_numpy(), zoom, opts.extent)
     ids_all = pdf["id"].to_numpy(np.int64)
     # Partition by supercell exactly like the distributed kernel stage —
@@ -59,49 +72,91 @@ def _cluster_level_local(
         np.concatenate(([True], (sgx[1:] != sgx[:-1]) | (sgy[1:] != sgy[:-1])))
     )
     bounds = np.append(bounds, len(order))
-    assigned_sorted = np.empty(len(order), dtype=np.int64)
-    ids_s, px_s, py_s = ids_all[order], px[order], py[order]
-    for s, e in zip(bounds[:-1], bounds[1:]):
-        if e - s == 1:
-            assigned_sorted[s] = ids_s[s]
-        else:
-            assigned_sorted[s:e] = _greedy_assign(
-                ids_s[s:e], px_s[s:e], py_s[s:e], opts.radius, opts.min_points
-            )
+    assigned_sorted = _assign_sorted(
+        ids_all[order], px[order], py[order], bounds, opts.radius, opts.min_points
+    )
     assigned = assigned_sorted[inv]
     w = pdf["num_points"].to_numpy(np.float64)
-    df = pd.DataFrame(
-        {
-            "cluster_id": assigned,
-            "wx": px * w,
-            "wy": py * w,
-            "w": w,
-            "num_points": pdf["num_points"].to_numpy(np.int64),
-        }
+    npts = pdf["num_points"].to_numpy(np.int64)
+    wx = px * w
+    wy = py * w
+    mvals = {m: pdf[m].to_numpy(np.float64) for m in metric_cols}
+
+    # group spans over assignment sorted by cluster_id (stable: original
+    # row order within each group is preserved, so the pandas sums below
+    # accumulate in the same order as the old whole-frame groupby)
+    sort_idx = np.argsort(assigned, kind="stable")
+    cid_sorted = assigned[sort_idx]
+    starts = np.flatnonzero(np.concatenate(([True], cid_sorted[1:] != cid_sorted[:-1])))
+    sizes = np.diff(np.append(starts, n))
+    gidx = np.zeros(n, dtype=np.int64)
+    gidx[starts[1:]] = 1
+    gidx = np.cumsum(gidx)
+    single_sorted = sizes[gidx] == 1
+
+    frames: list[pd.DataFrame] = []
+    single_rows = sort_idx[single_sorted]
+    if len(single_rows):
+        sw = w[single_rows]
+        lng1, lat1 = unproject_np(
+            wx[single_rows] / sw, wy[single_rows] / sw, zoom, opts.extent
+        )
+        d1 = pd.DataFrame(
+            {
+                "cluster_id": assigned[single_rows],
+                "lng": lng1,
+                "lat": lat1,
+                "point_count": npts[single_rows],
+                "num_members": np.ones(len(single_rows), dtype=np.int64),
+                "is_cluster": np.zeros(len(single_rows), dtype=bool),
+            }
+        )
+        for m in metric_cols:
+            d1[f"sum_{m}"] = mvals[m][single_rows]
+        frames.append(d1)
+    multi_rows = sort_idx[~single_sorted]
+    if len(multi_rows):
+        df = pd.DataFrame(
+            {
+                "cluster_id": assigned[multi_rows],
+                "wx": wx[multi_rows],
+                "wy": wy[multi_rows],
+                "w": w[multi_rows],
+                "num_points": npts[multi_rows],
+            }
+        )
+        for m in metric_cols:
+            df[m] = mvals[m][multi_rows]
+        g = df.groupby("cluster_id", sort=True)
+        agg = g.agg(
+            wx=("wx", "sum"), wy=("wy", "sum"), w=("w", "sum"),
+            point_count=("num_points", "sum"), num_members=("num_points", "size"),
+            **{f"sum_{m}": (m, "sum") for m in metric_cols},
+        ).reset_index()
+        lng2, lat2 = unproject_np(
+            (agg["wx"] / agg["w"]).to_numpy(), (agg["wy"] / agg["w"]).to_numpy(),
+            zoom, opts.extent,
+        )
+        d2 = pd.DataFrame(
+            {
+                "cluster_id": agg["cluster_id"],
+                "lng": lng2,
+                "lat": lat2,
+                "point_count": agg["point_count"].astype(np.int64),
+                "num_members": agg["num_members"].astype(np.int64),
+                "is_cluster": agg["num_members"] > 1,
+            }
+        )
+        for m in metric_cols:
+            d2[f"sum_{m}"] = agg[f"sum_{m}"]
+        frames.append(d2)
+    out = (
+        frames[0]
+        if len(frames) == 1
+        else pd.concat(frames, ignore_index=True).sort_values(
+            "cluster_id", kind="stable", ignore_index=True
+        )
     )
-    for m in metric_cols:
-        df[m] = pdf[m].to_numpy(np.float64)
-    g = df.groupby("cluster_id", sort=True)
-    agg = g.agg(
-        wx=("wx", "sum"), wy=("wy", "sum"), w=("w", "sum"),
-        point_count=("num_points", "sum"), num_members=("num_points", "size"),
-        **{f"sum_{m}": (m, "sum") for m in metric_cols},
-    ).reset_index()
-    lng, lat = unproject_np(
-        (agg["wx"] / agg["w"]).to_numpy(), (agg["wy"] / agg["w"]).to_numpy(), zoom, opts.extent
-    )
-    out = pd.DataFrame(
-        {
-            "cluster_id": agg["cluster_id"],
-            "lng": lng,
-            "lat": lat,
-            "point_count": agg["point_count"].astype(np.int64),
-            "num_members": agg["num_members"].astype(np.int64),
-            "is_cluster": agg["num_members"] > 1,
-        }
-    )
-    for m in metric_cols:
-        out[f"sum_{m}"] = agg[f"sum_{m}"]
     return out
 
 
