@@ -47,8 +47,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition ahead of a row-exploding stage: document tables often
     arrive as one small parquet file (one partition), which would serialize
-    the 30-60x shingle/token fan-out onto a single core."""
+    the 30-60x shingle/token fan-out onto a single core. Scale-adaptive
+    (round 8, guide §2): only widens — an input that already has >=
+    defaultParallelism partitions (any real-scale scan) passes through
+    untouched instead of paying a full-corpus shuffle down to core count."""
     parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parts:
+        return df
     return df.repartition(parts)
 
 
@@ -523,6 +528,7 @@ def winnow_fingerprints(
     w: int = 8,
     segment_chars: int = 1 << 16,
     portable: bool = True,
+    distinct: bool = True,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
     hash every k-char gram (stride 1), keep the minimum hash of each
@@ -533,69 +539,77 @@ def winnow_fingerprints(
     regardless of the span's offset in either document — the property
     strided shingles lack at any stride > 1. Density 2/(w+1).
 
-    Plan shape: gram explosion is a pure map stage; the winnow min is a
-    running window after ONE shuffle on id_col; the DISTINCT reuses that
-    partitioning (no extra exchange). Position generation is two-level
-    (segment index, then in-segment offset) because a single
-    ``sequence(1, len)`` materializes a len-element array per document
-    before exploding — an 80 MB spike for a 10 MB document; segmenting
-    bounds the in-flight array at ``segment_chars`` longs per row while
-    emitting the identical (pos, gram) stream.
+    Plan shape (round-8 optimization, guide §2.3/§2.4): the winnow min
+    is PER-DOCUMENT — no cross-document work exists until fingerprints
+    emerge — so the whole computation runs MAP-SIDE with array
+    higher-order functions: slice the text into overlapping segments
+    (each owns ``segment_chars`` fingerprint positions and carries the
+    ``w + k - 2`` extra chars its last windows need, so every global
+    winnow min is computed locally and exactly once), then per segment
+    gram-hash array -> sliding ``array_min`` -> ``array_distinct`` ->
+    explode. ONE scan, ZERO window sorts; the only exchange is the
+    final DISTINCT's, which carries unique fingerprints (density
+    2/(w+1) of gram positions) instead of every gram hash — ~9x fewer
+    rows than the previous exchange+running-window plan, which shuffled
+    and sorted all ~len(text) gram hashes per document just to express
+    a running min relationally. Segmenting bounds the in-flight arrays
+    at ~``segment_chars`` longs per row — the same memory rationale the
+    exploded-position plan had — while the per-segment text slices sum
+    to the document (+ overlap), so no payload amplification.
 
     ``portable=True`` (default) hashes grams with :func:`portable_hash60`
     so the DuckDB oracle can replay the pipeline verbatim; ``False`` is
     the production twin on ``xxhash64`` (codegen'd, no md5 round-trip per
     gram — the hash only has to be uniform for the winnowing guarantee,
     which is positional, to hold). Same flag contract as MinHash/SimHash.
+
+    ``distinct=False`` skips the final global DISTINCT (its exchange is
+    this function's only shuffle) for consumers that immediately
+    re-aggregate by ``fp`` with a set semantic anyway (e.g. the
+    inverted-index pair join's ``collect_set``): per-segment
+    ``array_distinct`` still applies, so the only possible duplicates
+    are the same fingerprint surfacing in two segments of one document.
     """
     gram_hash = (
         portable_hash60 if portable else (lambda c: F.xxhash64(c))
     )
-    d = df.filter(F.length(text_col) >= k + w - 1)
+    # the per-char gram hashing below is the heavy stage and it now runs
+    # entirely map-side — spread a single-file input across cores first
+    # (the old exchange+window plan hashed in the pre-exchange map stage
+    # too, so it serialized the same way without this)
+    d = _spread(df.filter(F.length(text_col) >= k + w - 1))
     n_pos = (F.length(text_col) - F.lit(k - 1)).cast("long")  # grams: 1..n_pos
+    n_fp = n_pos - F.lit(w - 1)  # fingerprint positions: 1..n_fp
     seg = F.lit(int(segment_chars)).cast("long")
-    grams = (
-        d.select(
-            id_col,
-            text_col,
-            n_pos.alias("n_pos"),
-            F.explode(
-                F.sequence(
-                    F.lit(0).cast("long"),
-                    F.floor((n_pos - F.lit(1)) / seg).cast("long"),
-                )
-            ).alias("seg_idx"),
-        )
-        .select(
-            id_col,
-            text_col,
-            F.explode(
-                F.sequence(
-                    F.col("seg_idx") * seg + 1,
-                    F.least((F.col("seg_idx") + 1) * seg, F.col("n_pos")),
-                )
-            ).alias("pos"),
-        )
-        .select(
-            id_col,
-            "pos",
-            gram_hash(
-                F.expr(f"substring({text_col}, CAST(pos AS INT), {k})")
-            ).alias("h"),
+    # segment j owns fp positions j*seg+1 .. min((j+1)*seg, n_fp); its text
+    # slice starts at char j*seg+1 and spans segment_chars + k + w - 2 chars
+    # (substring clamps at end-of-string), so grams j*seg+1 .. j*seg+cnt+w-1
+    # — everything its cnt winnow windows read — are local to the slice
+    seg_texts = F.transform(
+        F.sequence(F.lit(0), F.floor((n_fp - F.lit(1)) / seg).cast("int")),
+        lambda j: F.substring(
+            F.col(text_col),
+            (j.cast("long") * seg + F.lit(1)).cast("int"),
+            int(segment_chars) + k + w - 2,
+        ),
+    )
+    l_pos = (F.length("_seg") - F.lit(k - 1)).cast("int")  # local grams
+    hs = F.transform(
+        F.sequence(F.lit(1), l_pos),
+        lambda p: gram_hash(F.substring(F.col("_seg"), p, k)),
+    )
+    fps_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), l_pos - F.lit(w - 1)),
+            lambda i: F.array_min(F.slice(F.col("_hs"), i, w)),
         )
     )
-    dw = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
-    cw = Window.partitionBy(id_col)
-    return (
-        grams.select(
-            id_col, "pos",
-            F.min("h").over(dw).alias("fp"),
-            F.count(F.lit(1)).over(cw).alias("n_pos"),
-        )
-        .filter(F.col("pos") + (w - 1) <= F.col("n_pos"))
-        .select(id_col, "fp")
-        .distinct()
+    out = (
+        d.select(id_col, F.explode(seg_texts).alias("_seg"))
+        .select(id_col, F.col("_seg"), hs.alias("_hs"))
+        .select(id_col, F.explode(fps_arr).alias("fp"))
     )
+    return out.distinct() if distinct else out
 
 
 def substring_neardup_pairs(
@@ -614,25 +628,43 @@ def substring_neardup_pairs(
     n_common_fps) with id_a < id_b; feed to ``connected_components`` to
     group boilerplate/template families.
 
-    Scale: the join is an inverted-index equi-join on the fingerprint,
-    never all-pairs. A fingerprint held by m docs emits m^2 pairs, so
+    Scale: inverted-index on the fingerprint, never all-pairs. A
+    fingerprint held by m docs contributes m(m-1)/2 pairs, so
     fingerprints with document frequency > ``max_fp_df`` are dropped —
     ubiquitous boilerplate is not a near-dup signal; the cap is a stated
     recall trade (same pattern as ngram_jaccard_pairs' hot-shingle cap).
+
+    Plan (round-8 optimization, guide §2.4/§3.3): previously this was a
+    window (fp document frequency) + equi-self-join on fp — which
+    recomputed the whole winnow pipeline for BOTH join inputs (Spark
+    does not share subtrees across a self-join) and paid a window sort.
+    Now ONE ``groupBy(fp).collect_set(id)`` inverts the index (the df
+    cap becomes a ``size() <= max_fp_df`` filter on aggregate-sized
+    rows), and the pairs are emitted map-side from each fingerprint's
+    sorted id array with array higher-order functions — the fingerprint
+    pipeline runs once, no self-join, no window sort, and the capped
+    group size bounds the in-flight pair arrays at m(m-1)/2 <= 2016
+    structs. The upstream DISTINCT is skipped (``distinct=False``):
+    ``collect_set`` already has set semantics per fingerprint.
     """
-    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w, portable=portable)
-    capped = (
-        fps.withColumn(
-            "fp_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
-        )
-        .filter(F.col("fp_df") <= max_fp_df)
-        .select(id_col, "fp")
+    fps = winnow_fingerprints(
+        df, text_col, id_col, k=k, w=w, portable=portable, distinct=False
     )
-    a = capped.select(F.col(id_col).alias("id_a"), "fp")
-    b = capped.select(F.col(id_col).alias("id_b"), "fp")
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + F.lit(2), F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("_ids"))
+        .filter(F.size("_ids").between(2, max_fp_df))
+        .select(F.explode(pairs_arr).alias("_p"))
+        .select("_p.id_a", "_p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common_fps"))
         .filter(F.col("n_common_fps") >= min_common)

@@ -140,11 +140,16 @@ def test_dbscan_no_python_boundary(spark):
 
 def test_winnowing_substring_dedup_shuffle_shape(spark):
     p = plan_of("llm_substring_dedup", spark)
-    # gram explosion must be a map stage feeding ONE doc_id exchange that
-    # both winnow windows AND the fingerprint-distinct aggregate reuse;
-    # then one fp exchange, one rollup exchange, one presentation sort:
-    # 4 exchanges total, no Python boundary, no join (window-based df)
-    assert n_nodes(p, "Exchange") == 4, p
+    # winnow mins are computed map-side over overlapping text segments
+    # (array higher-order functions — no gram exchange, no per-doc window
+    # sort); the exchanges are the _spread round-robin on raw docs (the
+    # hashing stage's parallelism), the fingerprint DISTINCT, the
+    # fp-frequency window, the rollup, and the presentation sort: 5
+    # total, and the only corpus-sized one carries raw doc rows — the
+    # old plan's first exchange carried EVERY gram hash (~len(text) rows
+    # per doc); now only distinct fingerprints (density 2/(w+1)) shuffle.
+    # No Python boundary, no join, ONE corpus scan.
+    assert n_nodes(p, "Exchange") == 5, p
     assert "rangepartitioning" in p      # the presentation sort
     assert "Generate" in p               # explode stays JVM-side
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
