@@ -117,11 +117,25 @@ def dbscan(
         .select("id", "idb")
     )
     cand = truncate_lineage(cand)  # consumed 3x below
+    # Round-8 (guide §3.1): every join below pairs the 24M-row candidate
+    # list (or its 49M-row stacked form) against an aggregate-sized core
+    # table. Left to the planner those run as sort-merge joins — two full
+    # shuffles + sorts of the pair list per join. When the POINT count
+    # bounds the core side to a safe broadcast (2M rows = ~32 MB of
+    # (id, cell) longs), build the small side once and broadcast it so
+    # the pair list never crosses another exchange. Scale-adaptive: past
+    # the gate (real-cluster corpus) the shuffled plan stands.
+    n_points = base.count()  # metadata-cheap: base is checkpointed
+    bcast = F.broadcast if n_points <= 2_000_000 else (lambda df: df)
     # |N_eps(p)| >= min_pts, self included (the paper counts p itself):
     # stack both endpoints of each unordered pair, +1 for self
     ends = cand.select("id").unionAll(cand.select(F.col("idb").alias("id")))
-    deg = ends.groupBy("id").agg((F.count(F.lit(1)) + F.lit(1)).alias("n"))
-    singletons = p.select("id").join(ends.distinct(), "id", "left_anti")
+    deg = truncate_lineage(
+        ends.groupBy("id").agg((F.count(F.lit(1)) + F.lit(1)).alias("n"))
+    )  # one 49M-row aggregation, reused by core + singletons below
+    # deg's ids ARE the distinct pair endpoints — reuse them instead of
+    # a second 49M-row distinct over `ends`
+    singletons = p.select("id").join(bcast(deg.select("id")), "id", "left_anti")
     core = deg.filter(F.col("n") >= min_pts).select("id")
     if min_pts <= 1:
         core = core.unionAll(singletons)
@@ -146,13 +160,17 @@ def dbscan(
         + F.floor(F.col("y") / F.lit(s)).cast("long")
     )
     core_cells = truncate_lineage(
-        base.join(core, "id", "left_semi").select("id", cell_code.alias("cell"))
+        base.join(bcast(core), "id", "left_semi").select(
+            "id", cell_code.alias("cell")
+        )
     )
     cell_edges = (
-        cand.join(core_cells, "id")
+        cand.join(bcast(core_cells), "id")
         .join(
-            core_cells.select(
-                F.col("id").alias("idb"), F.col("cell").alias("cell_b")
+            bcast(
+                core_cells.select(
+                    F.col("id").alias("idb"), F.col("cell").alias("cell_b")
+                )
             ),
             "idb",
         )
@@ -164,25 +182,33 @@ def dbscan(
     comp = connected_components(
         cell_edges, vertices=cells, id_a="ca", id_b="cb", stats=cc_stats
     ).withColumnRenamed("id", "cell")
-    labeled_cores = core_cells.join(comp, "cell")
+    labeled_cores = core_cells.join(bcast(comp), "cell")
     comp_label = labeled_cores.groupBy("group_id").agg(F.min("id").alias("label"))
-    core_labels = labeled_cores.join(comp_label, "group_id").select("id", "label")
+    core_labels = truncate_lineage(
+        labeled_cores.join(bcast(comp_label), "group_id").select("id", "label")
+    )  # consumed by border + both assembly joins
     # border: non-core with >= 1 core neighbor, min core-neighbor label;
     # pairs are unordered, so stack both orientations before the lookup
     stacked = cand.unionAll(
         cand.select(F.col("idb").alias("id"), F.col("id").alias("idb"))
     )
     border = (
-        stacked.join(core, "id", "left_anti")
+        stacked.join(bcast(core_cells.select("id")), "id", "left_anti")
         .join(
-            core_labels.select(F.col("id").alias("idb"), "label"), "idb"
+            bcast(core_labels.select(F.col("id").alias("idb"), "label")), "idb"
         )
         .groupBy("id")
         .agg(F.min("label").alias("label"))
     )
     out = (
         p.select("id")
-        .join(core_labels.select("id", F.col("label").alias("core_label")), "id", "left")
+        .join(
+            bcast(
+                core_labels.select("id", F.col("label").alias("core_label"))
+            ),
+            "id",
+            "left",
+        )
         .join(border.select("id", F.col("label").alias("border_label")), "id", "left")
         .select(
             "id",
