@@ -201,7 +201,10 @@ def train_ivf_centroids(
     feats = corpus.select(_as_double(F.col(vec_col)).alias("v"))
     pdf = _bounded_uniform_sample(feats, sample_rows, seed, sample_fraction)
     x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-    return _lloyd_kmeans(x, n_lists, seed, iters=max_iter)
+    return _lloyd_kmeans_many(
+        [x], [n_lists], [seed], corpus.sparkSession.sparkContext,
+        iters=max_iter,
+    )[0]
 
 
 def ivf_lists_udf(centroids: np.ndarray, n_probe: int):
@@ -338,6 +341,57 @@ def _lloyd_kmeans(
     return best
 
 
+def _lloyd_kmeans_many(
+    mats: list,
+    ks: list,
+    seeds: list,
+    sc=None,
+    iters: int = 15,
+    n_init: int = 4,
+) -> list:
+    """Best-of-``n_init`` Lloyd for SEVERAL matrices, every
+    (matrix, restart) run shipped as one Spark task (round 8, guide
+    §1.2/§2.6): the runs are fully independent, and the 8 subspaces x 4
+    restarts of a PQ training previously executed sequentially on one
+    driver core — measured as the single largest slice of
+    llm_ann_ivfpq_topk. Bit-identical to per-matrix
+    :func:`_lloyd_kmeans`: each task runs the same numpy ops on the
+    same bits (same library on driver and local workers), and the
+    selection — lowest final inertia, earliest restart on ties — is
+    replayed on the collected (slot, restart, inertia) triples in
+    restart order. Falls back to the sequential loop without a
+    SparkContext or when there is only one run to do."""
+    tasks = [
+        (slot, r, seeds[slot] + 1000 * r, min(ks[slot], len(mats[slot])), iters)
+        for slot in range(len(mats))
+        for r in range(n_init)
+    ]
+    if sc is None or len(tasks) <= 1:
+        return [
+            _lloyd_kmeans(m, k, s, iters, n_init)
+            for m, k, s in zip(mats, ks, seeds)
+        ]
+    bc = sc.broadcast([np.ascontiguousarray(m) for m in mats])
+
+    def run(t):
+        slot, r, seed, k, it = t
+        x = bc.value[slot]
+        x2 = (x**2).sum(axis=1, keepdims=True)
+        centers, inertia = _lloyd_once(x, x2, k, seed, it)
+        return slot, r, centers, inertia
+
+    try:
+        res = sc.parallelize(tasks, len(tasks)).map(run).collect()
+    finally:
+        bc.unpersist()
+    best: dict = {}
+    for slot, r, centers, inertia in sorted(res, key=lambda t: (t[0], t[1])):
+        cur = best.get(slot)
+        if cur is None or inertia < cur[0]:
+            best[slot] = (inertia, centers)
+    return [best[slot][1] for slot in range(len(mats))]
+
+
 def train_pq_codebooks(
     corpus: DataFrame,
     coarse_centroids: np.ndarray,
@@ -377,12 +431,12 @@ def train_pq_codebooks(
     if dim % m_subvectors:
         raise ValueError(f"dim {dim} not divisible by m_subvectors {m_subvectors}")
     dsub = dim // m_subvectors
-    books = [
-        _lloyd_kmeans(
-            resid[:, m * dsub : (m + 1) * dsub], n_codes, seed + m
-        )
-        for m in range(m_subvectors)
-    ]
+    books = _lloyd_kmeans_many(
+        [resid[:, m * dsub : (m + 1) * dsub] for m in range(m_subvectors)],
+        [n_codes] * m_subvectors,
+        [seed + m for m in range(m_subvectors)],
+        corpus.sparkSession.sparkContext,
+    )
     n_k = min(n_codes, min(len(b) for b in books))
     return np.stack([b[:n_k] for b in books])
 
@@ -416,6 +470,50 @@ def pq_encode_udf(codebooks: np.ndarray, coarse_centroids: np.ndarray):
         return pd.Series([row.tolist() for row in codes])
 
     return encode
+
+
+def ivf_pq_assign_encode_udf(codebooks: np.ndarray, coarse_centroids: np.ndarray):
+    """Fused nearest-list assignment + PQ residual encoding: ONE Arrow
+    boundary over the corpus instead of the chained
+    ``ivf_lists_udf(cents, 1)`` -> ``pq_encode_udf`` pair (round 8,
+    guide §4.1 — each ArrowEvalPython ships the full vector column, and
+    the corpus is the big side, so the fusion halves the dominant
+    serialization cost and drops one normalization pass). Bit-identical
+    composition of the two originals: the assignment half replays
+    ``ivf_lists_udf``'s exact ops (unguarded centroid norm, argmax over
+    cosine sims), the encoding half ``pq_encode_udf``'s (guarded
+    centroid norm, residual, per-subspace argmin)."""
+    books = np.ascontiguousarray(codebooks)
+    m_sub, _, dsub = books.shape
+    cn_assign = coarse_centroids / np.linalg.norm(
+        coarse_centroids, axis=1, keepdims=True
+    )
+    cn_assign = np.ascontiguousarray(cn_assign.T)
+    cn_enc = coarse_centroids / np.maximum(
+        np.linalg.norm(coarse_centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    @pandas_udf("struct<list_id:int,codes:array<int>>")
+    def assign_encode(vecs: pd.Series) -> pd.DataFrame:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        np.maximum(norms, 1e-12, out=norms)
+        unit = mat / norms
+        lists = np.argmax(unit @ cn_assign, axis=1)
+        resid = unit - cn_enc[lists]
+        codes = np.empty((len(mat), m_sub), dtype=np.int32)
+        for m in range(m_sub):
+            sub = resid[:, m * dsub : (m + 1) * dsub]
+            d = -2.0 * (sub @ books[m].T) + (books[m] ** 2).sum(axis=1)
+            codes[:, m] = np.argmin(d, axis=1)
+        return pd.DataFrame(
+            {
+                "list_id": lists.astype(np.int32),
+                "codes": [row.tolist() for row in codes],
+            }
+        )
+
+    return assign_encode
 
 
 def ann_ivf_pq_topk(
@@ -465,16 +563,14 @@ def ann_ivf_pq_topk(
         codebooks = train_pq_codebooks(
             corpus, centroids, m_subvectors, n_codes, vec_col, seed=seed
         )
-    assign_one = ivf_lists_udf(centroids, 1)
-    encode = pq_encode_udf(codebooks, centroids)
+    enc = ivf_pq_assign_encode_udf(codebooks, centroids)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        assign_one(F.col(vec_col))[0].alias("list_id"),
-        F.col(vec_col).alias("c_vec"),
+        enc(F.col(vec_col)).alias("_e"),
     ).select(
         "neighbor_id",
-        "list_id",
-        encode(F.col("c_vec"), F.col("list_id")).alias("codes"),
+        F.col("_e.list_id").alias("list_id"),
+        F.col("_e.codes").alias("codes"),
     )
     q = pq_probe_frame(queries, centroids, codebooks, n_probe, id_col, vec_col)
     shortlist = adc_shortlist(c, q, codebooks, k * refine)

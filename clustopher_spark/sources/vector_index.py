@@ -42,8 +42,7 @@ from pyspark.sql import functions as F
 from clustopher_spark.functions.similarity import (
     adc_shortlist,
     exact_rerank,
-    ivf_lists_udf,
-    pq_encode_udf,
+    ivf_pq_assign_encode_udf,
     pq_probe_frame,
     train_ivf_centroids,
     train_pq_codebooks,
@@ -113,16 +112,19 @@ class IVFPQIndex:
         return self._data_path_for(self._meta())
 
     def _coded(self, df: DataFrame, cents, books, id_col, vec_col) -> DataFrame:
-        assign_one = ivf_lists_udf(cents, 1)
-        encode = pq_encode_udf(books, cents)
+        # fused assignment+encoding: ONE Arrow boundary over the corpus
+        # instead of the chained assign -> encode pair (round 8, guide
+        # §4.1); bit-identical by construction and by the index-vs-
+        # one-shot answer-equality tests
+        enc = ivf_pq_assign_encode_udf(books, cents)
         return df.select(
             F.col(id_col).alias("neighbor_id"),
-            assign_one(F.col(vec_col))[0].alias("list_id"),
+            enc(F.col(vec_col)).alias("_e"),
             F.col(vec_col).alias("vec"),
         ).select(
             "neighbor_id",
-            "list_id",
-            encode(F.col("vec"), F.col("list_id")).alias("codes"),
+            F.col("_e.list_id").alias("list_id"),
+            F.col("_e.codes").alias("codes"),
             "vec",
         )
 

@@ -268,6 +268,70 @@ def test_ann_ivfpq_deterministic(spark):
     assert r1 == r2
 
 
+def test_lloyd_distributed_bit_identical(spark):
+    """Round-8 optimization equivalence pin: the Spark-distributed
+    (matrix, restart) k-means runs must reproduce the sequential
+    _lloyd_kmeans outputs BIT-exactly — coarse centroids and every PQ
+    codebook — so quantizers (and therefore every downstream ANN
+    answer) are unchanged by the parallelization."""
+    import numpy as np
+
+    from clustopher_spark.functions.similarity import (
+        _lloyd_kmeans,
+        _lloyd_kmeans_many,
+    )
+
+    rng = np.random.default_rng(11)
+    mats = [rng.normal(size=(300, 6)) for _ in range(5)]
+    ks = [16, 8, 4, 16, 32]
+    seeds = [42, 43, 44, 45, 46]
+    seq = [_lloyd_kmeans(m, k, s) for m, k, s in zip(mats, ks, seeds)]
+    dist = _lloyd_kmeans_many(mats, ks, seeds, spark.sparkContext)
+    for a, b in zip(seq, dist):
+        assert a.shape == b.shape
+        assert np.array_equal(a, b)  # bitwise, not allclose
+
+
+def test_fused_assign_encode_matches_chained(spark):
+    """Round-8 optimization equivalence pin: the fused one-boundary
+    assign+encode UDF must emit exactly the (list_id, codes) pairs the
+    chained ivf_lists_udf -> pq_encode_udf pair produced."""
+    from clustopher_spark.functions.similarity import (
+        ivf_lists_udf,
+        ivf_pq_assign_encode_udf,
+        pq_encode_udf,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    e = _embeddings(spark)
+    cents = train_ivf_centroids(e, 8, "embedding")
+    books = train_pq_codebooks(e, cents, m_subvectors=4, n_codes=32,
+                               vec_col="embedding")
+    assign = ivf_lists_udf(cents, 1)
+    encode = pq_encode_udf(books, cents)
+    chained = {
+        r.vec_id: (r.list_id, tuple(r.codes))
+        for r in e.select(
+            "vec_id",
+            assign(F.col("embedding"))[0].alias("list_id"),
+            F.col("embedding"),
+        )
+        .select(
+            "vec_id",
+            "list_id",
+            encode(F.col("embedding"), F.col("list_id")).alias("codes"),
+        )
+        .collect()
+    }
+    enc = ivf_pq_assign_encode_udf(books, cents)
+    fused = {
+        r.vec_id: (r.e.list_id, tuple(r.e.codes))
+        for r in e.select("vec_id", enc(F.col("embedding")).alias("e")).collect()
+    }
+    assert fused == chained
+
+
 def test_connected_components_chain(spark):
     """a-b, b-c, d-e: two components with min-id canonicals; isolated f."""
     from clustopher_spark.functions.dedup import connected_components
