@@ -601,6 +601,8 @@ def fused_update_pass(
     rebuild_fraction: float = 0.15,
     stats: dict | None = None,
     coarse_tail: bool = True,
+    n_new: int | None = None,
+    n_old: int | None = None,
 ) -> DataFrame:
     """Incremental pyramid maintenance in ONE shuffle + ONE Python boundary
     (the fused-build treatment applied to `update_zoom_levels`: measured
@@ -635,6 +637,13 @@ def fused_update_pass(
     the call fills with ``path`` ("incremental" | "rebuild") and
     ``est_fed_fraction`` for observability.
 
+    ``n_new`` / ``n_old``: known row counts of ``points_new`` /
+    ``points_old`` — they feed only partition sizing and the dispatch
+    estimate's denominator, so a caller that already knows them (the
+    pyramid store tracks its logs' footer counts) saves the two count
+    jobs here; an UPPER bound on ``n_old`` is acceptable for the same
+    reason (documented caller contract).
+
     ``coarse_tail=False`` skips the coarse-tail rebuild and returns only
     the chained levels (zoom >= the fused z_cut). The tail rebuild is the
     one GLOBAL dependency of the incremental pass — it re-derives every
@@ -652,8 +661,8 @@ def fused_update_pass(
         points_new = points_new.withColumn("num_points", F.lit(1).cast("long"))
     zooms = list(range(opts.max_zoom, opts.min_zoom - 1, -1))
     default_par = spark.sparkContext.defaultParallelism
-    n_batch = points_new.count()
-    n_total = points_old.count() + n_batch
+    n_batch = n_new if n_new is not None else points_new.count()
+    n_total = (n_old if n_old is not None else points_old.count()) + n_batch
     parts = parallelism or min(
         max(default_par, -(-n_total // 150_000)), 4 * default_par
     )

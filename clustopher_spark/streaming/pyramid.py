@@ -124,6 +124,14 @@ class PyramidStore:
         # path taken ("fast" | "full" | "rebuild-full") and the fused
         # pass's own dispatch stats
         self.last_apply_stats: dict = {}
+        # process-lifetime caches, invalidation-free by construction:
+        # point-log schemas are fixed at bootstrap (metric_cols is a
+        # layout property), and a log dir's parquet footers are immutable
+        # once written — caching them skips the per-apply mergeSchema
+        # footer sweep (a Spark job past ~32 files) and the per-apply
+        # corpus count job (see _log_row_count)
+        self._log_schema_cache: dict = {}
+        self._log_rows_cache: dict = {}
         os.makedirs(root, exist_ok=True)
 
     def _publish_props(self, meta: dict) -> tuple[str, int]:
@@ -320,6 +328,68 @@ class PyramidStore:
     def _point_cols(self) -> list[str]:
         return ["id", "lng", "lat", *self.metric_cols]
 
+    def _read_log(self, paths: list[str], kind: str, prov_col: str):
+        """Read batch-log dirs under a process-cached merged schema.
+
+        The first read per (process, kind) infers with mergeSchema —
+        legacy logs may predate the provenance column, and the sweep
+        reads every footer (a Spark job past ~32 files). The cached
+        schema always carries ``prov_col`` (long): files lacking it read
+        NULL, exactly the semantics mergeSchema gave, so later applies
+        skip the footer job entirely. Log schemas are fixed at bootstrap
+        (metric_cols is a layout property), so the cache never goes
+        stale."""
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        sch = self._log_schema_cache.get(kind)
+        if sch is None:
+            inferred = self.spark.read.option("mergeSchema", "true").parquet(
+                *paths
+            ).schema
+            fields = list(inferred.fields)
+            if prov_col not in inferred.names:
+                fields.append(StructField(prov_col, LongType(), True))
+            sch = StructType(fields)
+            self._log_schema_cache[kind] = sch
+        return self.spark.read.schema(sch).parquet(*paths)
+
+    def _dir_rows(self, d: str) -> int:
+        """Row count of an immutable, committed log dir from its parquet
+        footers — driver-side metadata only, cached for the process."""
+        if d not in self._log_rows_cache:
+            import pyarrow.parquet as pq
+
+            self._log_rows_cache[d] = sum(
+                pq.read_metadata(os.path.join(d, f)).num_rows
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+        return self._log_rows_cache[d]
+
+    def _log_row_count(self, last_batch: int) -> int | None:
+        """Exact row count of the accumulated corpus (bootstrap + adds
+        logs up to ``last_batch``) from footer metadata, or None when
+        deletion logs are committed — deletions apply through an
+        anti-join, so the footer sum would only be an upper bound; the
+        caller falls back to counting. Feeds fused_update_pass's n_old
+        hint (partition sizing + dispatch-estimate denominator), saving
+        the per-apply corpus count job."""
+        dels_root = os.path.join(self.root, "batches", "dels")
+        if os.path.isdir(dels_root):
+            for d in os.listdir(dels_root):
+                if d.startswith("b") and int(d[1:]) <= last_batch:
+                    return None
+        total = 0
+        boot = os.path.join(self.root, "batches", "bootstrap")
+        if os.path.isdir(boot):
+            total += self._dir_rows(boot)
+        adds_root = os.path.join(self.root, "batches", "adds")
+        if os.path.isdir(adds_root):
+            for d in sorted(os.listdir(adds_root)):
+                if d.startswith("b") and int(d[1:]) <= last_batch:
+                    total += self._dir_rows(os.path.join(adds_root, d))
+        return total
+
     def current_points(self) -> DataFrame:
         """The accumulated corpus: bootstrap + committed adds, minus
         committed deletions — scoped by BATCH ORDER. A deletion in batch M
@@ -352,12 +422,10 @@ class PyramidStore:
                 if d.startswith("b") and int(d[1:]) <= last
             ]
         if apaths:
-            # mergeSchema: logs written before the provenance column
-            # existed read as null _add_batch; coalesce to -1 (treated as
-            # oldest, the pre-provenance semantics for adds)
-            adds = self.spark.read.option("mergeSchema", "true").parquet(*apaths)
-            if "_add_batch" not in adds.columns:
-                adds = adds.withColumn("_add_batch", F.lit(None).cast("long"))
+            # cached-schema read (see _read_log): logs written before the
+            # provenance column existed read as null _add_batch; coalesce
+            # to -1 (the pre-provenance semantics for adds)
+            adds = self._read_log(apaths, "adds", "_add_batch")
             adds = adds.withColumn(
                 "_add_batch", F.coalesce("_add_batch", F.lit(-1).cast("long"))
             )
@@ -372,9 +440,7 @@ class PyramidStore:
                 if d.startswith("b") and int(d[1:]) <= last
             ]
             if dpaths:
-                dels = self.spark.read.option("mergeSchema", "true").parquet(*dpaths)
-                if "_del_batch" not in dels.columns:
-                    dels = dels.withColumn("_del_batch", F.lit(None).cast("long"))
+                dels = self._read_log(dpaths, "dels", "_del_batch")
                 dels = dels.select(F.col("id").alias("_del_id"), "_del_batch")
                 # null _del_batch = a pre-provenance deletion log: apply it
                 # as the old reader did (global blacklist), so migrated
@@ -444,8 +510,6 @@ class PyramidStore:
             raise ValueError("store is empty — bootstrap() it first")
         if batch_id <= int(meta.get("last_batch", -1)):
             return False  # committed replay
-        if not batch_df.take(1):
-            return False
         if "op" in batch_df.columns:
             adds = batch_df.filter(F.col("op") == "add").select(*self._point_cols())
             dels = batch_df.filter(F.col("op") == "delete").select(
@@ -457,25 +521,51 @@ class PyramidStore:
         # idempotent per-batch logs (overwrite: a replayed crash re-writes
         # the same directory rather than appending duplicates). Each log
         # carries its batch id so current_points can scope deletions by
-        # order (see its docstring).
+        # order (see its docstring). ONE file per log: a maintenance
+        # batch is small by contract (bulk loads belong in bootstrap /
+        # compact), so the single-task write is the right layout — the
+        # old per-input-partition layout wrote ~32 tiny files per 10k
+        # batch, and every later corpus scan paid their open cost. The
+        # write job doubles as the emptiness probe (footer row counts,
+        # driver-side) — the old take(1) pre-probe job is gone; an empty
+        # batch leaves an empty UNCOMMITTED log dir behind, invisible to
+        # readers (> last_batch) and overwritten by any later real
+        # commit of the same id.
+        import pyarrow.parquet as pq
+
+        def _footer_rows(d: str) -> int:
+            return sum(
+                pq.read_metadata(os.path.join(d, f)).num_rows
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+
         adds_path = os.path.join(self.root, "batches", "adds", f"b{batch_id}")
-        adds.withColumn("_add_batch", F.lit(batch_id).cast("long")).write.mode(
-            "overwrite"
-        ).parquet(adds_path)
+        adds.coalesce(1).withColumn(
+            "_add_batch", F.lit(batch_id).cast("long")
+        ).write.mode("overwrite").parquet(adds_path)
+        n_new = _footer_rows(adds_path)
         adds = self.spark.read.parquet(adds_path).select(*self._point_cols())
         if dels is not None:
             dels_path = os.path.join(self.root, "batches", "dels", f"b{batch_id}")
-            dels.withColumn(
+            dels.coalesce(1).withColumn(
                 "_del_batch", F.lit(batch_id).cast("long")
             ).write.mode("overwrite").parquet(dels_path)
-            dels = self.spark.read.parquet(dels_path).select("id", "lng", "lat")
-            if not dels.take(1):
+            if _footer_rows(dels_path) == 0:
                 dels = None
+            else:
+                dels = self.spark.read.parquet(dels_path).select(
+                    "id", "lng", "lat"
+                )
+        if n_new == 0 and dels is None:
+            return False
         version = int(meta["latest"]) + 1
         publish, z_pb = self._publish_props(meta)
         stats: dict = {}
         if publish == "manifest":
-            manifest = self._apply_manifest(adds, dels, z_pb, meta, version, stats)
+            manifest = self._apply_manifest(
+                adds, dels, z_pb, meta, version, stats, n_new=n_new
+            )
             self._commit_manifest(version, manifest)
         else:
             upd = update_zoom_levels(
@@ -496,7 +586,7 @@ class PyramidStore:
 
     def _apply_manifest(
         self, adds: DataFrame, dels: DataFrame | None, z_pb: int,
-        meta: dict, version: int, stats: dict,
+        meta: dict, version: int, stats: dict, n_new: int | None = None,
     ) -> dict:
         """Build + publish one manifest version. Fast path: an append/
         delete batch costs O(dirty blocks), never O(corpus) —
@@ -586,6 +676,11 @@ class PyramidStore:
             lvl_dirty, self.current_points(), adds, self.metric_cols,
             self.opts, parallelism=default_par, points_deleted=dels,
             coarse_tail=False, stats=stats,
+            # count hints from immutable log footers (None past a gate
+            # falls back to counting inside the pass) — saves the two
+            # per-apply count jobs
+            n_new=n_new,
+            n_old=self._log_row_count(int(meta.get("last_batch", -1))),
         )
         if stats.get("path") == "rebuild":
             # cost dispatch chose a full rebuild (returns the complete
@@ -599,9 +694,45 @@ class PyramidStore:
         ]
         upd = upd_deep
         if zooms_rest:
-            import pandas as pd
-
-            zcut_new = upd_deep.filter(F.col("zoom") == z_pb).toPandas()
+            # ONE collect for the tail's three driver-sized inputs (the
+            # fused pass's z_pb slice, the neighbor blocks' z_pb rows,
+            # the old coarse block) — they were three separate jobs, and
+            # each Spark action on this rig costs ~0.1-0.2 s of fixed
+            # scheduling. A _src tag splits them back apart; branch
+            # order (zcut, nb, coarse) preserves the exact row order the
+            # sequential collects produced.
+            sel_cols = [f.name for f in upd_deep.schema.fields]
+            branches = [
+                upd_deep.filter(F.col("zoom") == z_pb)
+                .select(*sel_cols).withColumn("_src", F.lit(0))
+            ]
+            if nb_rels:
+                branches.append(
+                    self.spark.read.parquet(
+                        *[os.path.join(self.root, rel) for rel in nb_rels]
+                    )
+                    .filter(F.col("zoom") == z_pb)
+                    .select(*sel_cols).withColumn("_src", F.lit(0))
+                )
+            coarse_rel = old_manifest.get("coarse")
+            if coarse_rel is not None:
+                branches.append(
+                    self.spark.read.parquet(
+                        os.path.join(self.root, coarse_rel)
+                    ).select(*sel_cols).withColumn("_src", F.lit(1))
+                )
+            combined = branches[0]
+            for b in branches[1:]:
+                combined = combined.unionByName(b)
+            combined_pdf = combined.toPandas()
+            zcut_new = combined_pdf[combined_pdf["_src"] == 0].drop(
+                columns=["_src"]
+            ).reset_index(drop=True)
+            coarse_old = combined_pdf[combined_pdf["_src"] == 1].drop(
+                columns=["_src"]
+            ).reset_index(drop=True)
+            if coarse_rel is None:
+                coarse_old = zcut_new.iloc[0:0]
             # First-tail-level coverage: the recluster inputs at z_pb - 1
             # are the z_pb rows of every dirty cell's 2x2 children. In
             # JVM block coordinates those reach ±1 cell in x (x codes are
@@ -615,22 +746,6 @@ class PyramidStore:
             # them from the previous version's files and union them into
             # the tail's input. (nb_rels precomputed above, inside the
             # fast-path block budget.)
-            if nb_rels:
-                nb_pdf = (
-                    self.spark.read.parquet(
-                        *[os.path.join(self.root, rel) for rel in nb_rels]
-                    )
-                    .filter(F.col("zoom") == z_pb)
-                    .toPandas()
-                )
-                zcut_new = pd.concat([zcut_new, nb_pdf], ignore_index=True)
-            coarse_rel = old_manifest.get("coarse")
-            if coarse_rel is not None:
-                coarse_old = self.spark.read.parquet(
-                    os.path.join(self.root, coarse_rel)
-                ).toPandas()
-            else:
-                coarse_old = zcut_new.iloc[0:0]
             tail_pdf = incremental_tail_local(
                 coarse_old,
                 zcut_new.drop(columns=["zoom"]),
