@@ -57,6 +57,24 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_workers_can_import(spark)
+    # Memoize the base relation per (sf_dir, table) for the session:
+    # every spark.read.parquet pays ~0.3 s of source resolution + file
+    # listing + schema inference on this rig, and every query rep
+    # constructs its frame fresh — so an entry touching three tables paid
+    # ~1 s of pure driver overhead per execution. The DataFrame is
+    # immutable and this caches only the ANALYZED BASE RELATION (file
+    # list + schema — what a catalog/metastore registration would hold);
+    # every execution still scans the parquet. The driver's input dirs
+    # are immutable for a session's lifetime, so no invalidation is
+    # needed.
+    cache = getattr(spark, "_clustopher_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._clustopher_table_cache = cache
+    key = (os.path.abspath(sf_dir), name)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
     if name == "events":
         # the driver may hand us a vanilla session; the events table is
         # TIMESTAMP(NANOS) parquet which Spark only reads via this conf
@@ -77,6 +95,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # event-time ops (watermarks, window()) require LTZ. Session tz is
             # pinned to UTC so the cast is value-preserving and deterministic.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    cache[key] = df
     return df
 
 

@@ -2286,28 +2286,28 @@ def llm_random_projection(spark, sf_dir):
     these."""
     signs = _rademacher_signs(64, 16)
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    comps = [
-        F.round(
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.array(*[F.lit(s) for s in signs[j]]),
-                    lambda x, s: x * s,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            4,
-        ).alias(f"c{j}")
-        for j in range(16)
-    ]
-    wide = e.select("vec_id", *comps)
-    stack_expr = "stack(16, " + ", ".join(
-        f"{j}, c{j}" for j in range(16)
-    ) + ") as (dim, comp)"
+    # The 16x64 sign matrix enters the plan as ONE nested-array SQL
+    # literal inside ONE selectExpr. The previous construction built the
+    # same tree through ~1,100 Column-API calls (16 per-component
+    # aggregate/zip_with chains over 64 F.lit each), and each call is a
+    # py4j round trip — measured ~1.8 s of pure driver time per
+    # execution, 3x the query's actual run time. The per-component
+    # arithmetic is unchanged (same zip_with product, same left-fold sum
+    # over a double accumulator, same round), so values are bit-equal;
+    # posexplode's 0-based pos IS the dim the stack() emitted.
+    signs_sql = "array(" + ",".join(
+        "array(" + ",".join(f"{s:.1f}D" for s in row) + ")" for row in signs
+    ) + ")"
     return (
-        wide.select("vec_id", F.expr(stack_expr))
+        e.selectExpr(
+            "vec_id",
+            f"""posexplode(transform(sequence(0, 15), j ->
+                round(aggregate(zip_with(transform(embedding, e -> cast(e as double)),
+                                         {signs_sql}[j],
+                                         (v, s) -> v * s),
+                                cast(0.0 as double), (acc, v) -> acc + v), 4)
+            )) as (dim, comp)""",
+        )
         .select("vec_id", "dim", "comp")
         .orderBy("vec_id", "dim")
     )
