@@ -189,19 +189,23 @@ class IVFPQIndex:
         cents, books, meta = self._quantizers()
         if batch_id <= int(meta.get("last_batch", -1)):
             return False
-        if not batch_df.take(1):
-            return False
         coded = self._coded(
             batch_df, cents, books, meta["id_col"], meta["vec_col"]
         )
+        bdir = os.path.join(self._data_path_for(meta), f"batch=b{batch_id}")
         (
             coded.repartition("list_id")
             .write.mode("overwrite")
             .partitionBy("list_id")
-            .parquet(
-                os.path.join(self._data_path_for(meta), f"batch=b{batch_id}")
-            )
+            .parquet(bdir)
         )
+        # the write's own partition dirs double as the emptiness probe —
+        # the old take(1) pre-job is gone; an empty batch leaves an
+        # empty UNCOMMITTED dir (no list_id= partitions), invisible to
+        # _table()'s committed-batch filter and overwritten by any later
+        # real commit of the same id
+        if not any(d.startswith("list_id=") for d in os.listdir(bdir)):
+            return False
         meta["last_batch"] = batch_id
         tmp = self._meta_path + ".tmp"
         with open(tmp, "w") as f:
@@ -420,12 +424,17 @@ class IVFPQIndex:
         scan partition-prunes."""
         cents, books, meta = self._quantizers()
         id_col, vec_col = meta["id_col"], meta["vec_col"]
-        probes = pq_probe_frame(
-            queries, cents, books, n_probe, id_col, vec_col
-        ).localCheckpoint(eager=True)
-        probed_ids = [
-            r.list_id for r in probes.select("list_id").distinct().collect()
-        ]
+        # queries are bounded by contract, so the probe frame (one row
+        # per (query, probed list), carrying the ADC table) is
+        # driver-sized: collect it ONCE and re-ship it as a local
+        # relation — the previous checkpoint + distinct-collect pair
+        # cost two scheduling rounds for the same information, and the
+        # local relation broadcasts into the shortlist join just the
+        # same
+        pf = pq_probe_frame(queries, cents, books, n_probe, id_col, vec_col)
+        probe_rows = pf.collect()
+        probes = self.spark.createDataFrame(probe_rows, schema=pf.schema)
+        probed_ids = sorted({r["list_id"] for r in probe_rows})
         coded = self._table(meta).filter(F.col("list_id").isin(probed_ids))
         shortlist = adc_shortlist(coded, probes, books, k * refine)
         qvec = queries.select(

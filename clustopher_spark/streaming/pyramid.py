@@ -212,7 +212,14 @@ class PyramidStore:
             ]
             if not paths:
                 return self._empty_levels_df()
-            return self.spark.read.parquet(*paths)
+            # a 1M-point pyramid's manifest names ~440 block dirs — past
+            # Spark's 32-path threshold that construction launches a
+            # parallel-listing JOB (~1.2 s); the manifest already names
+            # every path, so list driver-side (same gate as the merge
+            # table's manifest reads)
+            from clustopher_spark.sources.merge_table import read_parquet_many
+
+            return read_parquet_many(self.spark, paths)
         return self.spark.read.parquet(self._levels_path(v))
 
     def _pk_cols(self, z_pb: int):
