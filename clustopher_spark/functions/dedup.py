@@ -161,8 +161,15 @@ def minhash_signatures(
     base = portable_hash60(F.col("sh")) if portable else F.xxhash64("sh")
     h = F.pmod(base, F.lit(MERSENNE_PRIME))
     hashed = sh.select("id", h.alias("h"))
+    # one F.expr per permutation instead of five Column-API calls each:
+    # the Column chain cost ~200 py4j round trips per construction
+    # (measured as real per-rep wall time — queries build fresh frames
+    # every execution); the SQL text parses to the IDENTICAL
+    # Multiply/Add/Pmod AST, so values are unchanged
     mins = [
-        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE_PRIME))).alias(f"m{i}")
+        F.expr(
+            f"min(pmod({a}L * h + {b}L, {MERSENNE_PRIME}L))"
+        ).alias(f"m{i}")
         for i, (a, b) in enumerate(params)
     ]
     agg = hashed.groupBy("id").agg(*mins)
