@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 import re
 
 from pyspark.sql import functions as F
@@ -126,16 +127,25 @@ def test_histogram_bounds_are_broadcast(spark):
 
 
 def test_dbscan_no_python_boundary(spark):
-    """DBSCAN is pure relational ops by design — a Python boundary creeping
-    in would put the candidate-pair hot path on the slow lane."""
+    """The DataFrame dbscan RETURNS must stay free of per-row Python and
+    quadratic joins in BOTH paths. The round-8 native kernel path runs
+    its two pair passes eagerly at construction (like the plan's own
+    localCheckpoint), so the returned assembly plan is pure relational
+    either way; the SQL path is additionally pinned here with the kernel
+    forced off, since it is the at-scale plan past the driver gate."""
     from clustopher_spark.operators.dbscan import dbscan
     from clustopher_spark.queries.spatial import dbscan_points_df
 
-    p = fmt(dbscan(dbscan_points_df(spark, SF_DIR), eps=300, min_pts=4,
-                   x_col="ix", y_col="iy"))
-    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
-    assert "MapInPandas" not in p and "FlatMapGroupsInPandas" not in p
-    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    for kern in ("1", "0"):
+        os.environ["CLUSTOPHER_DBSCAN_KERNEL"] = kern
+        try:
+            p = fmt(dbscan(dbscan_points_df(spark, SF_DIR), eps=300, min_pts=4,
+                           x_col="ix", y_col="iy"))
+        finally:
+            os.environ.pop("CLUSTOPHER_DBSCAN_KERNEL", None)
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+        assert "MapInPandas" not in p and "FlatMapGroupsInPandas" not in p
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
 def test_winnowing_substring_dedup_shuffle_shape(spark):
