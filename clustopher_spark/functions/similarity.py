@@ -187,6 +187,7 @@ def train_ivf_centroids(
     seed: int = 42,
     max_iter: int = 10,
     sample_rows: int = 100_000,
+    sample_pdf: pd.DataFrame | None = None,
 ) -> np.ndarray:
     """Train the IVF coarse quantizer on a BOUNDED driver-resident sample
     (the FAISS stance, and the same design as the PQ codebooks): quantizer
@@ -197,9 +198,18 @@ def train_ivf_centroids(
     per-iteration job overhead dominates at every scale (measured 7.5 s
     vs ~0.3 s on the bench corpus for identical recall). Returns the
     (n_lists, dim) centroid matrix — small enough to broadcast regardless
-    of corpus size."""
-    feats = corpus.select(_as_double(F.col(vec_col)).alias("v"))
-    pdf = _bounded_uniform_sample(feats, sample_rows, seed, sample_fraction)
+    of corpus size.
+
+    ``sample_pdf``: a pre-drawn :func:`_bounded_uniform_sample` frame
+    (column ``v``) to train on instead of drawing one — the draw is
+    bit-deterministic in (projection, rows, seed), so an IVF-PQ caller
+    training BOTH quantizers shares one collect (round 8, guide §1.2:
+    two identical sample jobs per construction were pure overhead)."""
+    if sample_pdf is not None:
+        pdf = sample_pdf
+    else:
+        feats = corpus.select(_as_double(F.col(vec_col)).alias("v"))
+        pdf = _bounded_uniform_sample(feats, sample_rows, seed, sample_fraction)
     x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
     return _lloyd_kmeans_many(
         [x], [n_lists], [seed], corpus.sparkSession.sparkContext,
@@ -400,6 +410,7 @@ def train_pq_codebooks(
     vec_col: str = "embedding",
     sample_rows: int = 100_000,
     seed: int = 42,
+    sample_pdf: pd.DataFrame | None = None,
 ) -> np.ndarray:
     """Train product-quantization codebooks on IVF residuals.
 
@@ -412,12 +423,15 @@ def train_pq_codebooks(
     block independently. Returns (M, n_codes, dsub) float64 — e.g.
     8 x 256 x 8 = ~128 KB, broadcastable anywhere.
     """
-    pdf = _bounded_uniform_sample(
-        corpus.select(_as_double(F.col(vec_col)).alias("v")),
-        sample_rows,
-        seed,
-        None,
-    )
+    if sample_pdf is not None:
+        pdf = sample_pdf  # shared draw — see train_ivf_centroids
+    else:
+        pdf = _bounded_uniform_sample(
+            corpus.select(_as_double(F.col(vec_col)).alias("v")),
+            sample_rows,
+            seed,
+            None,
+        )
     mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     np.maximum(norms, 1e-12, out=norms)
@@ -555,13 +569,23 @@ def ann_ivf_pq_topk(
     matches the other ANN entries: (query_id, neighbor_id, cos_sim,
     rank), deterministic tie-break.
     """
+    shared = None
+    if centroids is None and codebooks is None and sample_fraction is None:
+        # both trainings would draw the identical bounded sample (same
+        # projection, rows, seed) — collect it once (round 8, guide §1.2)
+        shared = _bounded_uniform_sample(
+            corpus.select(_as_double(F.col(vec_col)).alias("v")),
+            100_000, seed, None,
+        )
     if centroids is None:
         centroids = train_ivf_centroids(
-            corpus, n_lists, vec_col, sample_fraction, seed
+            corpus, n_lists, vec_col, sample_fraction, seed,
+            sample_pdf=shared,
         )
     if codebooks is None:
         codebooks = train_pq_codebooks(
-            corpus, centroids, m_subvectors, n_codes, vec_col, seed=seed
+            corpus, centroids, m_subvectors, n_codes, vec_col, seed=seed,
+            sample_pdf=shared,
         )
     enc = ivf_pq_assign_encode_udf(codebooks, centroids)
     c = corpus.select(

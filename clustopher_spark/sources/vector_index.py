@@ -145,12 +145,26 @@ class IVFPQIndex:
         if self._meta() is not None:
             raise ValueError("index already built — use append() for new rows")
         p = self._defaults
+        shared = None
+        if sample_fraction is None:
+            # one bounded sample collect feeds BOTH quantizer trainings
+            # (bit-identical draw either way — see train_ivf_centroids)
+            from clustopher_spark.functions.similarity import (
+                _as_double,
+                _bounded_uniform_sample,
+            )
+
+            shared = _bounded_uniform_sample(
+                corpus.select(_as_double(F.col(vec_col)).alias("v")),
+                100_000, p["seed"], None,
+            )
         cents = train_ivf_centroids(
-            corpus, p["n_lists"], vec_col, sample_fraction, p["seed"]
+            corpus, p["n_lists"], vec_col, sample_fraction, p["seed"],
+            sample_pdf=shared,
         )
         books = train_pq_codebooks(
             corpus, cents, p["m_subvectors"], p["n_codes"], vec_col,
-            seed=p["seed"],
+            seed=p["seed"], sample_pdf=shared,
         )
         coded = self._coded(corpus, cents, books, id_col, vec_col)
         # one file per list: the whole list rides one task at query time.

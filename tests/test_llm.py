@@ -1001,3 +1001,34 @@ def test_quantizer_sample_unbiased_on_sorted_corpus(spark):
     # determinism: same seed, same corpus -> identical centroids
     again = train_ivf_centroids(df, k, "embedding", sample_rows=2_000, seed=7)
     assert np.allclose(cents, again)
+
+
+def test_shared_sample_training_bit_identical(spark):
+    """Round-8 resumed-session equivalence pin: training both IVF-PQ
+    quantizers from ONE shared bounded-sample collect (the construction
+    fusion in ann_ivf_pq_topk / IVFPQIndex.build) must reproduce the
+    own-draw trainings bit-exactly — the draw is deterministic in
+    (projection, rows, seed), so sharing it can only remove a job."""
+    import numpy as np
+
+    from clustopher_spark.functions.similarity import (
+        _as_double,
+        _bounded_uniform_sample,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    e = _embeddings(spark)
+    shared = _bounded_uniform_sample(
+        e.select(_as_double(F.col("embedding")).alias("v")), 100_000, 42, None
+    )
+    c_own = train_ivf_centroids(e, 8, "embedding", None, 42)
+    c_shared = train_ivf_centroids(
+        e, 8, "embedding", None, 42, sample_pdf=shared
+    )
+    assert np.array_equal(c_own, c_shared)
+    b_own = train_pq_codebooks(e, c_own, 4, 32, "embedding", seed=42)
+    b_shared = train_pq_codebooks(
+        e, c_own, 4, 32, "embedding", seed=42, sample_pdf=shared
+    )
+    assert np.array_equal(b_own, b_shared)
