@@ -22,6 +22,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.window import Window
 
+# Default bounded-sample size shared by BOTH quantizer trainings and every
+# shared-draw call site (ann_ivf_pq_topk, IVFPQIndex.build): the shared
+# collect is bit-identical to each trainer's own draw only while they all
+# use the same row bound, so the bound lives in ONE place.
+DEFAULT_SAMPLE_ROWS = 100_000
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -186,7 +192,7 @@ def train_ivf_centroids(
     sample_fraction: float | None = None,
     seed: int = 42,
     max_iter: int = 10,
-    sample_rows: int = 100_000,
+    sample_rows: int = DEFAULT_SAMPLE_ROWS,
     sample_pdf: pd.DataFrame | None = None,
 ) -> np.ndarray:
     """Train the IVF coarse quantizer on a BOUNDED driver-resident sample
@@ -408,7 +414,7 @@ def train_pq_codebooks(
     m_subvectors: int = 8,
     n_codes: int = 256,
     vec_col: str = "embedding",
-    sample_rows: int = 100_000,
+    sample_rows: int = DEFAULT_SAMPLE_ROWS,
     seed: int = 42,
     sample_pdf: pd.DataFrame | None = None,
 ) -> np.ndarray:
@@ -575,7 +581,7 @@ def ann_ivf_pq_topk(
         # projection, rows, seed) — collect it once (round 8, guide §1.2)
         shared = _bounded_uniform_sample(
             corpus.select(_as_double(F.col(vec_col)).alias("v")),
-            100_000, seed, None,
+            DEFAULT_SAMPLE_ROWS, seed, None,
         )
     if centroids is None:
         centroids = train_ivf_centroids(

@@ -83,18 +83,28 @@ def dbscan(
         F.col(x_col).cast("double").alias("x"),
         F.col(y_col).cast("double").alias("y"),
     )
+    n_points = None
     if (
         os.environ.get("CLUSTOPHER_DBSCAN_KERNEL", "1") != "0"
         and int(min_pts) <= 32
     ):
         from clustopher_spark.operators import native_dbscan
 
+        # Kernel availability is probed on the DRIVER only. In local mode
+        # (driver == executors) that is exact; on a real cluster the
+        # deployment must guarantee executors can build/load the .so too
+        # (gcc + writable tmp, the same contract as the greedy kernel) —
+        # or set CLUSTOPHER_DBSCAN_KERNEL=0 / CLUSTOPHER_NATIVE=0 to pin
+        # the relational plan. The 2M-point gate makes this moot at scale:
+        # any corpus past it takes the SQL path regardless.
         if native_dbscan.load() is not None:
             # one narrow count against the (typically checkpointed)
             # input decides the path; the kernel path re-counts nothing
-            if p.count() <= _DRIVER_GATE_POINTS:
+            # and the SQL path reuses this count for its broadcast gate
+            n_points = p.count()
+            if n_points <= _DRIVER_GATE_POINTS:
                 return _dbscan_kernel(p, eps, eps2, min_pts, cc_stats)
-    return _dbscan_sql(p, eps, eps2, min_pts, cc_stats)
+    return _dbscan_sql(p, eps, eps2, min_pts, cc_stats, n_points=n_points)
 
 
 def _dbscan_sql(
@@ -103,6 +113,7 @@ def _dbscan_sql(
     eps2: float,
     min_pts: int,
     cc_stats: dict | None,
+    n_points: int | None = None,
 ) -> DataFrame:
     """The pure-relational plan (module docstring): ε-grid pair join,
     degree aggregation, cell-contracted connected components."""
@@ -169,7 +180,8 @@ def _dbscan_sql(
     # (id, cell) longs), build the small side once and broadcast it so
     # the pair list never crosses another exchange. Scale-adaptive: past
     # the gate (real-cluster corpus) the shuffled plan stands.
-    n_points = base.count()  # metadata-cheap: base is checkpointed
+    if n_points is None:  # not pre-counted by the dispatch gate
+        n_points = base.count()  # metadata-cheap: base is checkpointed
     bcast = F.broadcast if n_points <= _DRIVER_GATE_POINTS else (lambda df: df)
     # |N_eps(p)| >= min_pts, self included (the paper counts p itself):
     # stack both endpoints of each unordered pair, +1 for self

@@ -228,8 +228,21 @@ def _cache_dir() -> str:
     )
 
 
+# -ffp-contract=off: gcc defaults to contracting a*a + b*b into FMA where
+# the target allows it (aarch64, x86 with -march), which rounds once
+# instead of twice and can flip a <= r2 boundary comparison relative to
+# the JVM's (never-fused) evaluation — silently breaking the bit-equality
+# contract with the numpy/SQL twins on such hosts. -fno-fast-math pins
+# the rest of IEEE semantics explicitly.
+_GCC_FLAGS = ["-O3", "-ffp-contract=off", "-fno-fast-math", "-shared", "-fPIC"]
+
+
 def _build() -> object | None:
-    digest = hashlib.sha256(_C_SOURCE.encode()).hexdigest()[:16]
+    # the digest covers source AND flags: a flag change must invalidate
+    # the cached .so, or stale kernels with different FP semantics survive
+    digest = hashlib.sha256(
+        (_C_SOURCE + "\n//" + " ".join(_GCC_FLAGS)).encode()
+    ).hexdigest()[:16]
     cache = _cache_dir()
     so_path = os.path.join(cache, f"greedy_{digest}.so")
     if not os.path.exists(so_path):
@@ -240,7 +253,7 @@ def _build() -> object | None:
             f.write(_C_SOURCE)
         os.replace(f"{src}.{os.getpid()}.tmp", src)
         subprocess.run(
-            ["gcc", "-O3", "-shared", "-fPIC", "-o", tmp, src, "-lm"],
+            ["gcc", *_GCC_FLAGS, "-o", tmp, src, "-lm"],
             check=True,
             capture_output=True,
             timeout=120,

@@ -241,8 +241,17 @@ def _cache_dir() -> str:
     )
 
 
+# -ffp-contract=off / -fno-fast-math: keep dx*dx + dy*dy un-fused so the
+# <= eps2 boundary matches the JVM's and numpy's (never-fused) rounding on
+# every target — see operators/native.py::_GCC_FLAGS.
+_GCC_FLAGS = ["-O3", "-ffp-contract=off", "-fno-fast-math", "-shared", "-fPIC"]
+
+
 def _build() -> object | None:
-    digest = hashlib.sha256(_C_SOURCE.encode()).hexdigest()[:16]
+    # digest covers source AND flags (a flag change invalidates the cache)
+    digest = hashlib.sha256(
+        (_C_SOURCE + "\n//" + " ".join(_GCC_FLAGS)).encode()
+    ).hexdigest()[:16]
     cache = _cache_dir()
     so_path = os.path.join(cache, f"dbscan_{digest}.so")
     if not os.path.exists(so_path):
@@ -253,7 +262,7 @@ def _build() -> object | None:
             f.write(_C_SOURCE)
         os.replace(f"{src}.{os.getpid()}.tmp", src)
         subprocess.run(
-            ["gcc", "-O3", "-shared", "-fPIC", "-o", tmp, src, "-lm"],
+            ["gcc", *_GCC_FLAGS, "-o", tmp, src, "-lm"],
             check=True,
             capture_output=True,
             timeout=120,

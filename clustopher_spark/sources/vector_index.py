@@ -150,13 +150,14 @@ class IVFPQIndex:
             # one bounded sample collect feeds BOTH quantizer trainings
             # (bit-identical draw either way — see train_ivf_centroids)
             from clustopher_spark.functions.similarity import (
+                DEFAULT_SAMPLE_ROWS,
                 _as_double,
                 _bounded_uniform_sample,
             )
 
             shared = _bounded_uniform_sample(
                 corpus.select(_as_double(F.col(vec_col)).alias("v")),
-                100_000, p["seed"], None,
+                DEFAULT_SAMPLE_ROWS, p["seed"], None,
             )
         cents = train_ivf_centroids(
             corpus, p["n_lists"], vec_col, sample_fraction, p["seed"],
