@@ -296,6 +296,23 @@ def _timed(fn, n: int) -> tuple[list[float], object]:
     return times, out
 
 
+def _spill_mark() -> int:
+    """Snapshot of the parquet-spill ledger (plans/lineage.py): round-9
+    large intermediates materialize as page-cache-backed parquet spills
+    instead of block-manager row objects, so rep hygiene releases DIRS as
+    well as pinned RDDs. Same only-provably-dead-frames contract as
+    _unpersist_new."""
+    from clustopher_spark.plans.lineage import spill_snapshot
+
+    return spill_snapshot()
+
+
+def _release_spills(mark: int) -> None:
+    from clustopher_spark.plans.lineage import release_spills
+
+    release_spills(mark)
+
+
 def _pinned_rdd_ids(spark) -> set:
     """Ids of currently-pinned RDDs (localCheckpoint blocks included)."""
     jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
@@ -526,15 +543,17 @@ def _build_pyramid_reps(spark, eng, n_reps: int = 3):
     n_pyr = 0
     for i in range(n_reps):
         before = _pinned_rdd_ids(spark)
+        smark = _spill_mark()
 
         def one_build():
             eng.materialize()
             return eng._zoom_levels.count()
 
         n_pyr = _lap(times, one_build)
-        if i < n_reps - 1:  # release this rep's pyramid checkpoints
+        if i < n_reps - 1:  # release this rep's pyramid materialization
             eng._zoom_levels = None
             _unpersist_new(spark, before)
+            _release_spills(smark)
     return times, n_pyr
 
 
@@ -628,18 +647,22 @@ def family_pyramid_1m(spark, timings, reps):
     base_levels = eng_1m._zoom_levels.localCheckpoint(eager=True)
     base_levels.count()
     # the update entries read the checkpointed copy only — release the
-    # build's own pyramid so they don't run under double storage
+    # build's own pyramid (pinned RDDs and/or parquet spill) so they
+    # don't run under double storage
     eng_1m._zoom_levels = None
     _unpersist_new(spark, _pinned_rdd_ids(spark) - build_ids)
+    _release_spills(0)
 
     def run_update(batch):
         before = _pinned_rdd_ids(spark)
+        smark = _spill_mark()
         upd = update_zoom_levels(base_levels, pts_1m, batch, ["value"], opts_1m)
         n = upd.count()
-        # each run checkpoints an 8.4M-row output; release it before the
-        # next rep or storage pressure distorts later entries
+        # each run materializes a full-pyramid-sized output; release it
+        # before the next rep or storage pressure distorts later entries
         del upd
         _unpersist_new(spark, before)
+        _release_spills(smark)
         return n
 
     # 4 reps for both update entries (r7 verdict item 2a: the city
@@ -740,6 +763,7 @@ def family_pyramid_10m(spark, timings, reps):
     # so the apply isn't measured under 67M rows of storage pressure.
     eng_10m._zoom_levels = None
     _unpersist_new(spark, pts_ids)
+    _release_spills(0)
     tmp = tempfile.mkdtemp(prefix="clustopher_pstore10m_")
     try:
         pstore = PyramidStore(
@@ -800,6 +824,7 @@ def family_pyramid_30m(spark, timings, reps):
     eng_30m._zoom_levels = None
     del eng_30m
     _unpersist_new(spark, pts_ids)
+    _release_spills(0)
 
     tmp = tempfile.mkdtemp(prefix="clustopher_pstore30m_")
     try:

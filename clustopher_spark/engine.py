@@ -106,13 +106,28 @@ class Clustopher:
     # --- ingest-time materialization (replaces per-query recompute) ---
 
     def materialize(self, path: str | None = None) -> DataFrame:
-        self._zoom_levels = materialize_zoom_levels(
-            self.points, self.metric_cols, self.opts
-        )
         if path:
-            write_zoom_levels(self._zoom_levels, path, self.opts)
+            # the engine adopts the DURABLE copy — the build's internal
+            # spill (plans/lineage.py) is dead once the write lands
+            from clustopher_spark.plans.lineage import (
+                release_spills,
+                spill_snapshot,
+            )
+
+            spills0 = spill_snapshot()
+            try:
+                levels = materialize_zoom_levels(
+                    self.points, self.metric_cols, self.opts
+                )
+                write_zoom_levels(levels, path, self.opts)
+            finally:
+                release_spills(spills0)
             spark = self.points.sparkSession
             self._zoom_levels = spark.read.parquet(path)
+        else:
+            self._zoom_levels = materialize_zoom_levels(
+                self.points, self.metric_cols, self.opts
+            )
         return self._zoom_levels
 
     def update(
@@ -132,15 +147,24 @@ class Clustopher:
 
         if self._zoom_levels is None:
             raise ValueError("materialize() the pyramid before update()")
-        self._zoom_levels = update_zoom_levels(
-            self._zoom_levels,
-            self.points,
-            points_new,
-            self.metric_cols,
-            self.opts,
-            points_deleted=points_deleted,
-            stats=stats,
-        ).localCheckpoint(eager=True)
+        from clustopher_spark.plans.lineage import materialize_df
+
+        # parquet-spill materialization (plans/lineage.py): the new
+        # pyramid must be materialized so later queries/updates don't
+        # re-run the fused pass, but pinning ~full-pyramid row objects in
+        # the block manager per update was the engine's dominant GC source
+        self._zoom_levels = materialize_df(
+            update_zoom_levels(
+                self._zoom_levels,
+                self.points,
+                points_new,
+                self.metric_cols,
+                self.opts,
+                points_deleted=points_deleted,
+                stats=stats,
+            ),
+            label="engine_update",
+        )
         pts = self.points
         if points_deleted is not None:
             pts = pts.join(points_deleted.select("id"), "id", "left_anti")

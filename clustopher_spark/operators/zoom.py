@@ -31,6 +31,7 @@ from clustopher_spark.operators.cluster import (
     _assign_sorted,
     cluster_at_zoom,
 )
+from clustopher_spark.plans.lineage import materialize_df
 from clustopher_spark.plans.projection import project_np, unproject_np
 
 
@@ -473,9 +474,13 @@ def materialize_zoom_levels(
         chain = [z for z in zooms if z >= z_cut]
         if len(chain) > 1:
             fused = fused_zoom_pass(points, chain, metric_cols, opts, parallelism=parts)
-            # checkpoint once: the union, the z_cut re-read below, and any
-            # downstream consumer all reuse the materialized pass
-            fused = fused.localCheckpoint(eager=True)
+            # materialize once: the union, the z_cut re-read below, and any
+            # downstream consumer all reuse the materialized pass. Parquet
+            # spill, not localCheckpoint: the fused pyramid is the largest
+            # frame in the system (~6.7x the input rows), and holding it as
+            # per-row block-manager objects was the dominant GC/storage
+            # pressure in every build-family JVM (plans/lineage.py note).
+            fused = materialize_df(fused, label="pyramid_build")
             levels.append(fused)
             lowest = fused.filter(F.col("zoom") == z_cut)
             n_rows = lowest.count()
@@ -1110,8 +1115,9 @@ def fused_update_pass(
         result["is_cluster"] = result["is_cluster"].astype(bool)
         yield result[out_cols]
 
-    fused = binned.mapInPandas(run_partition, schema=out_schema).localCheckpoint(
-        eager=True
+    fused = materialize_df(
+        binned.mapInPandas(run_partition, schema=out_schema),
+        label="pyramid_update",
     )
     levels: list[DataFrame] = [fused]
     if not coarse_tail:

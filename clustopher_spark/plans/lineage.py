@@ -22,7 +22,91 @@ estimate for join-strategy selection.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
+import uuid
+
 from pyspark.sql import DataFrame
+
+# --------------------------------------------------------------------------
+# Large-intermediate materialization (round 9, guide §5)
+#
+# ``localCheckpoint(eager=True)`` materializes a frame as UnsafeRow objects
+# in the block manager: one JVM object per row. For the pyramid builds that
+# is ~67M heap objects (~10 GB) per materialization — measured as the
+# dominant GC/storage-pressure source in the bench JVMs (rep spreads of
+# 2-5x inside a single quiet process: build_10m reps [65.1, 31.8, 23.7,
+# 13.7] s with the code untouched between reps). A columnar PARQUET SPILL
+# materializes the same frame as a handful of page-cache-backed files:
+# zero block-manager residency, zero GC tail, and the readback scan is
+# vectorized. It is also the shape that survives executor loss on a real
+# cluster (the r7 verdict's localCheckpoint durability note) — at 100 TB
+# this spill IS a reliable checkpoint to cluster storage.
+#
+# Release contract: spill dirs live until process exit (atexit) unless the
+# caller brackets a provably-dead frame with spill_snapshot()/
+# release_spills() — the exact protocol bench.py already applies to
+# checkpointed RDDs via _pinned_rdd_ids/_unpersist_new.
+# --------------------------------------------------------------------------
+
+_SPILL_ROOT: str | None = None
+_SPILL_DIRS: list[str] = []  # ordered by creation, per-process
+
+
+def _spill_root() -> str:
+    global _SPILL_ROOT
+    if _SPILL_ROOT is None:
+        _SPILL_ROOT = tempfile.mkdtemp(prefix="clustopher_spill_")
+        atexit.register(shutil.rmtree, _SPILL_ROOT, ignore_errors=True)
+    return _SPILL_ROOT
+
+
+def spill_snapshot() -> int:
+    """Marker for release_spills(): the current spill-dir count."""
+    return len(_SPILL_DIRS)
+
+
+def release_spills(since: int) -> None:
+    """Delete every spill dir created after the ``since`` snapshot.
+
+    Only bracket frames that are provably never read again (same contract
+    as bench.py's _unpersist_new): a consumer scanning a released spill
+    fails loudly with missing files."""
+    for d in _SPILL_DIRS[since:]:
+        shutil.rmtree(d, ignore_errors=True)
+    del _SPILL_DIRS[since:]
+
+
+def materialize_df(df: DataFrame, label: str = "frame") -> DataFrame:
+    """Materialize a large intermediate and truncate its lineage.
+
+    Mode (env ``CLUSTOPHER_MATERIALIZE``):
+
+    * ``spill`` (default) — write ONCE as snappy parquet into a
+      process-scoped temp dir and read back with the exact original
+      schema. Off-heap (OS page cache), no block-manager pinning, no GC
+      residue; values round-trip bit-exactly (long/double/bool/int are
+      stored exactly in parquet). Snappy because a spill is written once
+      and read a handful of times within minutes — encode speed beats
+      ratio (override via ``CLUSTOPHER_SPILL_CODEC``).
+    * ``checkpoint`` — the previous behavior, ``localCheckpoint(eager)``;
+      keeps rows pinned in the block manager.
+    """
+    mode = os.environ.get("CLUSTOPHER_MATERIALIZE", "spill")
+    if mode == "checkpoint":
+        return df.localCheckpoint(eager=True)
+    path = os.path.join(_spill_root(), f"{label}_{uuid.uuid4().hex[:12]}")
+    codec = os.environ.get("CLUSTOPHER_SPILL_CODEC", "snappy")
+    df.write.option("compression", codec).parquet(path)
+    _SPILL_DIRS.append(path)
+    # explicit schema: skips footer inference (one less driver pass), keeps
+    # names/types identical to the input (file-source readers widen fields
+    # to nullable — harmless here: the fused frames are declared through
+    # all-nullable mapInPandas DDL schemas anyway), and makes an EMPTY
+    # materialization readable (no footer to infer).
+    return df.sparkSession.read.schema(df.schema).parquet(path)
 
 
 def truncate_lineage(df: DataFrame) -> DataFrame:

@@ -488,15 +488,23 @@ class PyramidStore:
                 self.spark.sparkContext.defaultParallelism, 8
             ),
         )
-        levels = materialize_zoom_levels(
-            self.spark.read.parquet(boot), self.metric_cols, self.opts
-        )
-        publish, z_pb = self._publish_props({})
-        if publish == "manifest":
-            manifest = self._write_levels_manifest(levels, 1, z_pb, None, {})
-            self._commit_manifest(1, manifest)
-        else:
-            write_zoom_levels(levels, self._levels_path(1), self.opts)
+        from clustopher_spark.plans.lineage import release_spills, spill_snapshot
+
+        spills0 = spill_snapshot()
+        try:
+            levels = materialize_zoom_levels(
+                self.spark.read.parquet(boot), self.metric_cols, self.opts
+            )
+            publish, z_pb = self._publish_props({})
+            if publish == "manifest":
+                manifest = self._write_levels_manifest(levels, 1, z_pb, None, {})
+                self._commit_manifest(1, manifest)
+            else:
+                write_zoom_levels(levels, self._levels_path(1), self.opts)
+        finally:
+            # the bootstrap pyramid is durably published above; its spill
+            # (the largest frame a store ever materializes) is dead
+            release_spills(spills0)
         self._commit_meta(
             {"latest": 1, "last_batch": -1, "publish": publish,
              "publish_zoom": z_pb}
@@ -569,22 +577,32 @@ class PyramidStore:
         version = int(meta["latest"]) + 1
         publish, z_pb = self._publish_props(meta)
         stats: dict = {}
-        if publish == "manifest":
-            manifest = self._apply_manifest(
-                adds, dels, z_pb, meta, version, stats, n_new=n_new
-            )
-            self._commit_manifest(version, manifest)
-        else:
-            upd = update_zoom_levels(
-                self.current_levels(),
-                self.current_points(),
-                adds,
-                self.metric_cols,
-                self.opts,
-                points_deleted=dels,
-                stats=stats,
-            )
-            write_zoom_levels(upd, self._levels_path(version), self.opts)
+        # every spill materialized while building this version (the fused
+        # pass's output) is consumed by the durable block/levels writes
+        # below — release the dirs once the version's files are on disk,
+        # or a long-lived maintainer leaks one pyramid-sized dir per commit
+        from clustopher_spark.plans.lineage import release_spills, spill_snapshot
+
+        spills0 = spill_snapshot()
+        try:
+            if publish == "manifest":
+                manifest = self._apply_manifest(
+                    adds, dels, z_pb, meta, version, stats, n_new=n_new
+                )
+                self._commit_manifest(version, manifest)
+            else:
+                upd = update_zoom_levels(
+                    self.current_levels(),
+                    self.current_points(),
+                    adds,
+                    self.metric_cols,
+                    self.opts,
+                    points_deleted=dels,
+                    stats=stats,
+                )
+                write_zoom_levels(upd, self._levels_path(version), self.opts)
+        finally:
+            release_spills(spills0)
         self.last_apply_stats = stats
         self._commit_meta(
             {**meta, "latest": version, "last_batch": batch_id}
